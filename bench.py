@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: the shuffle/join/agg-heavy queries that dominate runtime and
+# exercise every operator family end to end.
+HEADLINE = [
+    "flagship_harmonic_topk",
+    "pricing_summary",
+    "revenue_by_nation",
+    "returnflag_pivot",
+    "customer_order_left",
+    "top_customers_per_nation",
+    "symmetric_trade_edges",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from platform_etl_drug_disease_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    catalog = entrymod.queries()
+    names = [n for n in HEADLINE if n in catalog]
+
+    # warm the JVM + file cache once with the cheapest query plan.
+    catalog[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = catalog[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # full execution, no collect cost
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Window-function operators (SURVEY.md W1).
+
+The reference uses no window functions — it ranks inside arrays
+(sort_array + sequence position, sim.sc:297-337). At 100 TB window ranking is
+the bounded-state form of per-group top-k/dedup/sessionization, so the engine
+exposes it as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order_by: list[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def rank_in_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    out: str = "rn",
+    method: str = "row_number",
+) -> DataFrame:
+    """Attach a per-group rank (row_number | rank | dense_rank)."""
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(order_by))
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    return df.withColumn(out, fn().over(w))
+
+
+def top_n_per_group(
+    df: DataFrame, keys: list[str], order_by: list[str | Column], n: int
+) -> DataFrame:
+    """Bounded-state per-group top-n (the scale-safe A8 alternative)."""
+    return (
+        rank_in_group(df, keys, order_by, out="__rn")
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def lag_over(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    value: str,
+    offset: int = 1,
+    out: str = "lagged",
+) -> DataFrame:
+    """lag/lead access for delta computations (sessionization building block)."""
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(order_by))
+    return df.withColumn(out, F.lag(F.col(value), offset).over(w))
+
+
+def running_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    value: str,
+    out: str,
+    agg: str = "sum",
+) -> DataFrame:
+    """Cumulative aggregate over an ordered group (running totals)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fn = getattr(F, agg)
+    return df.withColumn(out, fn(F.col(value)).over(w))

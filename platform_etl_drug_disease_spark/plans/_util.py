@@ -1,0 +1,38 @@
+"""Cross-engine determinism helpers for the DuckDB-oracle query catalog.
+
+Floating-point sums are order-dependent, and Spark/DuckDB aggregate in
+different orders — a raw ``SUM(double)`` can differ in low bits and break the
+driver's exact value-hash compare. The fix used throughout the catalog:
+cast to DECIMAL before summing (exact, order-independent integer arithmetic
+in both engines), then cast the exact decimal result back to double. Both
+engines perform the identical double→decimal rounding and decimal→double
+conversion, so results match bit-for-bit.
+
+Folds over *sorted* arrays (the harmonic score) are sequence-deterministic in
+both engines (left fold), so they need no decimal detour.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent SUM(double) → double via exact decimal accumulation.
+
+    Oracle equivalent: ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count, in double.
+
+    Oracle: ``CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)

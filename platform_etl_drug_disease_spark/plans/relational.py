@@ -1,0 +1,402 @@
+"""Relational core of the query catalog: scans, projections, filters, joins
+(inner/left/right/semi/anti), aggregations, pivot, window top-n, set ops —
+the SURVEY.md §2 families S1-S7, P1-P10, J1-J7, A1-A9, W1, U1-U2, O1-O3.
+
+Every query has a DuckDB oracle (ORACLES) with bit-exact value agreement:
+double sums go through the decimal detour (see plans/_util.py), folds run
+over sorted arrays, and rankings carry unique tie-breakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.functions.harmonic import harmonic_sum
+from platform_etl_drug_disease_spark.operators.aggregates import (
+    group_collect_set,
+    grouped_top_k,
+    pivot_scores,
+)
+from platform_etl_drug_disease_spark.operators.joins import (
+    anti_join,
+    join_on,
+    semi_join,
+)
+from platform_etl_drug_disease_spark.operators.windows import top_n_per_group
+from platform_etl_drug_disease_spark.plans._util import davg, dsum
+from platform_etl_drug_disease_spark.schemas import load_table
+
+
+# ---------------------------------------------------------------------------
+# flagship: association-scoring core on TPC-H-shaped data (SURVEY.md §7).
+# lineitem⋈orders → per-part top-100 revenue scores → rank-weighted harmonic
+# sum (the reference's scoring primitive, sim.sc:295-337).
+# ---------------------------------------------------------------------------
+
+def flagship_harmonic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).where(
+        F.col("o_orderstatus") == "F"
+    )
+    scored = join_on(li, orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("score"),
+    )
+    grouped = grouped_top_k(scored, ["l_partkey"], "score", k=100, out="scores")
+    return grouped.select(
+        "l_partkey",
+        F.round(harmonic_sum("scores"), 4).alias("harmonic"),
+        F.size("scores").alias("n_scores"),
+    )
+
+
+_FLAGSHIP_SQL = """
+WITH scored AS (
+    SELECT l_partkey, l_extendedprice * (1.0 - l_discount) AS score
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+), grouped AS (
+    SELECT l_partkey, (list_sort(list(score), 'DESC'))[1:100] AS scores
+    FROM scored GROUP BY l_partkey
+)
+SELECT l_partkey,
+       round(list_reduce(list_transform(scores, (x, i) -> x / (i * i)),
+                         (a, b) -> a + b), 4) AS harmonic,
+       CAST(len(scores) AS INTEGER) AS n_scores
+FROM grouped
+"""
+
+
+# ---------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 flavor): filter pushdown + multi-aggregate.
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("2000-09-02"))
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# revenue by nation (TPC-H Q5 flavor): 6-way join with broadcast dims.
+# ---------------------------------------------------------------------------
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).where(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1999-01-01")))
+    )
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = load_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+
+    # local-supplier constraint: supplier and customer share the nation.
+    j = (
+        join_on(li, orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), (F.col("l_suppkey") == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+_REVENUE_NATION_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot (A7): returnflag → wide quantity matrix per linestatus, zero-filled.
+# ---------------------------------------------------------------------------
+
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_linestatus", "l_returnflag", "l_quantity"]
+    )
+    out = pivot_scores(
+        li, ["l_linestatus"], "l_returnflag", ["A", "N", "R"], dsum("l_quantity"), fill=0.0
+    )
+    return (
+        out.withColumnRenamed("A", "qty_a")
+        .withColumnRenamed("N", "qty_n")
+        .withColumnRenamed("R", "qty_r")
+    )
+
+
+_PIVOT_SQL = """
+SELECT l_linestatus,
+       COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE), 0.0) AS qty_a,
+       COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE), 0.0) AS qty_n,
+       COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 0.0) AS qty_r
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# outer joins (J3/J4) + carry-along first (A6).
+# ---------------------------------------------------------------------------
+
+def customer_order_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    j = join_on(cust, orders, cust.c_custkey == orders.o_custkey, how="left_outer")
+    return j.groupBy("c_custkey").agg(
+        F.first("c_name").alias("c_name"),  # constant within group (A6)
+        F.count("o_orderkey").alias("order_count"),
+        F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+    )
+
+
+_CUSTOMER_LEFT_SQL = """
+SELECT c_custkey,
+       any_value(c_name) AS c_name,
+       COUNT(o_orderkey) AS order_count,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def order_lineitem_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    j = join_on(li, orders, li.l_orderkey == orders.o_orderkey, how="right_outer")
+    return j.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.count("l_linenumber").alias("line_count")
+    )
+
+
+_RIGHT_OUTER_SQL = """
+SELECT o_orderkey, o_orderstatus, COUNT(l_linenumber) AS line_count
+FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderstatus
+"""
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semi-join: the idiomatic form of the reference's whitelist filter
+    (sim.sc:451 uses an inner join purely for membership)."""
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey", "o_orderstatus"]).where(
+        F.col("o_orderstatus") == "O"
+    )
+    return semi_join(cust, orders, cust.c_custkey == orders.o_custkey)
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey"])
+    return anti_join(cust, orders, cust.c_custkey == orders.o_custkey)
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# window top-n (W1): richest 3 customers per nation, unique tie-break.
+# ---------------------------------------------------------------------------
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    top = top_n_per_group(
+        cust, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey")], n=3
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return top.withColumn("rn", F.row_number().over(w))
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+FROM (
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer
+)
+WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations: U1 symmetrize+distinct, U2 unionByName.
+# ---------------------------------------------------------------------------
+
+def symmetric_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+A9: undirected edge canonicalization — the reference symmetrizes its
+    protein-interaction edges with union(swap)+distinct (sim.sc:53-54)."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    edges = (
+        join_on(li, orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    swapped = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.union(swapped).distinct()
+
+
+_SYM_EDGES_SQL = """
+SELECT DISTINCT src, dst FROM (
+    SELECT o_custkey AS src, l_suppkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT l_suppkey AS src, o_custkey AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+"""
+
+
+def order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 unionByName: merge two differently-ordered projections by name
+    (the reference merges evidence streams this way, sim.sc:431)."""
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    high = orders.where(F.col("o_totalprice") > 250000).select(
+        F.col("o_orderkey"), F.col("o_totalprice").alias("val"), F.lit("high").alias("bucket")
+    )
+    low = orders.where(F.col("o_totalprice") <= 250000).select(
+        F.lit("low").alias("bucket"), F.col("o_totalprice").alias("val"), F.col("o_orderkey")
+    )
+    merged = high.unionByName(low)
+    return merged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("val").alias("total_value")
+    )
+
+
+_UNION_BY_NAME_SQL = """
+SELECT bucket, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM (
+    SELECT o_orderkey, o_totalprice AS val,
+           CASE WHEN o_totalprice > 250000 THEN 'high' ELSE 'low' END AS bucket
+    FROM orders
+)
+GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouped collections: A1 collect_set, A8 top-k arrays.
+# ---------------------------------------------------------------------------
+
+def segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    return group_collect_set(cust, ["c_nationkey"], "c_mktsegment", "segments")
+
+
+_SEGMENTS_SQL = """
+SELECT c_nationkey, list_sort(array_agg(DISTINCT c_mktsegment)) AS segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def top_prices_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 (reference form): collect-then-sort-then-slice (sim.sc:297-298)."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return grouped_top_k(
+        li, ["l_returnflag"], "l_extendedprice", k=5, out="top_prices", bounded=False
+    )
+
+
+_TOP_PRICES_SQL = """
+SELECT l_returnflag, (list_sort(list(l_extendedprice), 'DESC'))[1:5] AS top_prices
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES = {
+    "flagship_harmonic_topk": flagship_harmonic_topk,
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "returnflag_pivot": returnflag_pivot,
+    "customer_order_left": customer_order_left,
+    "order_lineitem_right": order_lineitem_right,
+    "customers_with_open_orders": customers_with_open_orders,
+    "customers_without_orders": customers_without_orders,
+    "top_customers_per_nation": top_customers_per_nation,
+    "symmetric_trade_edges": symmetric_trade_edges,
+    "order_value_buckets": order_value_buckets,
+    "segments_per_nation": segments_per_nation,
+    "top_prices_per_flag": top_prices_per_flag,
+}
+
+ORACLES = {
+    "flagship_harmonic_topk": _FLAGSHIP_SQL,
+    "pricing_summary": _PRICING_SQL,
+    "revenue_by_nation": _REVENUE_NATION_SQL,
+    "returnflag_pivot": _PIVOT_SQL,
+    "customer_order_left": _CUSTOMER_LEFT_SQL,
+    "order_lineitem_right": _RIGHT_OUTER_SQL,
+    "customers_with_open_orders": _SEMI_SQL,
+    "customers_without_orders": _ANTI_SQL,
+    "top_customers_per_nation": _TOP_CUSTOMERS_SQL,
+    "symmetric_trade_edges": _SYM_EDGES_SQL,
+    "order_value_buckets": _UNION_BY_NAME_SQL,
+    "segments_per_nation": _SEGMENTS_SQL,
+    "top_prices_per_flag": _TOP_PRICES_SQL,
+}

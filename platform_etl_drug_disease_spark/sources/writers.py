@@ -1,0 +1,46 @@
+"""Sink operators (SURVEY.md §2.1, S5-S6).
+
+The reference's two actions: ``associations.write.parquet`` (sim.sc:476) and
+``drugDisease.write.json`` (sim.sc:511). At 100 TB the extra knobs that matter
+are partitionBy (partition pruning for consumers), explicit file sizing via a
+pre-write repartition, and compression codec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+    target_partitions: int | None = None,
+) -> None:
+    """S5: parquet sink. ``target_partitions`` repartitions before the write so
+    output file count/size is controlled (100-TB hygiene: avoid millions of
+    tiny files or a handful of monster files)."""
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """S6: newline-JSON sink (sim.sc:511)."""
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)

@@ -1,0 +1,137 @@
+"""Unit tests for the operator library on tiny literal DataFrames —
+the edge cases the DuckDB oracle can't isolate (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators import (
+    aggregates as agg,
+    arrays as arr,
+    filters as flt,
+    joins as jn,
+    projections as prj,
+    windows as win,
+)
+
+
+def test_project_rename(spark):
+    df = spark.createDataFrame([(1, "x")], "a: int, b: string")
+    out = prj.project(df, {"id": "a", "name": F.col("b")})
+    assert out.columns == ["id", "name"]
+    assert out.collect()[0]["id"] == 1
+
+
+def test_flatten_struct(spark):
+    df = spark.createDataFrame(
+        [((1, "d1"),)], "disease: struct<id: int, label: string>"
+    )
+    out = prj.flatten_struct(df, "disease", ["id", "label"])
+    assert set(out.columns) == {"id", "label"}
+
+
+def test_with_columns_and_drop(spark):
+    df = spark.createDataFrame([(2,)], "a: int")
+    out = prj.drop(prj.with_columns(df, {"b": "a * 10"}), "a")
+    assert out.collect()[0]["b"] == 20
+
+
+def test_where_array_nonempty(spark):
+    df = spark.createDataFrame([([1],), ([],)], "xs: array<int>")
+    assert flt.where_array_nonempty(df, "xs").count() == 1
+
+
+def test_semi_anti_partition_rows(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k: int")
+    right = spark.createDataFrame([(2,), (3,), (3,)], "k: int")
+    semi = jn.semi_join(left, right, ["k"])
+    anti = jn.anti_join(left, right, ["k"])
+    assert {r["k"] for r in semi.collect()} == {2, 3}
+    assert {r["k"] for r in anti.collect()} == {1}
+    assert semi.count() + anti.count() == left.count()
+
+
+def test_annotate_edges_double_join(spark):
+    edges = spark.createDataFrame([("a", "b", 0.9)], "src: string, dst: string, w: double")
+    dim = spark.createDataFrame(
+        [("a", "gene_a"), ("b", "gene_b")], "acc: string, gene: string"
+    )
+    out = jn.annotate_edges(edges, dim, ("src", "dst"), "acc", {"gene": "gene"})
+    row = out.collect()[0]
+    assert row["gene_src"] == "gene_a" and row["gene_dst"] == "gene_b"
+
+
+def test_annotate_edges_inner_drops_unmatched(spark):
+    edges = spark.createDataFrame([("a", "zz", 1.0)], "src: string, dst: string, w: double")
+    dim = spark.createDataFrame([("a", "g")], "acc: string, gene: string")
+    assert jn.annotate_edges(edges, dim, ("src", "dst"), "acc", {"gene": "g"}).count() == 0
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame([(1, "x")] * 50 + [(2, "y")], "k: int, v: string")
+    right = spark.createDataFrame([(1, 10), (2, 20)], "k: int, p: int")
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = jn.salted_join(left, right, "k").groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_grouped_top_k_bounded_equals_reference_form(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i % 5, rnd.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "k: int, score: double")
+    a = agg.grouped_top_k(df, ["k"], "score", k=10, bounded=True).collect()
+    b = agg.grouped_top_k(df, ["k"], "score", k=10, bounded=False).collect()
+    am = {r["k"]: r["scores"] for r in a}
+    bm = {r["k"]: r["scores"] for r in b}
+    assert am == bm
+
+
+def test_pivot_explicit_values_and_fill(spark):
+    df = spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "b", 2.0), ("g2", "a", 3.0)],
+        "k: string, p: string, v: double",
+    )
+    out = agg.pivot_scores(df, ["k"], "p", ["a", "b", "c"], F.first("v"), fill=0.0)
+    row = {r["k"]: r for r in out.collect()}
+    assert row["g2"]["b"] == 0.0 and row["g2"]["c"] == 0.0  # na.fill path (sim.sc:437)
+    assert row["g1"]["b"] == 2.0
+
+
+def test_flatten_distinct_replaces_udf(spark):
+    df = spark.createDataFrame([([["a", "b"], ["b", "c"]],)], "xs: array<array<string>>")
+    got = df.select(F.sort_array(arr.flatten_distinct("xs")).alias("f")).collect()[0]["f"]
+    assert got == ["a", "b", "c"]
+
+
+def test_explode_outer_keeps_empty(spark):
+    df = spark.createDataFrame([(1, ["x"]), (2, [])], "id: int, xs: array<string>")
+    plain = arr.explode_col(df, "xs", "x")
+    outer = arr.explode_col(df, "xs", "x", keep_empty=True)
+    assert plain.count() == 1  # empty array silently dropped (reference explode)
+    assert outer.count() == 2
+
+
+def test_overlap_coefficient_null_safe(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], ["b"]), ([], ["x"]), (None, ["x"])],
+        "a: array<string>, b: array<string>",
+    )
+    got = df.select(arr.overlap_coefficient("a", "b").alias("o")).collect()
+    assert got[0]["o"] == pytest.approx(0.5)
+    assert got[1]["o"] is None  # empty → null, explicit (sim.sc:503 div-by-zero)
+    assert got[2]["o"] is None
+
+
+def test_window_top_n_and_running(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 5.0), ("b", 1, 1.0)],
+        "k: string, seq: int, v: double",
+    )
+    top = win.top_n_per_group(df, ["k"], [F.col("v").desc()], n=1).collect()
+    assert {(r["k"], r["v"]) for r in top} == {("a", 20.0), ("b", 1.0)}
+    run = win.running_agg(df, ["k"], ["seq"], "v", "cum").collect()
+    cum = {(r["k"], r["seq"]): r["cum"] for r in run}
+    assert cum[("a", 3)] == pytest.approx(35.0)
