@@ -1,4 +1,213 @@
-"""Stub — populated incrementally."""
+"""Graph/ontology catalog: the reference's network semantics re-expressed
+relationally (SURVEY.md §2's NetworkDB + ontology rows).
 
-QUERIES = {}
-ORACLES = {}
+- adjacency build: symmetrize edges → group → collect_set + degree
+  (sim.sc:53-74)
+- evidence propagation over neighbours∪self (sim.sc:450, 464)
+- ancestors→descendants ontology inversion (sim.sc:178-185)
+
+Edges are derived from the harness data: (customer, supplier) pairs that
+co-occur on an order form an undirected trade edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators.arrays import flatten_distinct
+from platform_etl_drug_disease_spark.plans._util import dsum
+from platform_etl_drug_disease_spark.schemas import load_table
+
+
+def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected trade edges: union(swap) + distinct (sim.sc:53-54).
+    Customer nodes keep their key; supplier nodes are offset by 10^6 so the
+    two id spaces don't collide."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+    )
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+_SYM_EDGES_CTE = """
+WITH raw_edges AS (
+    SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw_edges
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM raw_edges
+    )
+)
+"""
+
+
+def adjacency_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2 adjacency lookup table (sim.sc:72-74): sorted neighbour array +
+    exact degree (the oracle-checkable form; the reference's HLL++ approx
+    variant is ``adjacency_degree_approx``, rows-only)."""
+    edges = _sym_edges(spark, sf_dir)
+    return edges.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("neighbours"),
+        F.countDistinct("dst").alias("degree"),
+    )
+
+
+_ADJACENCY_SQL = _SYM_EDGES_CTE + """
+SELECT src,
+       list_sort(array_agg(DISTINCT dst)) AS neighbours,
+       COUNT(DISTINCT dst) AS degree
+FROM edges
+GROUP BY src
+"""
+
+
+def adjacency_degree_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: HLL++ degree (approx_count_distinct, sim.sc:74). Engine-specific
+    sketch values → no SQL oracle; the driver records rows-only. Accuracy vs
+    exact degree is asserted in tests/test_graph.py instead."""
+    edges = _sym_edges(spark, sf_dir)
+    return edges.groupBy("src").agg(
+        F.approx_count_distinct("dst", 0.02).alias("degree_approx")
+    )
+
+
+def propagate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence propagation over neighbours∪self (sim.sc:450, 464): each
+    node's base score (its total order value; suppliers score 0) spreads to
+    every network neighbour and itself; per node, sum incoming scores.
+
+    Spark plan: adjacency LUT → array_union(neighbours, array(self)) →
+    explode → join base scores on the *source* → re-group on the receiver.
+    """
+    edges = _sym_edges(spark, sf_dir)
+    adjacency = edges.groupBy("src").agg(F.collect_set("dst").alias("neighbours"))
+    base = (
+        load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("base_score"))
+        .withColumnRenamed("o_custkey", "node")
+    )
+    fanout = adjacency.select(
+        F.col("src"),
+        F.explode(F.array_union("neighbours", F.array(F.col("src")))).alias("receiver"),
+    )
+    scored = fanout.join(base, fanout.src == base.node, "inner")
+    return scored.groupBy("receiver").agg(
+        F.round(F.sum("base_score"), 4).alias("received_total"),
+        F.count(F.lit(1)).alias("n_contributors"),
+    )
+
+
+# base_score is an exact decimal-summed double; receiving-side re-sum crosses
+# engines in arbitrary order, so the oracle re-sums the same exact doubles cast
+# back to decimal — both engines add identical 4-decimal values exactly.
+_PROPAGATE_SQL = _SYM_EDGES_CTE + """
+, base AS (
+    SELECT o_custkey AS node,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS base_score
+    FROM orders GROUP BY o_custkey
+), fanout AS (
+    SELECT src, dst AS receiver FROM edges
+    UNION ALL
+    SELECT DISTINCT src, src AS receiver FROM edges
+)
+SELECT f.receiver,
+       round(CAST(SUM(CAST(b.base_score AS DECIMAL(18,6))) AS DOUBLE), 4) AS received_total,
+       COUNT(*) AS n_contributors
+FROM fanout f JOIN base b ON f.src = b.node
+GROUP BY f.receiver
+"""
+
+
+def region_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology inversion (sim.sc:174-185): nations carry ancestor paths
+    (array<array<string>> like EFO path_codes) → flatten+distinct →
+    explode → group by ancestor → collect_set of descendants."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    with_paths = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        "n_name",
+        F.array(F.array(F.col("r_name")), F.array(F.lit("WORLD"))).alias("path_codes"),
+    )
+    ancestors = with_paths.select(
+        "n_name", flatten_distinct("path_codes").alias("ancestors")
+    )
+    return (
+        ancestors.select("n_name", F.explode("ancestors").alias("ancestor"))
+        .groupBy("ancestor")
+        .agg(
+            F.sort_array(F.collect_set("n_name")).alias("descendants"),
+            F.countDistinct("n_name").alias("n_descendants"),
+        )
+    )
+
+
+_DESCENDANTS_SQL = """
+WITH ancestors AS (
+    SELECT n_name, unnest(['WORLD', r_name]) AS ancestor
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+)
+SELECT ancestor,
+       list_sort(array_agg(DISTINCT n_name)) AS descendants,
+       COUNT(DISTINCT n_name) AS n_descendants
+FROM ancestors
+GROUP BY ancestor
+"""
+
+
+def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop neighbourhood size per customer node: the self-join form of
+    network expansion (the at-scale alternative to materializing neighbour
+    arrays and exploding twice)."""
+    edges = _sym_edges(spark, sf_dir)
+    hop2 = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(F.col("e1.src").alias("node"), F.col("e2.dst").alias("reached"))
+        .where(F.col("node") < 1000000)  # customer nodes only
+        .where(F.col("node") != F.col("reached"))
+        .distinct()
+    )
+    return hop2.groupBy("node").agg(F.count(F.lit(1)).alias("n_two_hop"))
+
+
+_TWO_HOP_SQL = _SYM_EDGES_CTE + """
+, hop2 AS (
+    SELECT DISTINCT e1.src AS node, e2.dst AS reached
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.src < 1000000 AND e1.src != e2.dst
+)
+SELECT node, COUNT(*) AS n_two_hop
+FROM hop2
+GROUP BY node
+"""
+
+
+QUERIES = {
+    "adjacency_lut": adjacency_lut,
+    "adjacency_degree_approx": adjacency_degree_approx,
+    "propagate_scores": propagate_scores,
+    "region_descendants": region_descendants,
+    "two_hop_reach": two_hop_reach,
+}
+
+ORACLES = {
+    "adjacency_lut": _ADJACENCY_SQL,
+    "propagate_scores": _PROPAGATE_SQL,
+    "region_descendants": _DESCENDANTS_SQL,
+    "two_hop_reach": _TWO_HOP_SQL,
+    # adjacency_degree_approx: sketch-based, rows-only by design
+}

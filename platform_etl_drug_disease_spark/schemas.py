@@ -16,6 +16,7 @@ Two families:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # --------------------------------------------------------------------------
@@ -61,7 +62,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, columns: list[str] |
     physical type) and select-prune so Catalyst pushes the projection into the
     vectorized reader.
     """
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # the fixture's ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects; read nanos as long and truncate to micros (exactly what
+        # DuckDB's nanos→micros coercion does, so oracles agree).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if columns:
         df = df.select(*columns)
     return df
