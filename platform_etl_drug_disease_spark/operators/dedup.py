@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- exact dedup is a hash-groupBy (one shuffle on a 16-byte key, never on the
+  full text);
+- near-dup never compares all pairs: candidates come from LSH band buckets
+  (MinHash) or shared-shingle blocking (Jaccard), then only candidates get
+  verified — the standard shingle→minhash→band→bucket-join pipeline;
+- all hashes are md5-derived so results are deterministic and reproducible
+  across engines (the DuckDB oracle runs the identical pipeline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from platform_etl_drug_disease_spark.operators.text import shingles
+
+
+def exact_dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate clusters by content hash: per hash, the surviving
+    (minimum) id and the duplicate count. O(1) state per cluster."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep exactly one row (minimum id) per distinct text."""
+    w_min = exact_dedup_clusters(df, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(w_min, on=id_col, how="left_semi")
+
+
+def minhash_signature(shingle_arr: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature as an array of per-seed minima.
+
+    Each hash function is ``md5(seed || '|' || shingle)``; the signature
+    element is the lexicographic minimum — a valid min-wise hash family,
+    portable to any engine with md5. Empty shingle sets → null signature.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_arr,
+                    lambda s, seed=seed: F.md5(
+                        F.concat_ws("|", F.lit(str(seed)), s)
+                    ),
+                )
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+    return F.when(F.size(shingle_arr) > 0, sig)
+
+
+def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into bands; each band key is the concatenation of
+    its rows. Docs sharing ANY band key become candidate pairs."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "#",
+                F.lit(str(b)),
+                *[
+                    F.element_at(signature, b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """shingle → minhash → band → bucket-join candidate pairs (id_a < id_b).
+
+    The join is on band keys, so cost scales with bucket sizes, not n².
+    """
+    rows_per_band = n_hashes // n_bands
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).where(F.size("sh") > 0)
+    banded = sh.select(
+        F.col(id_col),
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("sh"), n_hashes), n_bands, rows_per_band)
+        ).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Shared-shingle-blocked n-gram Jaccard near-dup pairs.
+
+    Pairs are generated only for docs sharing ≥1 shingle (and, optionally, a
+    blocking column such as language) — the shuffle key is the shingle, so
+    pair count tracks true overlap, not n². Returns (id_a, id_b, jaccard).
+    """
+    cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    sh = df.select(*cols, shingles(F.col(text_col), shingle_n).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    exploded = sh.select(*cols, F.explode("sh").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    shared = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(text_tokens: Column, prefix_hex: int = 15) -> Column:
+    """SimHash over a token array: per-bit majority vote of md5-derived
+    60-bit token hashes (15 hex chars — fits a signed bigint).
+
+    Deterministic and engine-portable in principle, but the per-bit loop is
+    Spark-specific here; the catalog exposes it rows-only.
+    """
+    tok_hash = F.transform(
+        text_tokens, lambda t: F.conv(F.substring(F.md5(t), 1, prefix_hex), 16, 10).cast("bigint")
+    )
+    bits = []
+    for bit in range(prefix_hex * 4):
+        # the lambda is applied eagerly while building the expression, so
+        # closing over the loop variable is safe (no late binding).
+        votes = F.aggregate(
+            tok_hash,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bits.append(
+            F.when(votes > 0, F.shiftleft(F.lit(1).cast("bigint"), bit)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    total = bits[0]
+    for piece in bits[1:]:
+        total = total + piece
+    return total

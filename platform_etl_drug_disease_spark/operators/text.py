@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side compositions (split/HOF/hash built-ins) — no Python UDFs — so
+they run inside whole-stage codegen over 100 TB of documents. Each returns a
+Column usable in any projection; the catalog (plans/dedup_text.py) wires them
+into oracle-checked queries over the ``documents`` fixture table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language marker vocabularies for the n-gram/stopword heuristic
+# language id. Deliberately small: language ID at scale is a first-pass
+# filter, not a classifier.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "y"],
+    "fr": ["le", "la", "les", "des", "et"],
+    "de": ["der", "die", "das", "und", "ein"],
+}
+
+STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lower-cased trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """Lexical diversity: distinct tokens / total tokens (null on empty)."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.nullif(
+        F.size(t).cast("double"), F.lit(0.0)
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return n_stop.cast("double") / F.nullif(F.size(t).cast("double"), F.lit(0.0))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, e: a + e
+    )
+    return total.cast("double") / F.nullif(F.size(t).cast("double"), F.lit(0.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blend of length saturation,
+    lexical diversity, and a stopword-presence prior — the shape of C4-style
+    quality filters, expressed as pure column arithmetic."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c).cast("double")
+    length_sat = F.least(n / F.lit(64.0), F.lit(1.0))
+    diversity = F.coalesce(distinct_token_ratio(c), F.lit(0.0))
+    stop_prior = F.least(
+        F.coalesce(stopword_ratio(c), F.lit(0.0)) * F.lit(4.0), F.lit(1.0)
+    )
+    return F.round(
+        F.lit(0.4) * length_sat + F.lit(0.4) * diversity + F.lit(0.2) * stop_prior, 6
+    )
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Marker-hit count per candidate language (the n-gram heuristic)."""
+    t = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax over lang_scores with deterministic alphabetical tie-break;
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores, reverse=True)  # later langs first
+        ]
+    )
+    # array_max on struct = lexicographic (score, lang); reverse-sorted input
+    # + max picks highest score, then alphabetically-last lang name — invert
+    # by sorting langs descending so ties resolve to alphabetically-first.
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def bow_fingerprint(text: Column | str) -> Column:
+    """Bag-of-words document fingerprint: md5 over the sorted distinct token
+    set — robust to token order / repetition, portable across engines."""
+    t = F.sort_array(F.array_distinct(tokens(text)))
+    return F.md5(F.concat_ws(" ", t))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the unit for Jaccard/MinHash dedup).
+    Documents shorter than n tokens yield an empty array."""
+    t = tokens(text)
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )

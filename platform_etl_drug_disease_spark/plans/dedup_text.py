@@ -1,4 +1,259 @@
-"""Stub — populated incrementally."""
+"""Dedup + text-analysis catalog over the ``documents`` table — the
+LLM-training-data extension operators (exact dedup, n-gram Jaccard,
+MinHash+LSH, SimHash, quality/language/token analytics).
 
-QUERIES = {}
-ORACLES = {}
+Every hash is md5-based so the DuckDB oracle runs the *identical* pipeline;
+SimHash's per-bit loop is Spark-side only (rows-only check, by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators import text as tx
+from platform_etl_drug_disease_spark.operators.dedup import (
+    exact_dedup_clusters,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash64,
+)
+from platform_etl_drug_disease_spark.schemas import load_table
+
+# DuckDB equivalents of operators.text.tokens / operators.text.shingles —
+# identical tokenization and shingling so hashes agree byte-for-byte.
+_TOKS_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+)
+"""
+
+_SHINGLES_CTE = _TOKS_CTE + r"""
+, sh AS (
+    SELECT doc_id, lang,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM toks
+)
+"""
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring + fingerprint, one pass, JVM-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        tx.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tx.tokens("text"))).alias("n_distinct_tokens"),
+        F.round(tx.mean_token_length("text"), 6).alias("mean_token_len"),
+        F.round(tx.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+        tx.bow_fingerprint("text").alias("fingerprint"),
+    )
+
+
+_TEXT_STATS_SQL = _TOKS_CTE + """
+SELECT doc_id, lang,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct_tokens,
+       round(list_reduce(list_transform(t, x -> length(x)), (a,b) -> a + b)
+             * 1.0 / nullif(len(t), 0), 6) AS mean_token_len,
+       round(len(list_filter(t, x -> list_contains(
+             ['the','a','an','of','and','to','in','is','it','for'], x)))
+             * 1.0 / nullif(len(t), 0), 6) AS stopword_ratio,
+       round(0.4 * least(len(t) / 64.0, 1.0)
+           + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+           + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                 ['the','a','an','of','and','to','in','is','it','for'], x)))
+                 * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6) AS quality,
+       md5(list_aggregate(list_sort(list_distinct(t)), 'string_agg', ' ')) AS fingerprint
+FROM toks
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-vocabulary language ID (n-gram heuristic) vs the labeled lang."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    detected = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), tx.lang_id("text").alias("detected_lang")
+    )
+    return detected.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# the oracle replicates the argmax-with-alphabetical-tie-break exactly:
+# max over (score, reverse-alphabetical lang) structs.
+_LANG_ID_SQL = _TOKS_CTE + """
+, scored AS (
+    SELECT doc_id, lang AS labeled_lang,
+           [
+             {'score': len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))), 'lang': 'en'},
+             {'score': len(list_filter(t, x -> list_contains(['el','la','de','los','y'], x))), 'lang': 'es'},
+             {'score': len(list_filter(t, x -> list_contains(['le','la','les','des','et'], x))), 'lang': 'fr'},
+             {'score': len(list_filter(t, x -> list_contains(['der','die','das','und','ein'], x))), 'lang': 'de'}
+           ] AS pairs
+    FROM toks
+), best AS (
+    SELECT doc_id, labeled_lang,
+           list_aggregate(list_sort(pairs), 'max') AS b
+    FROM scored
+)
+SELECT labeled_lang,
+       CASE WHEN b['score'] > 0 THEN b['lang'] ELSE 'und' END AS detected_lang,
+       COUNT(*) AS n_docs
+FROM best
+GROUP BY 1, 2
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup clusters by md5(text) — hash-groupBy, O(1) per cluster."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup_clusters(docs, "doc_id", "text")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint clusters: catches token-order/whitespace
+    variants exact dedup misses."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return (
+        docs.select("doc_id", tx.bow_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+_DEDUP_FP_SQL = _TOKS_CTE + """
+SELECT md5(list_aggregate(list_sort(list_distinct(t)), 'string_agg', ' ')) AS fingerprint,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_docs
+FROM toks
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-shingle-blocked trigram Jaccard pairs ≥ 0.5, lang-blocked."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    return jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, block_col="lang"
+    )
+
+
+_JACCARD_SQL = _SHINGLES_CTE + """
+, ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM sh),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM ex a JOIN ex b
+      ON a.s = b.s AND a.doc_id < b.doc_id AND a.lang = b.lang
+    GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
+SELECT id_a, id_b,
+       round(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands × 4 rows) candidate pairs, verified with exact
+    Jaccard ≥ 0.5 — the full shingle→minhash→band→bucket-join pipeline."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    candidates = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4
+    )
+    verified = jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return candidates.join(verified, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+_MINHASH_SQL = _SHINGLES_CTE + """
+, sigs AS (
+    SELECT doc_id, sh,
+           list_transform(range(0, 16), seed ->
+               list_aggregate(list_transform(sh,
+                   s -> md5(CAST(seed AS VARCHAR) || '|' || s)), 'min')) AS sig
+    FROM sh WHERE len(sh) > 0
+), banded AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, 4), b -> concat_ws('#',
+               CAST(b AS VARCHAR),
+               sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]))) AS band_key
+    FROM sigs
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+verified AS (
+    SELECT id_a, id_b,
+           round(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+)
+SELECT c.id_a, c.id_b, v.jaccard
+FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash buckets (per-bit majority of md5 token hashes):
+    docs sharing a bucket are near-dup candidates. Spark-side bit loop →
+    rows-only driver check; determinism asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    hashed = docs.select(
+        "doc_id", simhash64(tx.tokens("text"), prefix_hex=4).alias("simhash")
+    )
+    return (
+        hashed.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "lang_id_heuristic": lang_id_heuristic,
+    "dedup_exact": dedup_exact,
+    "dedup_fingerprint": dedup_fingerprint,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "text_stats": _TEXT_STATS_SQL,
+    "lang_id_heuristic": _LANG_ID_SQL,
+    "dedup_exact": _DEDUP_EXACT_SQL,
+    "dedup_fingerprint": _DEDUP_FP_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_minhash_lsh": _MINHASH_SQL,
+    # dedup_simhash: Spark-side bit loop, rows-only by design
+}

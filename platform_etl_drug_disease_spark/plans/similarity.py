@@ -1,4 +1,114 @@
-"""Stub — populated incrementally."""
+"""Similarity-search catalog over the ``embeddings`` table: exact brute-force
+cosine top-k (baseline) and hyperplane-LSH bucketed top-k (the scale path).
 
-QUERIES = {}
-ORACLES = {}
+The oracle computes cosine with the *identical* accumulation order
+(index-ascending left fold) so values agree bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators.similarity import (
+    as_double,
+    cosine,
+    knn_bruteforce,
+    knn_lsh,
+)
+from platform_etl_drug_disease_spark.schemas import load_table
+
+# DuckDB cosine with Spark-identical fold order.
+_COS = """
+list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x,y) -> x + y)
+/ nullif(sqrt(list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i]), (x,y) -> x + y))
+       * sqrt(list_reduce(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]), (x,y) -> x + y)), 0.0)
+"""
+
+
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbours for query vectors (vec_id < 5) by cosine."""
+    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return knn_bruteforce(queries, candidates, k=5)
+
+
+_KNN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+    SELECT q.q_id, c.vec_id AS c_id,
+           round({_COS.format(a="q.qv", b="c.v")}, 6) AS cosine_sim
+    FROM q JOIN e c ON q.q_id != c.vec_id
+), ranked AS (
+    SELECT q_id, c_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine_sim DESC, c_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cheap blocking
+    key), threshold 0.3 — the embedding leg of the dedup suite."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label")
+    )
+    pairs = a.join(b, "label").where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        "label",
+        F.round(cosine(as_double("va"), as_double("vb")), 6).alias("cosine_sim"),
+    )
+    return scored.where(F.col("cosine_sim") >= 0.3)
+
+
+_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+           round({_COS.format(a="a.v", b="b.v")}, 6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, label, cosine_sim FROM scored WHERE cosine_sim >= 0.3
+"""
+
+
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5: 4 sign-bit planes bucket the corpus;
+    only within-bucket pairs are scored (deterministic planes, so the result
+    is stable — but engine-specific plumbing → rows-only driver check;
+    recall vs brute force is asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return knn_lsh(queries, candidates, dim=64, k=5, n_planes=4)
+
+
+QUERIES = {
+    "knn_cosine_bruteforce": knn_cosine_bruteforce,
+    "embedding_near_dup": embedding_near_dup,
+    "knn_cosine_lsh": knn_cosine_lsh,
+}
+
+ORACLES = {
+    "knn_cosine_bruteforce": _KNN_SQL,
+    "embedding_near_dup": _NEAR_DUP_SQL,
+    # knn_cosine_lsh: LSH bucketing is engine plumbing, rows-only by design
+}

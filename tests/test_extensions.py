@@ -1,0 +1,195 @@
+"""Tests for the LLM-pipeline extension operators: text analysis, dedup,
+similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators import text as tx
+from platform_etl_drug_disease_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    simhash64,
+)
+from platform_etl_drug_disease_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_media_features,
+    resize_images,
+    sample_frames,
+)
+from platform_etl_drug_disease_spark.operators.similarity import (
+    as_double,
+    cosine,
+    knn_bruteforce,
+    knn_lsh,
+)
+
+
+# ------------------------------ text ------------------------------
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("  The quick  brown fox THE ",)], "text: string")
+    row = df.select(
+        tx.token_count("text").alias("n"),
+        F.size(F.array_distinct(tx.tokens("text"))).alias("nd"),
+    ).collect()[0]
+    assert row["n"] == 5 and row["nd"] == 4  # 'the' twice after lowering
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("el perro y la casa",), ("xyzzy qwerty",)],
+        "text: string",
+    )
+    got = [r[0] for r in df.select(tx.lang_id("text")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("one two",), ("one two three four",)], "text: string")
+    got = [r[0] for r in df.select(tx.shingles("text", 3)).collect()]
+    assert got[0] == []
+    assert got[1] == ["one two three", "two three four"]
+
+
+def test_bow_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma",), ("gamma  alpha beta",)], "text: string"
+    )
+    fps = [r[0] for r in df.select(tx.bow_fingerprint("text")).collect()]
+    assert fps[0] == fps[1]
+
+
+# ------------------------------ dedup ------------------------------
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), "doc_id", "text")
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 4}
+
+
+def test_jaccard_pairs_find_near_dup(spark):
+    pairs = jaccard_pairs(_docs(spark), "doc_id", "text", threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # identical → jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # near dup
+    assert all({a, b} != {1, 4} for a, b in got)
+
+
+def test_minhash_candidates_superset_of_exact_dups(spark):
+    cands = minhash_lsh_candidates(_docs(spark), "doc_id", "text")
+    got = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in got  # identical docs always share every band
+
+
+def test_simhash_identical_docs_same_bucket(spark):
+    df = _docs(spark)
+    out = df.select("doc_id", simhash64(tx.tokens("text"), prefix_hex=4).alias("h"))
+    h = {r["doc_id"]: r["h"] for r in out.collect()}
+    assert h[1] == h[2]
+    assert 0 <= h[1] < 2**16
+
+
+# ------------------------------ similarity ------------------------------
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 0.0])],
+        "a: array<double>, b: array<double>",
+    )
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] is None  # zero vector → null, not div-by-zero
+
+
+def test_knn_bruteforce_ranks(spark):
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], "q_id: long, q_vec: array<float>")
+    cs = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.5, 0.5]), (3, [-1.0, 0.0])],
+        "c_id: long, c_vec: array<float>",
+    )
+    out = knn_bruteforce(qs, cs, k=2).collect()
+    assert [(r["c_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])] == [
+        (1, 1),
+        (2, 2),
+    ]
+
+
+def test_knn_lsh_subset_of_bruteforce_pairs(spark, tmp_path):
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    exact = knn_bruteforce(qs, cs, k=40)
+    approx = knn_lsh(qs, cs, dim=8, k=40, n_planes=2)
+    exact_pairs = {(r["q_id"], r["c_id"], r["cosine_sim"]) for r in exact.collect()}
+    approx_pairs = {(r["q_id"], r["c_id"], r["cosine_sim"]) for r in approx.collect()}
+    assert approx_pairs  # buckets are non-degenerate
+    assert approx_pairs <= exact_pairs  # same scores, restricted candidate set
+
+
+# ------------------------------ multimodal ------------------------------
+
+
+def _media(spark):
+    rows = [
+        (1, "image", b"imagebytes-1", (640, 480, None, None)),
+        (2, "image", b"imagebytes-2", (800, 600, None, None)),
+        (3, "video", b"videobytes-3", (1920, 1080, None, 30)),
+        (4, "audio", b"audiobytes-4", (None, None, 16000, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_schema_and_determinism(spark):
+    out = extract_media_features(_media(spark))
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows[1]["payload_bytes"] == len(b"imagebytes-1")
+    assert len(rows[1]["feature_vec"]) == 8
+    # deterministic across runs
+    again = {r["media_id"]: r for r in extract_media_features(_media(spark)).collect()}
+    assert rows[1]["content_digest"] == again[1]["content_digest"]
+    assert rows[1]["feature_vec"] == again[1]["feature_vec"]
+
+
+def test_extract_features_real_mode_is_stubbed(spark):
+    out = extract_media_features(_media(spark), mode="real")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        out.collect()
+
+
+def test_sample_frames_explodes_video_rows(spark):
+    out = sample_frames(_media(spark), every_n=10)
+    rows = out.collect()
+    assert {r["media_id"] for r in rows} == {3}
+    assert [r["frame_idx"] for r in rows] == [0, 10, 20]
+    assert len({r["frame_digest"] for r in rows}) == 3  # per-frame digest
+
+
+def test_resize_updates_meta(spark):
+    out = resize_images(_media(spark).where(F.col("kind") == "image"), 224, 224)
+    for r in out.collect():
+        assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
+    with pytest.raises(NotImplementedError):
+        resize_images(_media(spark), 224, 224, mode="real")
