@@ -21,6 +21,7 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup_text,
         events_time,
         graph,
+        pipeline_catalog,
         relational,
         scalar_fns,
         similarity,
@@ -28,7 +29,16 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, arrays_hof, scalar_fns, events_time, graph, dedup_text, similarity):
+    for mod in (
+        relational,
+        arrays_hof,
+        scalar_fns,
+        events_time,
+        graph,
+        dedup_text,
+        similarity,
+        pipeline_catalog,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

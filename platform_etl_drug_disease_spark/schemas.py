@@ -81,8 +81,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, columns: list[str] |
 #    sim.sc reads from each source). Used by plans/drug_disease.py.
 # --------------------------------------------------------------------------
 
-def _s(ddl: str) -> T.StructType:
-    return T.StructType.fromDDL(ddl)
+def domain_schema(name: str) -> T.StructType:
+    """Parse a domain-input DDL into a StructType (lazy: DDL parsing needs an
+    active SparkSession, so schemas stay strings until first use)."""
+    return T.StructType.fromDDL(DOMAIN_SCHEMAS[name])
+
+
+def _s(ddl: str) -> str:
+    return ddl
 
 
 # drug dump (sim.sc:93-107; nested access sim.sc:100, 409)
@@ -156,7 +162,7 @@ AGGREGATED_DRUGS_SCHEMA = _s(
 # optional whitelist (sim.sc:377-378, 446)
 WHITELIST_SCHEMA = _s("whitelist_id string, whitelist array<string>")
 
-DOMAIN_SCHEMAS: dict[str, T.StructType] = {
+DOMAIN_SCHEMAS: dict[str, str] = {
     "drug": DRUG_SCHEMA,
     "target": TARGET_SCHEMA,
     "disease": DISEASE_SCHEMA,
