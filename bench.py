@@ -23,6 +23,12 @@ HEADLINE = [
     "customer_order_left",
     "top_customers_per_nation",
     "symmetric_trade_edges",
+    "adjacency_lut",
+    "hourly_windows",
+    "user_sessions",
+    "text_stats",
+    "dedup_minhash_lsh",
+    "knn_cosine_bruteforce",
 ]
 
 

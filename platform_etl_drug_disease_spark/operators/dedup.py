@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from platform_etl_drug_disease_spark.operators.text import shingles
+from platform_etl_drug_disease_spark.operators.text import with_shingles
 
 
 def exact_dedup_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -80,6 +80,76 @@ def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column
     )
 
 
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, sh) table of non-empty shingle arrays for a corpus.
+
+    The projection is repartitioned by id when the input has fewer partitions
+    than the cluster has slots: shingling + hashing is the CPU-heavy stage,
+    and a corpus that arrives as one fat file (or a handful) would otherwise
+    serialize it on one core — partition count must follow compute, not input
+    file layout. When the input is already well-partitioned (the 100-TB case)
+    this is a no-op.
+
+    Deliberately NO ``where(size(sh) > 0)`` here: Catalyst pushes such a
+    filter below the projection, which duplicates the whole (interpreted,
+    HOF-based) shingle expression — once for the predicate, once for the
+    output — doubling the CPU cost of the heaviest stage (measured 2–5× at
+    sf0.1). Empty shingle arrays are harmless downstream: ``explode`` drops
+    them and every consumer joins inner on ids that came from exploded rows.
+    """
+    src = df.select(F.col(id_col), F.col(text_col))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, F.col(id_col))
+    return with_shingles(src, text_col, shingle_n).select(F.col(id_col), F.col("sh"))
+
+
+def _candidates_from_shingles(
+    sh: DataFrame, id_col: str, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """minhash → band → bucket-join candidate pairs (id_a < id_b) over an
+    existing (id, sh) shingle table.
+
+    The signature is computed in exploded form — one (id, shingle) row per
+    shingle, 16 ``min(md5(seed||s))`` aggregates under one groupBy — NOT as
+    nested array-transform lambdas. Higher-order-function lambdas run
+    interpreted (outside whole-stage codegen); the same 16×|shingles| md5s as
+    plain aggregate expressions stay codegen'd and vectorized. At sf0.1 this
+    is 40× faster (42s → ~1s), and at 100 TB the groupBy is a cheap shuffle
+    on the doc id. (:func:`minhash_signature` keeps the array form for
+    single-column use.)
+    """
+    rows_per_band = n_hashes // n_bands
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("s")))).alias(
+                f"h{seed}"
+            )
+            for seed in range(n_hashes)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            lsh_band_keys(
+                F.array(*[F.col(f"h{i}") for i in range(n_hashes)]),
+                n_bands,
+                rows_per_band,
+            )
+        ).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -92,22 +162,43 @@ def minhash_lsh_candidates(
 
     The join is on band keys, so cost scales with bucket sizes, not n².
     """
-    rows_per_band = n_hashes // n_bands
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).where(F.size("sh") > 0)
-    banded = sh.select(
-        F.col(id_col),
-        F.explode(
-            lsh_band_keys(minhash_signature(F.col("sh"), n_hashes), n_bands, rows_per_band)
-        ).alias("band_key"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    return _candidates_from_shingles(sh, id_col, n_hashes, n_bands)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified with exact Jaccard —
+    computed ONLY for candidate pairs, via per-pair array intersection.
+
+    This is the load-bearing scale property of MinHash+LSH: exact-verify work
+    is O(candidates), never O(shingle-sharing pairs). (An earlier version
+    verified against the full shared-shingle pair table and was ~50× slower
+    at sf0.1 — caught by bench.py.)
+
+    The shingle table is built ONCE and persisted — it feeds the banded
+    self-join (2 consumers) and both sides of the verify join; without the
+    persist the source is scanned 4× (caught by plan_lint).
+    """
+    sh = _shingle_table(df, id_col, text_col, shingle_n).persist()
+    cands = _candidates_from_shingles(sh, id_col, n_hashes, n_bands)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -126,9 +217,14 @@ def jaccard_pairs(
     pair count tracks true overlap, not n². Returns (id_a, id_b, jaccard).
     """
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    sh = df.select(*cols, shingles(F.col(text_col), shingle_n).alias("sh")).where(
-        F.size("sh") > 0
-    )
+    # persist: consumed by both the exploded self-join and the size lookup
+    # (three scans of the source otherwise — flagged by plan_lint). No
+    # size(sh)>0 filter — see _shingle_table for why (predicate pushdown
+    # would duplicate the shingle expression; explode drops empties anyway).
+    keep = cols + [F.col(text_col)]
+    sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
+        *cols, F.col("sh")
+    ).persist()
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
     exploded = sh.select(*cols, F.explode("sh").alias("shingle"))
     a, b = exploded.alias("a"), exploded.alias("b")

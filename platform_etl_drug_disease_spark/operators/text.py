@@ -107,9 +107,36 @@ def bow_fingerprint(text: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", t))
 
 
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles over an ALREADY-MATERIALIZED token array
+    column. ``tok_col`` must be a plain column reference: inlining the
+    tokenizer expression here makes every element_at re-run the split —
+    quadratic in document length (a 20× slowdown caught by bench.py)."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_shingles(df, text_col: str, n: int = 3, out: str = "sh"):
+    """Two-step shingling: tokenize into a real column, then build n-grams by
+    indexing that attribute. Always use this (not an inline expression) when
+    shingling a corpus."""
+    return df.withColumn("__toks", tokens(text_col)).withColumn(
+        out, shingles_from_tokens("__toks", n)
+    ).drop("__toks")
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (the unit for Jaccard/MinHash dedup).
-    Documents shorter than n tokens yield an empty array."""
+    """Inline-expression form of shingling — correct but re-evaluates the
+    tokenizer per element access; only safe for tiny inputs/tests. Corpus
+    pipelines use :func:`with_shingles`."""
     t = tokens(text)
     gram = F.transform(
         F.sequence(F.lit(0), F.size(t) - n),

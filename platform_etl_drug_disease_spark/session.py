@@ -51,6 +51,9 @@ def get_spark(
         # match the reference's unlimited driver-result cap (sim.sc:356) but
         # keep it bounded — we never collect large results to the driver.
         .config("spark.driver.maxResultSize", "4g")
+        # local mode runs driver+executors in one JVM; the 1g default heap
+        # OOMs on self-join expansions long before the data is "big"
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # columnar parquet reads stay vectorized; explicit for clarity.
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))

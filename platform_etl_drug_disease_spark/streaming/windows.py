@@ -1,0 +1,131 @@
+"""Streaming event-time operators.
+
+Design rules for unbounded state at scale:
+- every aggregation is watermarked — state for windows older than the
+  watermark is dropped, so executor state is O(active windows), not O(stream
+  history);
+- window/session logic is identical to the batch forms in
+  plans/events_time.py (same F.window / lag-gap semantics), so a batch
+  backfill and the streaming path produce the same tables;
+- sinks default to append mode (finalized windows only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# DDL strings (not StructTypes): parsing DDL needs an active session, and
+# every schema-accepting API below takes the string form directly.
+EVENT_STREAM_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream with the explicit fixture schema (streaming
+    sources never infer)."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling/sliding windowed counts + sums with bounded state."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (F.session_window): per-user sessions close
+    after ``gap`` of inactivity; watermark bounds open-session state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+RUNNING_TOTALS_SCHEMA = "user_id bigint, total_events bigint, total_value double"
+_STATE_SCHEMA = "total_events bigint, total_value double"
+
+
+def running_user_totals(stream: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value total across micro-batches (the pattern for any
+    operator Spark's built-in aggregations can't express).
+
+    State is one tiny tuple per user; at scale the grouping key is the state
+    shard key and Spark distributes/checkpoints it.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        if state.exists:
+            old_n, old_total = state.get
+            n += old_n
+            total += old_total
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [n], "total_value": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available data
+    (Trigger.AvailableNow) into an in-memory table and return it as a batch
+    DataFrame — the test/backfill harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

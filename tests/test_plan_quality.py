@@ -1,0 +1,67 @@
+"""Plan-quality gates: the 100-TB concerns, asserted on the actual physical
+plans of catalog queries (not guessed). A query that silently loses filter
+pushdown or broadcasts nothing on a dim join fails here before it ever hits
+a benchmark."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.plan_lint import (
+    codegen_stage_count,
+    explain_string,
+    lint,
+    scans_with_pushdown,
+    uses_broadcast_join,
+)
+from platform_etl_drug_disease_spark.plans.relational import (
+    flagship_harmonic_topk,
+    pricing_summary,
+    revenue_by_nation,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = pricing_summary(spark, SF_SMOKE)
+    pushed = scans_with_pushdown(df)
+    assert pushed, "l_shipdate filter must push into the parquet scan"
+    assert any("l_shipdate" in p for p in pushed)
+
+
+def test_status_filter_pushdown_flagship(spark):
+    df = flagship_harmonic_topk(spark, SF_SMOKE)
+    pushed = scans_with_pushdown(df)
+    assert any("o_orderstatus" in p for p in pushed)
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = flagship_harmonic_topk(spark, SF_SMOKE)
+    plan = explain_string(df)
+    # lineitem scan must read only the 4 needed columns, not all 11
+    assert "l_quantity" not in plan
+    assert "l_tax" not in plan
+
+
+def test_dim_joins_broadcast(spark):
+    assert uses_broadcast_join(revenue_by_nation(spark, SF_SMOKE))
+    assert uses_broadcast_join(flagship_harmonic_topk(spark, SF_SMOKE))
+
+
+def test_hot_path_stays_in_codegen(spark):
+    df = pricing_summary(spark, SF_SMOKE)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_catalog_queries_lint_clean(spark):
+    """No catalog query may contain a cartesian product or a row-at-a-time
+    Python UDF (knn uses an explicit broadcast crossJoin against a 5-row
+    query set — exempted as a deliberate, bounded cross product)."""
+    import __spark_entry__ as entrymod
+
+    exempt = {"knn_cosine_bruteforce", "knn_cosine_lsh", "embedding_near_dup"}
+    for name, fn in entrymod.queries().items():
+        if name in exempt:
+            continue
+        warnings = lint(fn(spark, SF_SMOKE))
+        assert not warnings, f"{name}: {warnings}"
