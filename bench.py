@@ -29,6 +29,8 @@ HEADLINE = [
     "text_stats",
     "dedup_minhash_lsh",
     "knn_cosine_bruteforce",
+    "streaming_hourly_windows",
+    "multimodal_features",
 ]
 
 

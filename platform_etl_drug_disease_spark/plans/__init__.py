@@ -25,6 +25,7 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         scalar_fns,
         similarity,
+        streaming_media,
     )
 
     queries: dict[str, QueryFn] = {}
@@ -37,6 +38,7 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         graph,
         dedup_text,
         similarity,
+        streaming_media,
         pipeline_catalog,
     ):
         queries.update(mod.QUERIES)

@@ -1,0 +1,183 @@
+"""Catalog entries for Structured Streaming and multimodal-column operators.
+
+Streaming entries run the REAL streaming engine (file stream source →
+stateful aggregation → memory sink, Trigger.AvailableNow) over the harness
+events table and are checked against the SAME DuckDB oracles as their batch
+twins — the correctness claim is streaming == batch == oracle. Complete
+output mode is used because with AvailableNow the watermark never passes the
+final windows, so append would (correctly) withhold them; the memory sink is
+a test/backfill surface, never the 100-TB path (that is writeStream →
+parquet/Kafka in append mode with watermarks, as in streaming/windows.py).
+
+Multimodal entries exercise the binary-payload plumbing of
+operators/multimodal.py end-to-end: documents.text → binary payload + typed
+metadata → Arrow-batched mapInPandas feature extraction / frame sampling.
+The pseudo-decoder is md5/sha2-derived, so DuckDB can replicate it exactly —
+the plumbing gets a full value-hash oracle, not just a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators.multimodal import (
+    extract_media_features,
+    sample_frames,
+)
+from platform_etl_drug_disease_spark.plans._util import dsum
+from platform_etl_drug_disease_spark.plans.events_time import (
+    _HOURLY_SQL,
+    _SESSIONS_SQL,
+)
+from platform_etl_drug_disease_spark.schemas import load_table
+from platform_etl_drug_disease_spark.streaming.windows import run_to_memory_sink
+
+# fixture ts is parquet TIMESTAMP(NANOS); streaming sources never infer, so
+# read nanos as long and truncate to micros exactly like schemas.load_table.
+_EVENTS_NANOS_SCHEMA = (
+    "event_id bigint, ts long, user_id bigint, event_type string,"
+    " value double, props string"
+)
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # glob, not a bare file path: the file stream source requires its base
+    # path to be a directory (it resolves the non-glob prefix as basePath).
+    raw = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/events.parquet*")
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts+sums via the streaming engine; output
+    and oracle identical to the batch ``hourly_windows`` query."""
+    stream = _event_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
+    out = run_to_memory_sink(agg, "cat_stream_hourly", output_mode="complete")
+    return out.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+        "value_sum",
+    )
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` sessionization (30-min gap) via the
+    streaming engine, rolled up per user AFTER the stream completes; matches
+    the batch lag-gap sessionization oracle (same session semantics)."""
+    stream = _event_stream(spark, sf_dir)
+    sessions = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("s"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_memory_sink(sessions, "cat_stream_sessions", output_mode="complete")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) over micro-batches:
+    per-user running event counts. Update-mode memory sink keeps every
+    emitted update; the final state per user is the max running count (counts
+    are monotone). Count-only output so the oracle compare is exact-integer."""
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        running_user_totals,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    updates = run_to_memory_sink(
+        running_user_totals(stream), "cat_stream_totals", output_mode="update"
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events")
+    )
+
+
+_TOTALS_SQL = """
+SELECT user_id, COUNT(*) AS total_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → canonical media table: utf-8 text bytes as the opaque
+    payload, deterministic typed metadata derived from the id."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("doc_id") % 30).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads:
+    byte size + content digest per media row (the deterministic stub decoder
+    — digest math DuckDB replicates for an exact value-hash check)."""
+    media = _media_table(spark, sf_dir)
+    feats = extract_media_features(media, payload_col="payload", mode="fake")
+    return feats.select("media_id", "payload_bytes", "content_digest")
+
+
+_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       md5(text) AS content_digest
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: one row per sampled frame index (every
+    10th of meta.n_frames), digest chained from the payload — the
+    row-explosion shape of a real frame extractor."""
+    media = _media_table(spark, sf_dir)
+    return sample_frames(media, every_n=10, payload_col="payload")
+
+
+_FRAMES_SQL = """
+WITH m AS (
+    SELECT doc_id AS media_id,
+           CAST(doc_id % 30 AS INT) AS n_frames,
+           sha256(text || '#') AS d0
+    FROM documents
+)
+SELECT media_id,
+       CAST(f.i AS INT) AS frame_idx,
+       sha256(d0 || CAST(f.i AS VARCHAR)) AS frame_digest
+FROM m, LATERAL (SELECT unnest(range(0, n_frames, 10)) AS i) f
+WHERE n_frames > 0
+"""
+
+
+QUERIES = {
+    "streaming_hourly_windows": streaming_hourly_windows,
+    "streaming_session_windows": streaming_session_windows,
+    "streaming_user_totals": streaming_user_totals,
+    "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+
+ORACLES = {
+    "streaming_hourly_windows": _HOURLY_SQL,
+    "streaming_session_windows": _SESSIONS_SQL,
+    "streaming_user_totals": _TOTALS_SQL,
+    "multimodal_features": _FEATURES_SQL,
+    "multimodal_frame_sample": _FRAMES_SQL,
+}
