@@ -110,3 +110,78 @@ def knn_lsh(
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """Assign each vector to its single nearest centroid (max cosine,
+    centroid-id tie-break) — the IVF partitioning step.
+
+    The centroid set is tiny by construction, so the scoring join is a
+    broadcast cross-join: each input row is scored against every centroid
+    map-side, no shuffle of the corpus. Cosines are rounded to 6 before
+    ranking so the argmax is reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "__cos", F.round(cosine(as_double(vec_col), as_double(cent_vec)), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col(cent_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__cos", cent_vec)
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF approximate top-k: candidates are partitioned into centroid cells
+    once; each query probes only its ``nprobe`` nearest cells and reranks
+    exactly within them.
+
+    At 100 TB this is the index-build/serve split: the cell assignment is the
+    (reusable, persistable) index keyed by cent_id, and serving is an
+    equi-join on cent_id — query cost scales with probed-cell sizes, never
+    the corpus. Each candidate lives in exactly one cell, so no pair dedup
+    is needed. Returns (q_id, c_id, cosine_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    # the centroid set is tiny and consumed twice (cell assignment + query
+    # probing) — persist so the source isn't re-scanned per consumer.
+    centroids = centroids.persist()
+    cells = ivf_assign(candidates, c_id, c_vec, centroids)
+    qscored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "__cos", F.round(cosine(as_double(q_vec), as_double("cent_vec")), 6)
+    )
+    wq = Window.partitionBy(q_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") <= nprobe)
+        .select(q_id, q_vec, "cent_id")
+    )
+    pairs = probes.join(cells, "cent_id").where(F.col(q_id) != F.col(c_id))
+    scored = pairs.select(
+        q_id,
+        c_id,
+        F.round(cosine(as_double(q_vec), as_double(c_vec)), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -29,6 +29,14 @@ def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of union(swap) — the union form scans the upstream join twice
     (caught by plan_lint), which at 100 TB recomputes the whole fact join.
     """
+    return _sym_edges_raw(spark, sf_dir).distinct()
+
+
+def _sym_edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized edges WITHOUT the distinct shuffle — for consumers whose
+    next step is a set-style aggregation (collect_set / approx_count_distinct
+    dedup per group anyway). Feeding them raw edges saves a full (src,dst)
+    shuffle whose partitioning the following per-src groupBy couldn't reuse."""
     li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = F.col("o_custkey")
@@ -41,7 +49,6 @@ def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.explode(both_dirs).alias("e"))
         .select("e.src", "e.dst")
-        .distinct()
     )
 
 
@@ -62,11 +69,19 @@ WITH raw_edges AS (
 def adjacency_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2 adjacency lookup table (sim.sc:72-74): sorted neighbour array +
     exact degree (the oracle-checkable form; the reference's HLL++ approx
-    variant is ``adjacency_degree_approx``, rows-only)."""
-    edges = _sym_edges(spark, sf_dir)
-    return edges.groupBy("src").agg(
-        F.sort_array(F.collect_set("dst")).alias("neighbours"),
-        F.countDistinct("dst").alias("degree"),
+    variant is ``adjacency_degree_approx``, rows-only).
+
+    One shuffle: raw (non-distinct) edges go straight into the per-src
+    collect_set, which dedups per group; degree is the SIZE of that set, not
+    a second count(distinct) aggregate (mixing the two forces an Expand
+    plan), and no edge-level distinct precedes the groupBy (its (src,dst)
+    partitioning couldn't be reused by the per-src aggregation anyway)."""
+    edges = _sym_edges_raw(spark, sf_dir)
+    grouped = edges.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("neighbours")
+    )
+    return grouped.select(
+        "src", "neighbours", F.size("neighbours").cast("bigint").alias("degree")
     )
 
 
@@ -82,8 +97,9 @@ GROUP BY src
 def adjacency_degree_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: HLL++ degree (approx_count_distinct, sim.sc:74). Engine-specific
     sketch values → no SQL oracle; the driver records rows-only. Accuracy vs
-    exact degree is asserted in tests/test_graph.py instead."""
-    edges = _sym_edges(spark, sf_dir)
+    exact degree is asserted in tests/test_graph.py instead. Raw edges: the
+    HLL sketch absorbs duplicates, no distinct shuffle needed."""
+    edges = _sym_edges_raw(spark, sf_dir)
     return edges.groupBy("src").agg(
         F.approx_count_distinct("dst", 0.02).alias("degree_approx")
     )
@@ -96,8 +112,9 @@ def propagate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark plan: adjacency LUT → array_union(neighbours, array(self)) →
     explode → join base scores on the *source* → re-group on the receiver.
+    Raw edges feed the collect_set (dedup per group) — no distinct shuffle.
     """
-    edges = _sym_edges(spark, sf_dir)
+    edges = _sym_edges_raw(spark, sf_dir)
     adjacency = edges.groupBy("src").agg(F.collect_set("dst").alias("neighbours"))
     base = (
         load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])

@@ -14,6 +14,7 @@ from platform_etl_drug_disease_spark.operators.similarity import (
     as_double,
     cosine,
     knn_bruteforce,
+    knn_ivf,
     knn_lsh,
 )
 from platform_etl_drug_disease_spark.schemas import load_table
@@ -101,14 +102,74 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(queries, candidates, dim=64, k=5, n_planes=4)
 
 
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: centroids are every 50th vector (deterministic,
+    data-derived — a k-means stand-in), candidates partition into their
+    nearest cell, queries probe the 2 nearest cells and rerank exactly.
+    Fully deterministic (rounded cosines + id tie-breaks) → value-hash
+    oracle, unlike the LSH variant."""
+    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    centroids = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    return knn_ivf(queries, candidates, centroids, k=5, nprobe=2)
+
+
+_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+assign AS (
+    SELECT c.vec_id AS c_id, c.v AS cvv, ct.cent_id,
+           row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY round({_COS.format(a="c.v", b="ct.cv")}, 6) DESC, ct.cent_id
+           ) AS rn
+    FROM e c, cents ct
+),
+cells AS (SELECT c_id, cvv, cent_id FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (
+    SELECT q_id, qv, cent_id FROM (
+        SELECT q.q_id, q.qv, ct.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY round({_COS.format(a="q.qv", b="ct.cv")}, 6) DESC, ct.cent_id
+               ) AS rn
+        FROM q, cents ct
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT p.q_id, c.c_id,
+           round({_COS.format(a="p.qv", b="c.cvv")}, 6) AS cosine_sim
+    FROM probes p JOIN cells c USING (cent_id)
+    WHERE p.q_id != c.c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine_sim DESC, c_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_near_dup": embedding_near_dup,
     "knn_cosine_lsh": knn_cosine_lsh,
+    "knn_cosine_ivf": knn_cosine_ivf,
 }
 
 ORACLES = {
     "knn_cosine_bruteforce": _KNN_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     # knn_cosine_lsh: LSH bucketing is engine plumbing, rows-only by design
+    "knn_cosine_ivf": _IVF_SQL,
 }

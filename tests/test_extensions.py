@@ -148,6 +148,41 @@ def test_knn_lsh_subset_of_bruteforce_pairs(spark, tmp_path):
     assert approx_pairs <= exact_pairs  # same scores, restricted candidate set
 
 
+def test_knn_ivf_partitions_and_probes(spark):
+    import random
+
+    from platform_etl_drug_disease_spark.operators.similarity import (
+        ivf_assign,
+        knn_ivf,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cs = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    cents = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    # every candidate lands in exactly one cell
+    cells = ivf_assign(cs, "c_id", "c_vec", cents)
+    assert cells.count() == 40
+    assert cells.select("c_id").distinct().count() == 40
+    # approx results carry exact scores, restricted to probed cells
+    exact = knn_bruteforce(qs, cs, k=40)
+    approx = knn_ivf(qs, cs, cents, k=40, nprobe=2)
+    exact_pairs = {(r["q_id"], r["c_id"], r["cosine_sim"]) for r in exact.collect()}
+    approx_pairs = {(r["q_id"], r["c_id"], r["cosine_sim"]) for r in approx.collect()}
+    assert approx_pairs
+    assert approx_pairs <= exact_pairs
+    # nprobe = all cells ⇒ identical to brute force (full recall)
+    full = knn_ivf(qs, cs, cents, k=40, nprobe=4)
+    full_pairs = {(r["q_id"], r["c_id"], r["cosine_sim"]) for r in full.collect()}
+    assert full_pairs == exact_pairs
+
+
 # ------------------------------ multimodal ------------------------------
 
 
