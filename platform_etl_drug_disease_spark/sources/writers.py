@@ -30,6 +30,31 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed (+ optionally sorted) managed table — the co-located-join
+    primitive for repeated large joins (SURVEY.md §4 X9).
+
+    Two tables bucketed on their join key with the same bucket count join
+    WITHOUT a shuffle (no Exchange in the plan; with sort_cols, no Sort
+    either): at 100 TB this converts every repeated fact-dim or fact-fact
+    join on the bucket key from a full-network shuffle into a local
+    per-bucket merge. Bucketing requires the table catalog (saveAsTable) —
+    plain ``.parquet(path)`` writes cannot carry bucket metadata.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_json(
     df: DataFrame,
     path: str,

@@ -1,0 +1,134 @@
+"""Source/sink operator tests (SURVEY.md §2.1, S1-S7): round trips with
+explicit schemas, glob reads, optional sources, partitioned parquet writes
+with pruning verified in the physical plan."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.plan_lint import explain_string
+from platform_etl_drug_disease_spark.sources.readers import (
+    optional_json_source,
+    read_csv,
+    read_json,
+    read_orc,
+    read_parquet,
+)
+from platform_etl_drug_disease_spark.sources.writers import (
+    write_bucketed_table,
+    write_json,
+    write_parquet,
+)
+
+NESTED_SCHEMA = (
+    "id string, score double, tags array<string>,"
+    " meta struct<depth: int, label: string>"
+)
+
+
+def test_json_round_trip_nested_schema(spark, tmp_path):
+    rows = [
+        ("a", 1.5, ["x", "y"], (1, "deep")),
+        ("b", 2.5, [], (2, None)),
+    ]
+    df = spark.createDataFrame(rows, NESTED_SCHEMA)
+    path = str(tmp_path / "nested_json")
+    write_json(df, path)
+    back = read_json(spark, path, NESTED_SCHEMA)
+    assert back.schema == df.schema  # S1: explicit schema, no inference drift
+    got = {(r["id"], r["score"], tuple(r["tags"]), tuple(r["meta"])) for r in back.collect()}
+    want = {(r[0], r[1], tuple(r[2]), r[3]) for r in rows}
+    assert got == want
+
+
+def test_json_glob_source(spark, tmp_path):
+    # S3: the reference passes a part-* glob (.sh:22)
+    d = tmp_path / "parts"
+    d.mkdir()
+    for i in range(3):
+        (d / f"part-{i}.json").write_text(json.dumps({"id": str(i)}) + "\n")
+    (d / "ignored.txt.bak").write_text("not json\n")
+    df = read_json(spark, str(d / "part-*"), "id string")
+    assert sorted(r["id"] for r in df.collect()) == ["0", "1", "2"]
+
+
+def test_optional_source(spark, tmp_path):
+    # S4: whitelist only read when a non-empty path is configured
+    assert optional_json_source(spark, "", "id string") is None
+    assert optional_json_source(spark, None, "id string") is None
+    p = tmp_path / "wl.json"
+    p.write_text('{"id": "EFO_1"}\n')
+    df = optional_json_source(spark, str(p), "id string")
+    assert df is not None and df.collect()[0]["id"] == "EFO_1"
+
+
+def test_parquet_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "us" if i % 2 == 0 else "eu", float(i)) for i in range(20)],
+        "id bigint, region string, v double",
+    )
+    path = str(tmp_path / "byregion")
+    write_parquet(df, path, partition_by=["region"], target_partitions=2)
+    # hive-style layout on disk
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("region=")
+    ) == ["region=eu", "region=us"]
+    back = read_parquet(spark, path).where(F.col("region") == "us")
+    assert back.count() == 10
+    # S5 at scale: the region filter must become a partition filter (pruned
+    # at planning), not a row filter after a full scan.
+    plan = explain_string(back)
+    assert "PartitionFilters" in plan and "region" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_csv_round_trip(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("id|v\n1|1.5\n2|2.5\n")
+    df = read_csv(spark, str(p), "id bigint, v double", header=True, sep="|")
+    assert {(r["id"], r["v"]) for r in df.collect()} == {(1, 1.5), (2, 2.5)}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    path = str(tmp_path / "orc_t")
+    df.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path)
+    assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """X9: two tables bucketed on the join key with equal bucket counts must
+    sort-merge-join with NO Exchange (the co-located join that replaces the
+    full-network shuffle at 100 TB)."""
+    fact = spark.createDataFrame(
+        [(i % 50, float(i)) for i in range(1000)], "k bigint, v double"
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(50)], "k bigint, name string"
+    )
+    write_bucketed_table(fact, "b_fact", ["k"], 8, sort_cols=["k"])
+    write_bucketed_table(dim, "b_dim", ["k"], 8, sort_cols=["k"])
+    try:
+        # disable auto-broadcast so the join exercises the bucketed SMJ path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_fact").join(spark.table("b_dim"), "k")
+        plan = explain_string(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout satisfies the join
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_fact")
+        spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_write_json_target_partitions(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(100)], "id bigint")
+    path = str(tmp_path / "sized_json")
+    write_json(df, path, target_partitions=4)
+    parts = [e for e in os.listdir(path) if e.startswith("part-")]
+    assert len(parts) == 4
+    assert read_json(spark, path, "id bigint").count() == 100
