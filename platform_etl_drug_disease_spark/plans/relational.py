@@ -369,6 +369,71 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def segment_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 relational set ops (the array-granularity forms U4-U6 live in
+    arrays_hof): customers holding BOTH open and finished orders (INTERSECT)
+    minus automobile-segment ones (EXCEPT), tagged and re-unioned.
+
+    Scale shape: INTERSECT/EXCEPT plan as aggregate-style shuffles on the
+    full row — fine here on a single bigint key; for wide rows prefer
+    semi/anti joins on the key column (customers_with_open_orders)."""
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    open_ = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    done = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # persist: the intersect result fans out to both output branches —
+    # without it each branch recomputes it, scanning orders twice more.
+    both = open_.intersect(done).persist()
+    auto = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return both.exceptAll(auto).withColumn("bucket", F.lit("both_not_auto")).unionByName(
+        both.intersect(auto).withColumn("bucket", F.lit("both_auto"))
+    )
+
+
+_SET_ALGEBRA_SQL = """
+WITH open_c AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'),
+done_c AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'),
+both_c AS (SELECT c_custkey FROM open_c INTERSECT SELECT c_custkey FROM done_c),
+auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT c_custkey, 'both_not_auto' AS bucket
+FROM (SELECT c_custkey FROM both_c EXCEPT ALL SELECT c_custkey FROM auto)
+UNION ALL
+SELECT c_custkey, 'both_auto' AS bucket
+FROM (SELECT c_custkey FROM both_c INTERSECT SELECT c_custkey FROM auto)
+"""
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (status → priority) with grouping_id — subtotal
+    rows materialize in ONE partial+final aggregation pass instead of a
+    union of three groupBys (one scan, one shuffle at any scale)."""
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.grouping_id().alias("level"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS level
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 QUERIES = {
     "flagship_harmonic_topk": flagship_harmonic_topk,
     "pricing_summary": pricing_summary,
@@ -383,6 +448,8 @@ QUERIES = {
     "order_value_buckets": order_value_buckets,
     "segments_per_nation": segments_per_nation,
     "top_prices_per_flag": top_prices_per_flag,
+    "segment_set_algebra": segment_set_algebra,
+    "order_priority_rollup": order_priority_rollup,
 }
 
 ORACLES = {
@@ -399,4 +466,6 @@ ORACLES = {
     "order_value_buckets": _UNION_BY_NAME_SQL,
     "segments_per_nation": _SEGMENTS_SQL,
     "top_prices_per_flag": _TOP_PRICES_SQL,
+    "segment_set_algebra": _SET_ALGEBRA_SQL,
+    "order_priority_rollup": _ROLLUP_SQL,
 }
