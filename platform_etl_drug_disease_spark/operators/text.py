@@ -30,52 +30,82 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def _as_tokens(tok_col: Column | str) -> Column:
+    return F.col(tok_col) if isinstance(tok_col, str) else tok_col
+
+
+def token_count_of(tok_col: Column | str) -> Column:
+    return F.size(_as_tokens(tok_col))
+
+
 def token_count(text: Column | str) -> Column:
-    return F.size(tokens(text))
+    return token_count_of(tokens(text))
 
 
-def distinct_token_ratio(text: Column | str) -> Column:
+def distinct_token_ratio_of(tok_col: Column | str) -> Column:
     """Lexical diversity: distinct tokens / total tokens (null on empty)."""
-    t = tokens(text)
+    t = _as_tokens(tok_col)
     return F.size(F.array_distinct(t)).cast("double") / F.nullif(
         F.size(t).cast("double"), F.lit(0.0)
     )
 
 
-def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
-    t = tokens(text)
+def distinct_token_ratio(text: Column | str) -> Column:
+    return distinct_token_ratio_of(tokens(text))
+
+
+def stopword_ratio_of(
+    tok_col: Column | str, stopwords: list[str] | None = None
+) -> Column:
+    t = _as_tokens(tok_col)
     sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
     n_stop = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
     return n_stop.cast("double") / F.nullif(F.size(t).cast("double"), F.lit(0.0))
 
 
-def mean_token_length(text: Column | str) -> Column:
-    t = tokens(text)
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    return stopword_ratio_of(tokens(text), stopwords)
+
+
+def mean_token_length_of(tok_col: Column | str) -> Column:
+    t = _as_tokens(tok_col)
     total = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, e: a + e
     )
     return total.cast("double") / F.nullif(F.size(t).cast("double"), F.lit(0.0))
 
 
-def quality_score(text: Column | str) -> Column:
-    """Heuristic document quality in [0,1]: blend of length saturation,
-    lexical diversity, and a stopword-presence prior — the shape of C4-style
-    quality filters, expressed as pure column arithmetic."""
-    c = F.col(text) if isinstance(text, str) else text
-    n = token_count(c).cast("double")
+def mean_token_length(text: Column | str) -> Column:
+    return mean_token_length_of(tokens(text))
+
+
+def quality_score_of(tok_col: Column | str) -> Column:
+    """Heuristic document quality in [0,1] over a token array: blend of
+    length saturation, lexical diversity, and a stopword-presence prior —
+    the shape of C4-style quality filters, as pure column arithmetic."""
+    t = _as_tokens(tok_col)
+    n = F.size(t).cast("double")
     length_sat = F.least(n / F.lit(64.0), F.lit(1.0))
-    diversity = F.coalesce(distinct_token_ratio(c), F.lit(0.0))
+    diversity = F.coalesce(distinct_token_ratio_of(t), F.lit(0.0))
     stop_prior = F.least(
-        F.coalesce(stopword_ratio(c), F.lit(0.0)) * F.lit(4.0), F.lit(1.0)
+        F.coalesce(stopword_ratio_of(t), F.lit(0.0)) * F.lit(4.0), F.lit(1.0)
     )
     return F.round(
         F.lit(0.4) * length_sat + F.lit(0.4) * diversity + F.lit(0.2) * stop_prior, 6
     )
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
+def quality_score(text: Column | str) -> Column:
+    """Text-input form of :func:`quality_score_of`. When computing several
+    stats over one corpus, tokenize into a real column once and use the
+    ``*_of`` forms — HOF lambdas run interpreted, so every inlined
+    ``tokens()`` re-runs the split per consumer (see with_shingles)."""
+    return quality_score_of(tokens(text))
+
+
+def lang_scores_of(tok_col: Column | str) -> dict[str, Column]:
     """Marker-hit count per candidate language (the n-gram heuristic)."""
-    t = tokens(text)
+    t = _as_tokens(tok_col)
     out = {}
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(w) for w in markers])
@@ -83,10 +113,14 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return lang_scores_of(tokens(text))
+
+
+def lang_id_of(tok_col: Column | str) -> Column:
     """argmax over lang_scores with deterministic alphabetical tie-break;
     'und' (undetermined) when no marker hits at all."""
-    scores = lang_scores(text)
+    scores = lang_scores_of(tok_col)
     pairs = F.array(
         *[
             F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
@@ -100,11 +134,19 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def bow_fingerprint(text: Column | str) -> Column:
+def lang_id(text: Column | str) -> Column:
+    return lang_id_of(tokens(text))
+
+
+def bow_fingerprint_of(tok_col: Column | str) -> Column:
     """Bag-of-words document fingerprint: md5 over the sorted distinct token
     set — robust to token order / repetition, portable across engines."""
-    t = F.sort_array(F.array_distinct(tokens(text)))
+    t = F.sort_array(F.array_distinct(_as_tokens(tok_col)))
     return F.md5(F.concat_ws(" ", t))
+
+
+def bow_fingerprint(text: Column | str) -> Column:
+    return bow_fingerprint_of(tokens(text))
 
 
 def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:

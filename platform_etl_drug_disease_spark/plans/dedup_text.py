@@ -44,17 +44,22 @@ _SHINGLES_CTE = _TOKS_CTE + r"""
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring + fingerprint, one pass, JVM-only."""
+    """Token counting + quality scoring + fingerprint, one pass, JVM-only.
+
+    Tokenizes into a materialized column ONCE and feeds the ``*_of`` stat
+    forms — inlining ``tokens()`` into each of the 6 stats re-runs the split
+    per stat (HOF lambdas are interpreted, no common-subexpression reuse)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    t = F.col("__toks")
+    return docs.withColumn("__toks", tx.tokens("text")).select(
         "doc_id",
         "lang",
-        tx.token_count("text").alias("n_tokens"),
-        F.size(F.array_distinct(tx.tokens("text"))).alias("n_distinct_tokens"),
-        F.round(tx.mean_token_length("text"), 6).alias("mean_token_len"),
-        F.round(tx.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        tx.quality_score("text").alias("quality"),
-        tx.bow_fingerprint("text").alias("fingerprint"),
+        tx.token_count_of(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.round(tx.mean_token_length_of(t), 6).alias("mean_token_len"),
+        F.round(tx.stopword_ratio_of(t), 6).alias("stopword_ratio"),
+        tx.quality_score_of(t).alias("quality"),
+        tx.bow_fingerprint_of(t).alias("fingerprint"),
     )
 
 
@@ -80,8 +85,10 @@ FROM toks
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID (n-gram heuristic) vs the labeled lang."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
-    detected = docs.select(
-        "doc_id", F.col("lang").alias("labeled_lang"), tx.lang_id("text").alias("detected_lang")
+    detected = docs.withColumn("__toks", tx.tokens("text")).select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id_of(F.col("__toks")).alias("detected_lang"),
     )
     return detected.groupBy("labeled_lang", "detected_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
