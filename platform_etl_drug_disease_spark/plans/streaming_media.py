@@ -109,6 +109,40 @@ GROUP BY user_id
 """
 
 
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 hour after a click by
+    the same user. Inner joins emit every match regardless of watermark, so
+    the AvailableNow run is complete and the batch SQL oracle applies."""
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="p_ts",
+        within="1 hour",
+    )
+    out = run_to_memory_sink(joined, "cat_stream_ssjoin", output_mode="append")
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+_SSJOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → canonical media table: utf-8 text bytes as the opaque
     payload, deterministic typed metadata derived from the id."""
@@ -170,6 +204,7 @@ QUERIES = {
     "streaming_hourly_windows": streaming_hourly_windows,
     "streaming_session_windows": streaming_session_windows,
     "streaming_user_totals": streaming_user_totals,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
@@ -178,6 +213,7 @@ ORACLES = {
     "streaming_hourly_windows": _HOURLY_SQL,
     "streaming_session_windows": _SESSIONS_SQL,
     "streaming_user_totals": _TOTALS_SQL,
+    "streaming_click_purchase_join": _SSJOIN_SQL,
     "multimodal_features": _FEATURES_SQL,
     "multimodal_frame_sample": _FRAMES_SQL,
 }

@@ -114,6 +114,44 @@ def running_user_totals(stream: DataFrame, timeout_ms: int | None = None) -> Dat
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval bound:
+    right events within [left_ts, left_ts + within] of a matching key.
+
+    Both sides are watermarked — with an interval condition Spark derives how
+    long each side's rows must be buffered, so join state is bounded by
+    (watermark + interval), not stream history. Inner joins emit matches as
+    soon as both rows have arrived; the watermark only governs state cleanup.
+    The key is the shuffle/state shard key at scale.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
+def stream_dedup(
+    stream: DataFrame, keys: list[str], ts_col: str = "ts", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first event per key wins; state for a key is
+    dropped once the watermark passes it (dropDuplicatesWithinWatermark), so
+    dedup state is bounded by the watermark horizon — the streaming twin of
+    the batch exact_dedup operator."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -87,6 +87,46 @@ def test_session_windows(spark, events_dir):
     }
 
 
+def test_stream_stream_interval_join(spark, events_dir):
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    clicks = stream.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    views = stream.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    joined = stream_stream_interval_join(
+        clicks, views, key="user_id", left_ts="c_ts", right_ts="v_ts", within="1 hour"
+    )
+    got = run_to_memory_sink(joined, "ssjoin", output_mode="append")
+    pairs = {(r["click_id"], r["view_id"]) for r in got.collect()}
+    # user 1: clicks at 00:00 (#1) and 00:10 (#2), view at 01:00 (#3) —
+    # both clicks within 1h before the view. user 2: view (#4) precedes the
+    # click (#5), so no match.
+    assert pairs == {(1, 3), (2, 3)}
+
+
+def test_stream_dedup_first_wins(spark, events_dir):
+    from platform_etl_drug_disease_spark.streaming.windows import stream_dedup
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    deduped = stream_dedup(stream, ["user_id", "event_type"])
+    got = run_to_memory_sink(deduped, "sdedup", output_mode="append")
+    collected = got.collect()
+    rows = {(r["user_id"], r["event_type"]): r["event_id"] for r in collected}
+    # exactly one survivor per (user, type); which duplicate survives within
+    # a micro-batch is not arrival-ordered, so assert membership, not identity
+    assert len(collected) == 4
+    assert rows[(1, "click")] in (1, 2)  # the only duplicated key
+    assert rows[(1, "view")] == 3
+    assert rows[(2, "view")] == 4
+    assert rows[(2, "click")] == 5
+
+
 def test_stateful_running_totals(spark, events_dir):
     # maxFilesPerTrigger=2 forces multiple micro-batches → state must carry
     # across batches; update-mode memory sink keeps the latest row per user.
