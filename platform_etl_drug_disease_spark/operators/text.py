@@ -138,6 +138,45 @@ def lang_id(text: Column | str) -> Column:
     return lang_id_of(tokens(text))
 
 
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-pre-tokenizer-style segmentation via regex (letter runs, single
+    digits, single punctuation marks — the GPT-2 pre-split shape without the
+    merges table). A cheap, engine-portable approximation for token-budget
+    accounting over a corpus."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.trim(F.lower(c)), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
+def rolling_hash_of(tok_col: Column | str, base: int = 131, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) over a token array:
+    ``h = (h*base + md5_int(token)) % mod`` left fold.
+
+    Order-sensitive (unlike the bag-of-words fingerprint) — two documents
+    with the same tokens in different order hash differently. base/mod are
+    sized so every intermediate fits int64 in any engine (no overflow UB:
+    h < 2^31, token int < 2^28 ⇒ h*131 + t < 2^39)."""
+    t = _as_tokens(tok_col)
+    tok_int = F.transform(
+        t, lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("bigint")
+    )
+    return F.aggregate(
+        tok_int,
+        F.lit(0).cast("bigint"),
+        lambda acc, e: (acc * F.lit(base) + e) % F.lit(mod),
+    )
+
+
+def rolling_hash(text: Column | str, base: int = 131, mod: int = 2147483647) -> Column:
+    return rolling_hash_of(tokens(text), base, mod)
+
+
 def bow_fingerprint_of(tok_col: Column | str) -> Column:
     """Bag-of-words document fingerprint: md5 over the sorted distinct token
     set — robust to token order / repetition, portable across engines."""

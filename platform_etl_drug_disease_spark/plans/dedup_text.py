@@ -82,6 +82,32 @@ FROM toks
 """
 
 
+def token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting + order-sensitive rolling-hash document
+    fingerprint (whitespace tokens tokenized once, *_of form)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    t = F.col("__toks")
+    return docs.withColumn("__toks", tx.tokens("text")).select(
+        "doc_id",
+        tx.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        tx.rolling_hash_of(t).alias("rolling_hash"),
+    )
+
+
+_TOKEN_FP_SQL = _TOKS_CTE + r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(trim(lower(d.text)), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS INTEGER)
+           AS n_tokens_bpe,
+       CASE WHEN len(t) = 0 THEN CAST(0 AS BIGINT)
+            -- list_reduce starts from the first element; (0*131 + t1) % mod
+            -- = t1, so the seedless reduce equals the zero-seeded fold.
+            ELSE list_reduce(
+                list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT)),
+                (a, e) -> (a * 131 + e) % 2147483647) END AS rolling_hash
+FROM toks JOIN documents d USING (doc_id)
+"""
+
+
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID (n-gram heuristic) vs the labeled lang."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -239,6 +265,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_stats": text_stats,
+    "token_fingerprints": token_fingerprints,
     "lang_id_heuristic": lang_id_heuristic,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
@@ -249,6 +276,7 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": _TEXT_STATS_SQL,
+    "token_fingerprints": _TOKEN_FP_SQL,
     "lang_id_heuristic": _LANG_ID_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_fingerprint": _DEDUP_FP_SQL,

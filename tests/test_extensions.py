@@ -103,6 +103,24 @@ def test_simhash_identical_docs_same_bucket(spark):
     assert 0 <= h[1] < 2**16
 
 
+def test_rolling_hash_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"), (4, "")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["h"] for r in df.select("doc_id", tx.rolling_hash("text").alias("h")).collect()}
+    assert out[1] == out[3]  # deterministic
+    assert out[1] != out[2]  # order matters (unlike bow_fingerprint)
+    assert 0 <= out[1] < 2147483647
+    assert out[4] != out[1]
+
+
+def test_bpe_ish_tokens_segmentation(spark):
+    df = spark.createDataFrame([(1, "Hello, world 42!")], "doc_id: long, text: string")
+    toks = df.select(tx.bpe_ish_tokens("text").alias("t")).collect()[0]["t"]
+    assert toks == ["hello", ",", "world", "4", "2", "!"]
+
+
 # ------------------------------ similarity ------------------------------
 
 
