@@ -12,7 +12,7 @@ at scale; AQE skew-join handles the sort-merge path).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -102,3 +102,90 @@ def salted_join(
     )
     out = salted_left.join(salted_right, on=[key, "__salt"], how=how).drop("__salt")
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    matched_ts: str | None = None,
+) -> DataFrame:
+    """As-of join (backward, inclusive): for every left row, the payload of the
+    latest right row with ``right.ts <= left.ts`` on the same key — the
+    point-in-time lookup the reference lacks (SURVEY.md §2.3 "missing").
+
+    Scale path: NOT a range join. Both sides are tagged and unioned, then a
+    single window pass per key (``last(payload, ignorenulls)`` over rows up to
+    current) carries the most recent right payload forward onto each left row —
+    one shuffle on the key, zero candidate-pair explosion, O(n log n) within
+    partitions. Left rows with no prior right row keep null payload (ASOF LEFT
+    semantics).
+
+    ``payload`` maps right column -> output name (names must not collide with
+    left columns). For deterministic output the right side must be unique per
+    (key, right_ts) — pre-aggregate ties. ``matched_ts`` optionally surfaces
+    the matched right timestamp under that name.
+    """
+    on_list = [on] if isinstance(on, str) else list(on)
+    r = right.select(
+        *on_list,
+        F.col(right_ts).alias("__r_ts"),
+        *[F.col(c).alias(o) for c, o in payload.items()],
+    ).withColumn("__side", F.lit(0)).withColumn("__ts", F.col("__r_ts"))
+    l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    # right rows (__side=0) sort before left rows at equal __ts, so an
+    # equal-timestamp right row is visible to the left row (inclusive bound).
+    w = (
+        Window.partitionBy(*on_list)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last(o, ignorenulls=True).over(w).alias(o) for o in payload.values()]
+    if matched_ts is not None:
+        carried.append(F.last("__r_ts", ignorenulls=True).over(w).alias(matched_ts))
+    out = u.select(*left.columns, F.col("__side"), *carried)
+    return out.where(F.col("__side") == 1).drop("__side")
+
+
+def band_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    band_seconds: int,
+) -> DataFrame:
+    """Pure range (band) join — ``|left.ts - right.ts| <= band`` with NO
+    equality key — via time bucketing (SURVEY.md §2.3 "missing": range join).
+
+    A naive theta-join is a broadcast-nested-loop over every pair; at 100 TB
+    that is quadratic. Bucketing makes it an equi-join: each right row lands in
+    its ``floor(ts/band)`` bucket, each left row explodes to the (at most 3)
+    buckets its band can overlap, the engines equi-join on the bucket id, and
+    an exact band filter removes false candidates. Shuffle cost is ~3× left +
+    1× right — linear, AQE-coalescible, skew-safe for uniform time.
+
+    Column names of the two inputs must be disjoint (pre-alias). Comparison is
+    integer microseconds (``unix_micros``) — deterministic cross-engine.
+    """
+    band_us = band_seconds * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    l = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((l_us - F.lit(band_us)) / F.lit(band_us)),
+                F.floor((l_us + F.lit(band_us)) / F.lit(band_us)),
+            )
+        ),
+    )
+    r = right.withColumn("__bucket", F.floor(r_us / F.lit(band_us)))
+    joined = l.join(r, on="__bucket", how="inner").drop("__bucket")
+    return joined.where(
+        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(right_ts))) <= F.lit(band_us)
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from platform_etl_drug_disease_spark.operators.joins import asof_join, band_join_bucketed
 from platform_etl_drug_disease_spark.plans._util import dsum
 from platform_etl_drug_disease_spark.schemas import load_table
 
@@ -154,8 +155,110 @@ GROUP BY 1
 """
 
 
+def asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase annotated with the user's most recent click
+    at-or-before it (point-in-time lookup). Union-merge implementation — one
+    shuffle on user_id, no range explosion (operators/joins.py:asof_join).
+    Clicks deduped per (user_id, ts) for deterministic payload."""
+    ev = load_table(spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.where("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.where("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload={"click_value": "click_value"},
+        matched_ts="click_ts",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        "click_value",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+    SELECT user_id, ts, MAX(value) AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), purchases AS (
+    SELECT event_id, user_id, ts, value AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.purchase_value, c.click_value,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def errors_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (band) join, no equality key: per purchase, the count of
+    error events anywhere in the stream within ±5 minutes. Bucketed
+    implementation (operators/joins.py:band_join_bucketed) keeps it an
+    equi-join at scale instead of a quadratic nested loop."""
+    ev = load_table(spark, sf_dir, "events", ["event_id", "ts", "event_type"])
+    purchases = ev.where("event_type = 'purchase'").select("event_id", F.col("ts").alias("p_ts"))
+    errors = ev.where("event_type = 'error'").select(F.col("ts").alias("e_ts"))
+    joined = band_join_bucketed(purchases, errors, "p_ts", "e_ts", band_seconds=300)
+    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_errors_5min"))
+
+
+_BAND_SQL = """
+SELECT p.event_id, COUNT(*) AS n_errors_5min
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT ts FROM events WHERE event_type = 'error') e
+  ON abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 300000000
+GROUP BY p.event_id
+"""
+
+
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 lag/lead: per event-type inter-arrival gap stats (min/max/avg µs) —
+    the time-series delta idiom over a keyed window."""
+    ev = load_table(spark, sf_dir, "events", ["event_type", "ts"])
+    w = Window.partitionBy("event_type").orderBy("ts")
+    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias("gap")
+    gaps = ev.select("event_type", gap).where(F.col("gap").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.min("gap").alias("gap_min_us"),
+        F.max("gap").alias("gap_max_us"),
+        F.floor(F.sum("gap") / F.count(F.lit(1))).alias("gap_avg_us_floor"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts)) AS gap
+    FROM events
+)
+SELECT event_type,
+       MIN(gap) AS gap_min_us,
+       MAX(gap) AS gap_max_us,
+       CAST(floor(SUM(gap) / COUNT(*)) AS BIGINT) AS gap_avg_us_floor,
+       COUNT(*) AS n_gaps
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
+    "asof_latest_click": asof_latest_click,
+    "errors_near_purchase": errors_near_purchase,
+    "event_interarrival_stats": event_interarrival_stats,
     "hourly_windows": hourly_windows,
     "sliding_windows": sliding_windows,
     "user_sessions": user_sessions,
@@ -164,6 +267,9 @@ QUERIES = {
 
 ORACLES = {
     "json_props_rollup": _JSON_SQL,
+    "asof_latest_click": _ASOF_SQL,
+    "errors_near_purchase": _BAND_SQL,
+    "event_interarrival_stats": _INTERARRIVAL_SQL,
     "hourly_windows": _HOURLY_SQL,
     "sliding_windows": _SLIDING_SQL,
     "user_sessions": _SESSIONS_SQL,

@@ -21,6 +21,7 @@ from platform_etl_drug_disease_spark.operators.aggregates import (
 from platform_etl_drug_disease_spark.operators.joins import (
     anti_join,
     join_on,
+    salted_join,
     semi_join,
 )
 from platform_etl_drug_disease_spark.operators.windows import top_n_per_group
@@ -434,6 +435,90 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority): all four grouping combinations in
+    one shuffle (the GROUPING SETS superset of the ROLLUP query)."""
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.grouping_id().alias("level"),
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS level
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted fact⋈dim join (operators/joins.py:salted_join):
+    lineitem keys are salted into 8 sub-keys and the supplier dim is exploded
+    across them, so one hot supplier key can never pin a single reducer. The
+    oracle is the plain join — salting must be result-invariant."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    sup = load_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "l_suppkey", salt_buckets=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_extendedprice").alias("revenue"),
+    )
+
+
+_SALTED_SQL = """
+SELECT s_nationkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def price_quantiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (p25/p50/p75) of l_extendedprice by return
+    flag, via explicit sorted-array indexing (``quantile_disc`` semantics:
+    element at ceil(p*n)) — engine-independent, no interpolation arithmetic.
+    At 100 TB the same API point swaps to approx_percentile (t-digest)."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    grouped = li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list("l_extendedprice")).alias("xs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    def pick(p: float):
+        idx = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(p))).cast("int")
+        return F.element_at("xs", idx)
+    return grouped.select(
+        "l_returnflag",
+        "n",
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+    )
+
+
+_QUANTILES_SQL = """
+WITH g AS (
+    SELECT l_returnflag,
+           list_sort(list(l_extendedprice)) AS xs,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       xs[CAST(greatest(1, ceil(n * 0.25)) AS BIGINT)] AS p25,
+       xs[CAST(greatest(1, ceil(n * 0.50)) AS BIGINT)] AS p50,
+       xs[CAST(greatest(1, ceil(n * 0.75)) AS BIGINT)] AS p75
+FROM g
+"""
+
+
 QUERIES = {
     "flagship_harmonic_topk": flagship_harmonic_topk,
     "pricing_summary": pricing_summary,
@@ -450,6 +535,9 @@ QUERIES = {
     "top_prices_per_flag": top_prices_per_flag,
     "segment_set_algebra": segment_set_algebra,
     "order_priority_rollup": order_priority_rollup,
+    "status_priority_cube": status_priority_cube,
+    "salted_supplier_revenue": salted_supplier_revenue,
+    "price_quantiles_per_flag": price_quantiles_per_flag,
 }
 
 ORACLES = {
@@ -468,4 +556,7 @@ ORACLES = {
     "top_prices_per_flag": _TOP_PRICES_SQL,
     "segment_set_algebra": _SET_ALGEBRA_SQL,
     "order_priority_rollup": _ROLLUP_SQL,
+    "status_priority_cube": _CUBE_SQL,
+    "salted_supplier_revenue": _SALTED_SQL,
+    "price_quantiles_per_flag": _QUANTILES_SQL,
 }

@@ -135,3 +135,38 @@ def test_window_top_n_and_running(spark):
     run = win.running_agg(df, ["k"], ["seq"], "v", "cum").collect()
     cum = {(r["k"], r["seq"]): r["cum"] for r in run}
     assert cum[("a", 3)] == pytest.approx(35.0)
+
+
+def test_asof_join_backward_inclusive(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 20, "t2"), ("B", 5, "t3")],
+        "sym: string, ts: long, trade: string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 1.0), ("A", 10, 2.0), ("A", 15, 3.0), ("C", 1, 9.0)],
+        "sym: string, qts: long, px: double",
+    )
+    out = jn.asof_join(
+        trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+        payload={"px": "px"}, matched_ts="m_ts",
+    )
+    rows = {r["trade"]: (r["px"], r["m_ts"]) for r in out.collect()}
+    assert rows["t1"] == (2.0, 10)   # equal ts matches (inclusive)
+    assert rows["t2"] == (3.0, 15)   # latest at-or-before
+    assert rows["t3"] == (None, None)  # no prior quote -> left-outer nulls
+    assert out.count() == 3
+
+
+def test_band_join_bucketed_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], "lid: long, p_ts: string"
+    ).select("lid", F.to_timestamp("p_ts").alias("p_ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:05:00"),   # exactly -300s: inside
+         (11, "2024-01-01 00:15:00"),   # exactly +300s: inside
+         (12, "2024-01-01 00:04:59"),   # 301s before: outside
+         (13, "2024-01-01 00:10:00")],  # same instant: inside
+        "rid: long, e_ts: string",
+    ).select("rid", F.to_timestamp("e_ts").alias("e_ts"))
+    out = jn.band_join_bucketed(left, right, "p_ts", "e_ts", band_seconds=300)
+    assert sorted(r["rid"] for r in out.collect()) == [10, 11, 13]
