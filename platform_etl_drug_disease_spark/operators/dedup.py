@@ -202,6 +202,55 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by hash-min label propagation: every node starts
+    labeled with itself; each round replaces a node's label with the min over
+    itself and its neighbours' labels; converged when no label changes.
+    Returns ``(node, component)`` where component = min node id reachable.
+
+    The canonical post-LSH step: near-dup PAIRS become duplicate CLUSTERS
+    (keep component-min, drop the rest).
+
+    Scale notes: each round is one equi-join + one min-aggregation — all
+    shuffle-partitioned by node id, no driver-side graph. ``localCheckpoint``
+    truncates the per-round lineage so the plan doesn't grow exponentially.
+    Rounds needed = graph diameter; near-dup graphs are quasi-cliques
+    (diameter 2-4) so this converges in a handful of rounds. For adversarial
+    long-chain graphs prefer the alternating large-star/small-star variant
+    (same building blocks, O(log n) rounds).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    labels = e.select("a").distinct().select("a", F.col("a").alias("comp"))
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.select(F.col("a").alias("b"), F.col("comp").alias("nc")), "b")
+            .groupBy("a")
+            .agg(F.min("nc").alias("nc"))
+        )
+        new = (
+            labels.join(nbr, "a", "left")
+            .select("a", F.least("comp", F.coalesce("nc", F.col("comp"))).alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("comp", "old"), "a")
+            .where(F.col("comp") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select(F.col("a").alias("node"), F.col("comp").alias("component"))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

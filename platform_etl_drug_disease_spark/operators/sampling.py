@@ -1,0 +1,58 @@
+"""Reproducible sampling / splitting for training-data pipelines.
+
+``df.sample()`` draws from a partition-seeded RNG: the rows it picks change
+with partitioning, task retries, and engine — unacceptable for training-data
+lineage. These operators derive the draw from a content hash of the row's id
+(md5 → integer bucket), so membership is a pure function of the id: stable
+across runs, engines, cluster sizes, and incremental re-runs over grown
+inputs. All JVM-side column arithmetic (whole-stage codegen, no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def md5_bucket(id_col: Column | str, buckets: int = BUCKETS, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5 of the id.
+
+    7 hex chars (28 bits) keeps the intermediate well inside int64 in any
+    engine. ``salt`` decorrelates independent draws over the same ids
+    (e.g. sampling within an already-split corpus).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint") % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, membership a pure function of the id."""
+    return df.where(md5_bucket(id_col, BUCKETS, salt) < int(fraction * BUCKETS))
+
+
+def split_assign(
+    id_col: Column | str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """Assign each id to a named split (train/val/test) by hash bucket.
+
+    ``weights`` maps split name -> fraction; fractions must sum to <= 1 and
+    are laid out as contiguous bucket ranges in dict order (remainder goes to
+    the last split). Disjoint and exhaustive by construction.
+    """
+    b = md5_bucket(id_col, BUCKETS, salt)
+    expr = None
+    lo = 0
+    names = list(weights)
+    for name in names[:-1]:
+        lo += int(weights[name] * BUCKETS)
+        cond = b < lo
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)

@@ -8,11 +8,16 @@ SimHash's per-bit loop is Spark-side only (rows-only check, by design).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators import text as tx
+from platform_etl_drug_disease_spark.operators.sampling import (
+    deterministic_sample,
+    split_assign,
+)
 from platform_etl_drug_disease_spark.operators.dedup import (
+    connected_components,
     minhash_lsh_dedup,
     exact_dedup_clusters,
     jaccard_pairs,
@@ -218,7 +223,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_SQL = _SHINGLES_CTE + """
+_MINHASH_PAIRS_CORE = """
 , sigs AS (
     SELECT doc_id, sh,
            list_transform(range(0, 16), seed ->
@@ -244,8 +249,54 @@ _MINHASH_SQL = _SHINGLES_CTE + """
     JOIN sh sa ON c.id_a = sa.doc_id
     JOIN sh sb ON c.id_b = sb.doc_id
 )
+"""
+
+_MINHASH_SQL = _SHINGLES_CTE + _MINHASH_PAIRS_CORE + """
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS via connected components (hash-min
+    label propagation, operators/dedup.py:connected_components). Each cluster
+    is labeled by its min doc_id; members sorted for stable hashing. The
+    oracle computes the same components with a recursive transitive-closure
+    CTE — feasible only because the pair graph is small; the Spark side is
+    the 100-TB path (per-round equi-join + min-agg, lineage checkpointed)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("node")).alias("members"),
+    )
+
+
+_CC_SQL = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _MINHASH_PAIRS_CORE
+    + """
+, pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+    FROM reach GROUP BY a
+)
+SELECT cluster_id, COUNT(*) AS n_docs, list_sort(list(doc_id)) AS members
+FROM comp GROUP BY cluster_id
+"""
+)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,24 +314,121 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (md5-bucket, 80/10/10): split
+    membership is a pure function of doc_id — stable across partitioning,
+    retries, engines, and corpus growth (operators/sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang"])
+    return (
+        docs.select(
+            "lang",
+            split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SPLIT_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000"
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET} < 8000 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def corpus_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample (salted md5-bucket draw, independent
+    of the split assignment) with per-lang token totals."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
+    sample = deterministic_sample(docs, "doc_id", 0.10, salt="s1")
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count("text")).alias("total_tokens"),
+    )
+
+
+_SAMPLE_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens
+FROM documents
+WHERE CAST(('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 < 1000
+GROUP BY lang
+"""
+
+
+def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass: exact-dedup keepers (min doc_id per content
+    hash, one window — no self-join) filtered by quality ≥ 0.5, rolled up per
+    language. The end-to-end shape of a training-data cleaning stage."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
+    t = F.col("__toks")
+    scored = docs.withColumn("__toks", tx.tokens("text")).select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("__h"),
+        tx.quality_score_of(t).alias("q"),
+        tx.token_count_of(t).alias("n_tokens"),
+    )
+    w = Window.partitionBy("__h")
+    keep = scored.withColumn("__is_keeper", F.min("doc_id").over(w) == F.col("doc_id"))
+    clean = keep.where(F.col("__is_keeper") & (F.col("q") >= 0.5))
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_CLEAN_SQL = _TOKS_CTE + """
+, scored AS (
+    SELECT d.doc_id, d.lang, md5(d.text) AS h,
+           round(0.4 * least(len(t) / 64.0, 1.0)
+               + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+               + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','of','and','to','in','is','it','for'], x)))
+                     * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6) AS q,
+           len(t) AS n_tokens
+    FROM toks JOIN documents d USING (doc_id)
+), keepers AS (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY h) = doc_id AS is_keeper FROM scored
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM keepers WHERE is_keeper AND q >= 0.5
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "corpus_split_stats": corpus_split_stats,
+    "corpus_sample_stats": corpus_sample_stats,
+    "clean_corpus_stats": clean_corpus_stats,
     "token_fingerprints": token_fingerprints,
     "lang_id_heuristic": lang_id_heuristic,
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash": dedup_simhash,
 }
 
 ORACLES = {
     "text_stats": _TEXT_STATS_SQL,
+    "corpus_split_stats": _SPLIT_SQL,
+    "corpus_sample_stats": _SAMPLE_SQL,
+    "clean_corpus_stats": _CLEAN_SQL,
     "token_fingerprints": _TOKEN_FP_SQL,
     "lang_id_heuristic": _LANG_ID_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_fingerprint": _DEDUP_FP_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_cluster_components": _CC_SQL,
     # dedup_simhash: Spark-side bit loop, rows-only by design
 }

@@ -246,3 +246,43 @@ def test_resize_updates_meta(spark):
         assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
     with pytest.raises(NotImplementedError):
         resize_images(_media(spark), 224, 224, mode="real")
+
+
+def test_connected_components_chain_and_island(spark):
+    from platform_etl_drug_disease_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "a: long, b: long",
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges, "a", "b").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_split_assign_exhaustive_and_stable(spark):
+    from platform_etl_drug_disease_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id: long")
+    out = df.select(
+        "doc_id",
+        split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s"),
+    )
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 1000
+    assert counts["train"] > 700  # ~80%
+    # repartitioning must not change membership
+    again = df.repartition(7).select(
+        "doc_id",
+        split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).alias("s"),
+    )
+    assert out.exceptAll(again).count() == 0
+
+    # salted sample draw is independent of the split assignment
+    s = deterministic_sample(df, "doc_id", 0.1, salt="s1")
+    n = s.count()
+    assert 50 < n < 200
+    assert s.exceptAll(deterministic_sample(df.repartition(5), "doc_id", 0.1, salt="s1")).count() == 0

@@ -65,3 +65,20 @@ def test_catalog_queries_lint_clean(spark):
             continue
         warnings = lint(fn(spark, SF_SMOKE))
         assert not warnings, f"{name}: {warnings}"
+
+
+def test_band_join_is_equi_not_nested_loop(spark):
+    from platform_etl_drug_disease_spark.plans.events_time import errors_near_purchase
+
+    plan = explain_string(errors_near_purchase(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, (
+        "bucketed band join must plan as an equi-join, not a quadratic loop"
+    )
+
+
+def test_asof_join_plans_without_join_node(spark):
+    from platform_etl_drug_disease_spark.plans.events_time import asof_latest_click
+
+    plan = explain_string(asof_latest_click(spark, SF_SMOKE))
+    assert "Join" not in plan, "union-merge as-of must not contain any join operator"
+    assert "Window" in plan
