@@ -28,6 +28,10 @@ HEADLINE = [
     "user_sessions",
     "text_stats",
     "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "clean_corpus_stats",
+    "asof_latest_click",
+    "errors_near_purchase",
     "knn_cosine_bruteforce",
     "streaming_hourly_windows",
     "multimodal_features",

@@ -226,25 +226,24 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
-    labels = e.select("a").distinct().select("a", F.col("a").alias("comp"))
+    # seed with min(self, direct neighbours) — one aggregation, saves a round.
+    labels = e.groupBy("a").agg(F.least(F.first("a"), F.min("b")).alias("comp")).localCheckpoint()
     for _ in range(max_iter):
         nbr = (
             e.join(labels.select(F.col("a").alias("b"), F.col("comp").alias("nc")), "b")
             .groupBy("a")
             .agg(F.min("nc").alias("nc"))
         )
+        # carry the previous label through the checkpoint so the convergence
+        # test is a scan of the checkpointed result, not a second join job.
         new = (
-            labels.join(nbr, "a", "left")
-            .select("a", F.least("comp", F.coalesce("nc", F.col("comp"))).alias("comp"))
+            labels.withColumnRenamed("comp", "old")
+            .join(nbr, "a", "left")
+            .select("a", F.least("old", F.coalesce("nc", F.col("old"))).alias("comp"), "old")
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("comp", "old"), "a")
-            .where(F.col("comp") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("comp") != F.col("old")).limit(1).count()
+        labels = new.drop("old")
         if changed == 0:
             break
     e.unpersist()

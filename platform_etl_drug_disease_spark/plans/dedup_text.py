@@ -264,9 +264,12 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE — feasible only because the pair graph is small; the Spark side is
     the 100-TB path (per-round equi-join + min-agg, lineage checkpointed)."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    # eager-checkpoint the (small) pair table: the symmetrizing union inside
+    # connected_components consumes it twice, and without materialization the
+    # whole MinHash pipeline would be evaluated once per branch.
     pairs = minhash_lsh_dedup(
         docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
-    )
+    ).localCheckpoint()
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),

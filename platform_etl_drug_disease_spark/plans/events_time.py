@@ -155,6 +155,29 @@ GROUP BY 1
 """
 
 
+def typed_json_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 typed parse: ``from_json`` with an explicit schema (struct<k:int>)
+    — unlike get_json_object string extraction, the parse happens once and
+    yields a typed column; malformed JSON → null struct, not a job failure.
+    Histogram of k by decade per event type."""
+    ev = load_table(spark, sf_dir, "events", ["event_type", "props"])
+    parsed = ev.select("event_type", F.from_json("props", "k INT").alias("p"))
+    return (
+        parsed.select("event_type", F.floor(F.col("p.k") / 10).alias("k_decade"))
+        .groupBy("event_type", "k_decade")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_TYPED_JSON_SQL = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS BIGINT) AS k_decade,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase annotated with the user's most recent click
     at-or-before it (point-in-time lookup). Union-merge implementation — one
@@ -256,6 +279,7 @@ GROUP BY event_type
 
 QUERIES = {
     "json_props_rollup": json_props_rollup,
+    "typed_json_histogram": typed_json_histogram,
     "asof_latest_click": asof_latest_click,
     "errors_near_purchase": errors_near_purchase,
     "event_interarrival_stats": event_interarrival_stats,
@@ -267,6 +291,7 @@ QUERIES = {
 
 ORACLES = {
     "json_props_rollup": _JSON_SQL,
+    "typed_json_histogram": _TYPED_JSON_SQL,
     "asof_latest_click": _ASOF_SQL,
     "errors_near_purchase": _BAND_SQL,
     "event_interarrival_stats": _INTERARRIVAL_SQL,

@@ -170,3 +170,12 @@ def test_band_join_bucketed_boundaries(spark):
     ).select("rid", F.to_timestamp("e_ts").alias("e_ts"))
     out = jn.band_join_bucketed(left, right, "p_ts", "e_ts", band_seconds=300)
     assert sorted(r["rid"] for r in out.collect()) == [10, 11, 13]
+
+
+def test_group_approx_distinct_within_hll_tolerance(spark):
+    df = spark.createDataFrame(
+        [(k, v) for k in ("x", "y") for v in range(500)], "k: string, v: long"
+    )
+    out = {r["k"]: r["degree"] for r in agg.group_approx_distinct(df, ["k"], "v", out="degree").collect()}
+    for k in ("x", "y"):
+        assert abs(out[k] - 500) / 500 < 0.1  # HLL++ default rsd is ~5%
