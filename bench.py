@@ -27,6 +27,7 @@ HEADLINE = [
     "hourly_windows",
     "user_sessions",
     "text_stats",
+    "segment_acctbal_zscore",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
     "clean_corpus_stats",

@@ -365,6 +365,48 @@ GROUP BY lang
 """
 
 
+def token_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in deterministic doc_id order, per
+    lang) to contiguous ~4096-token training bins via a windowed running
+    token total — bin = floor((cumsum − n_tokens) / budget). One shuffle on
+    the partition key; no per-bin state beyond the window frame. Oracle runs
+    the identical integer window arithmetic."""
+    budget = 4096
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "lang", tx.token_count("text").alias("n_tokens"))
+    binned = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACKING_SQL = _TOKS_CTE + """
+, toks_n AS (
+    SELECT doc_id, lang, CAST(len(t) AS INTEGER) AS n_tokens FROM toks
+), binned AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 4096.0) AS BIGINT) AS bin
+    FROM toks_n
+)
+SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM binned GROUP BY 1, 2
+"""
+
+
 def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pass: exact-dedup keepers (min doc_id per content
     hash, one window — no self-join) filtered by quality ≥ 0.5, rolled up per
@@ -411,6 +453,7 @@ QUERIES = {
     "corpus_split_stats": corpus_split_stats,
     "corpus_sample_stats": corpus_sample_stats,
     "clean_corpus_stats": clean_corpus_stats,
+    "token_bin_packing": token_bin_packing,
     "token_fingerprints": token_fingerprints,
     "lang_id_heuristic": lang_id_heuristic,
     "dedup_exact": dedup_exact,
@@ -426,6 +469,7 @@ ORACLES = {
     "corpus_split_stats": _SPLIT_SQL,
     "corpus_sample_stats": _SAMPLE_SQL,
     "clean_corpus_stats": _CLEAN_SQL,
+    "token_bin_packing": _PACKING_SQL,
     "token_fingerprints": _TOKEN_FP_SQL,
     "lang_id_heuristic": _LANG_ID_SQL,
     "dedup_exact": _DEDUP_EXACT_SQL,

@@ -18,6 +18,7 @@ from platform_etl_drug_disease_spark.operators.aggregates import (
     grouped_top_k,
     pivot_scores,
 )
+from platform_etl_drug_disease_spark.operators.pandas_ops import grouped_zscore
 from platform_etl_drug_disease_spark.operators.joins import (
     anti_join,
     join_on,
@@ -519,8 +520,36 @@ FROM g
 """
 
 
+def segment_acctbal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Pandas path (applyInPandas): per-mktsegment population
+    z-score of account balance, computed over exact scaled integers so the
+    Arrow/Python stage is still deterministic and DuckDB-checkable
+    (operators/pandas_ops.py:grouped_zscore)."""
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    return grouped_zscore(cust, ["c_mktsegment"], "c_custkey", "c_acctbal")
+
+
+_ZSCORE_SQL = """
+WITH xs AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS xi
+    FROM customer
+), g AS (
+    SELECT c_mktsegment, COUNT(*) AS n, SUM(xi) AS s, SUM(xi * xi) AS s2
+    FROM xs GROUP BY 1
+)
+SELECT x.c_mktsegment, x.c_custkey,
+       CASE WHEN g.n * g.s2 - g.s * g.s <= 0 THEN 0.0
+            ELSE round(CAST(g.n * x.xi - g.s AS DOUBLE)
+                       / sqrt(CAST(g.n * g.s2 - g.s * g.s AS DOUBLE)), 4)
+       END AS zscore
+FROM xs x JOIN g USING (c_mktsegment)
+"""
+
+
 QUERIES = {
     "flagship_harmonic_topk": flagship_harmonic_topk,
+    "segment_acctbal_zscore": segment_acctbal_zscore,
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "returnflag_pivot": returnflag_pivot,
@@ -542,6 +571,7 @@ QUERIES = {
 
 ORACLES = {
     "flagship_harmonic_topk": _FLAGSHIP_SQL,
+    "segment_acctbal_zscore": _ZSCORE_SQL,
     "pricing_summary": _PRICING_SQL,
     "revenue_by_nation": _REVENUE_NATION_SQL,
     "returnflag_pivot": _PIVOT_SQL,

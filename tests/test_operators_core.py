@@ -179,3 +179,40 @@ def test_group_approx_distinct_within_hll_tolerance(spark):
     out = {r["k"]: r["degree"] for r in agg.group_approx_distinct(df, ["k"], "v", out="degree").collect()}
     for k in ("x", "y"):
         assert abs(out[k] - 500) / 500 < 0.1  # HLL++ default rsd is ~5%
+
+
+def test_asof_join_matches_naive_reference(spark):
+    import random
+
+    rnd = random.Random(11)
+    left = [(i, rnd.choice("abc"), rnd.randrange(100)) for i in range(60)]
+    raw_right = [(rnd.choice("abc"), rnd.randrange(100), float(j)) for j in range(40)]
+    best: dict = {}
+    for k, ts, p in raw_right:
+        best[(k, ts)] = max(best.get((k, ts), -1.0), p)
+    ldf = spark.createDataFrame(left, "lid: long, k: string, ts: long")
+    rdf = spark.createDataFrame(
+        [(k, ts, p) for (k, ts), p in best.items()], "k: string, rts: long, p: double"
+    )
+    out = jn.asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="rts", payload={"p": "p"})
+    got = {r["lid"]: r["p"] for r in out.collect()}
+    assert len(got) == len(left)
+    for lid, k, ts in left:
+        cand = [(t, p) for (kk, t), p in best.items() if kk == k and t <= ts]
+        expected = max(cand)[1] if cand else None
+        assert got[lid] == expected, (lid, k, ts)
+
+
+def test_grouped_zscore_known_values_and_degenerate_group(spark):
+    from platform_etl_drug_disease_spark.operators.pandas_ops import grouped_zscore
+
+    df = spark.createDataFrame(
+        [("g1", 1, 1.0), ("g1", 2, 2.0), ("g1", 3, 3.0), ("g2", 4, 5.0), ("g2", 5, 5.0)],
+        "k: string, id: long, v: double",
+    )
+    out = {r["id"]: r["zscore"] for r in grouped_zscore(df, ["k"], "id", "v").collect()}
+    # g1: mean 2, pop std sqrt(2/3): z = ±1.2247, 0
+    assert out[1] == -1.2247 and out[3] == 1.2247
+    assert out[2] == 0.0
+    # zero-variance group -> 0.0, not NaN/inf
+    assert out[4] == 0.0 and out[5] == 0.0
