@@ -36,3 +36,20 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return dsum(c, scale) / F.count(c)
+
+
+def dround(col: Column | str, digits: int = 4) -> Column:
+    """Engine-deterministic rounding of a non-negative double:
+    ``floor(x·10^d + 0.5) / 10^d`` — every step an IEEE double op, so any
+    engine computing it on the same input produces the same bits.
+
+    Built-in ``round()`` half-boundary behavior is engine-specific: at sf0.1
+    the flagship harmonic value 56671.724449999994 rounded to 56671.7244 in
+    Spark and 56671.7245 in DuckDB (9 of 20k groups hit such boundaries).
+    Oracle equivalent: ``floor(x * 1e{d} + 0.5) / 1e{d}``. Negative inputs
+    would round toward -inf at the boundary; use only for non-negative
+    scores.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(float(10**digits))
+    return F.floor(c * p + F.lit(0.5)) / p

@@ -26,7 +26,7 @@ from platform_etl_drug_disease_spark.operators.joins import (
     semi_join,
 )
 from platform_etl_drug_disease_spark.operators.windows import top_n_per_group
-from platform_etl_drug_disease_spark.plans._util import davg, dsum
+from platform_etl_drug_disease_spark.plans._util import davg, dround, dsum
 from platform_etl_drug_disease_spark.schemas import load_table
 
 
@@ -51,7 +51,9 @@ def flagship_harmonic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = grouped_top_k(scored, ["l_partkey"], "score", k=100, out="scores")
     return grouped.select(
         "l_partkey",
-        F.round(harmonic_sum("scores"), 4).alias("harmonic"),
+        # dround, not round: built-in round() half-boundary behavior differs
+        # between engines on doubles (see plans/_util.py:dround).
+        dround(harmonic_sum("scores"), 4).alias("harmonic"),
         F.size("scores").alias("n_scores"),
     )
 
@@ -66,8 +68,8 @@ WITH scored AS (
     FROM scored GROUP BY l_partkey
 )
 SELECT l_partkey,
-       round(list_reduce(list_transform(scores, (x, i) -> x / (i * i)),
-                         (a, b) -> a + b), 4) AS harmonic,
+       floor(list_reduce(list_transform(scores, (x, i) -> x / (i * i)),
+                         (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS harmonic,
        CAST(len(scores) AS INTEGER) AS n_scores
 FROM grouped
 """

@@ -216,3 +216,20 @@ def test_grouped_zscore_known_values_and_degenerate_group(spark):
     assert out[2] == 0.0
     # zero-variance group -> 0.0, not NaN/inf
     assert out[4] == 0.0 and out[5] == 0.0
+
+
+def test_dround_engine_deterministic_at_half_boundary(spark):
+    """Regression: round() on 56671.724449999994 gave .7244 in Spark but
+    .7245 in DuckDB (flagship at sf0.1). dround specifies the arithmetic
+    (floor(x*10^d + 0.5)/10^d) so both engines compute identical bits."""
+    import duckdb
+
+    from platform_etl_drug_disease_spark.plans._util import dround
+
+    x = 56671.724449999994
+    df = spark.createDataFrame([(x,)], "v: double")
+    got = df.select(dround("v", 4).alias("r")).collect()[0]["r"]
+    duck = duckdb.sql(
+        f"SELECT floor(CAST({x!r} AS DOUBLE) * 10000.0 + 0.5) / 10000.0"
+    ).fetchone()[0]
+    assert got == duck == 56671.7245
