@@ -549,8 +549,74 @@ FROM xs x JOIN g USING (c_mktsegment)
 """
 
 
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (df.stat.corr capability) per return flag, made
+    engine-deterministic: moments are accumulated as exact integers (prices
+    in cents, cast decimal(38,0)), r = (n·Σxy − ΣxΣy)/√((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+    with a single float conversion at the end — order-independent, no
+    float-sum drift. ``corr()`` itself streams doubles and is not
+    cross-engine comparable."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    d = "decimal(38,0)"
+    xi = F.round(F.col("l_extendedprice") * 100).cast(d)
+    yi = F.round(F.col("l_quantity")).cast(d)
+    g = li.select("l_returnflag", xi.alias("x"), yi.alias("y")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_items"),
+        dround(num / F.sqrt(denx * deny), 6).alias("corr_price_qty"),
+    )
+
+
+_CORR_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sx,
+           SUM(CAST(round(l_quantity) AS HUGEINT)) AS sy,
+           SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+               * CAST(round(l_quantity) AS HUGEINT)) AS sxy,
+           SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+               * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sx2,
+           SUM(CAST(round(l_quantity) AS HUGEINT)
+               * CAST(round(l_quantity) AS HUGEINT)) AS sy2
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_items,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) * CAST(n * sy2 - sy * sy AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr_price_qty
+FROM m
+"""
+
+
+def price_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) per return flag — the
+    bounded-state scale path for quantiles (the exact sorted-array form is
+    price_quantiles_per_flag). Sketch internals are engine-specific →
+    rows-only driver check; accuracy asserted vs exact in tests."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "flagship_harmonic_topk": flagship_harmonic_topk,
+    "price_quantity_corr": price_quantity_corr,
+    "price_tdigest_quantiles": price_tdigest_quantiles,
     "segment_acctbal_zscore": segment_acctbal_zscore,
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -573,6 +639,7 @@ QUERIES = {
 
 ORACLES = {
     "flagship_harmonic_topk": _FLAGSHIP_SQL,
+    "price_quantity_corr": _CORR_SQL,
     "segment_acctbal_zscore": _ZSCORE_SQL,
     "pricing_summary": _PRICING_SQL,
     "revenue_by_nation": _REVENUE_NATION_SQL,

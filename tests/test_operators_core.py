@@ -233,3 +233,19 @@ def test_dround_engine_deterministic_at_half_boundary(spark):
         f"SELECT floor(CAST({x!r} AS DOUBLE) * 10000.0 + 0.5) / 10000.0"
     ).fetchone()[0]
     assert got == duck == 56671.7245
+
+
+def test_approx_percentile_close_to_exact(spark):
+    from platform_etl_drug_disease_spark.plans.relational import (
+        price_quantiles_per_flag,
+        price_tdigest_quantiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+             for r in price_quantiles_per_flag(spark, sf).collect()}
+    approx = {r["l_returnflag"]: r["approx_pcts"]
+              for r in price_tdigest_quantiles(spark, sf).collect()}
+    for flag, (p25, p50, p75) in exact.items():
+        for a, e in zip(approx[flag], (p25, p50, p75)):
+            assert abs(a - e) / e < 0.02, (flag, a, e)
