@@ -152,6 +152,35 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def run_foreach_batch_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> int:
+    """Production sink path: land a stream into partition-appended parquet
+    via ``foreachBatch`` — each micro-batch is written as a normal batch
+    DataFrame (so any batch writer feature — partitionBy, bucketing, merge
+    logic — is available), with exactly-once bookkeeping from the streaming
+    checkpoint. Runs with Trigger.AvailableNow (drain-what-exists) and
+    returns the number of micro-batches written."""
+    batches = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+        batches["n"] += 1
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return batches["n"]
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> DataFrame:

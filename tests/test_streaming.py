@@ -144,3 +144,22 @@ def test_stateful_running_totals(spark, events_dir):
     )
     final = {r["user_id"]: (r["n"], r["v"]) for r in latest}
     assert final == {1: (3, 6.0), 2: (2, 9.0)}
+
+
+def test_foreach_batch_parquet_sink_round_trip(spark, events_dir, tmp_path):
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        run_foreach_batch_parquet,
+    )
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    n_batches = run_foreach_batch_parquet(stream, out, ckpt)
+    assert n_batches >= 1
+    landed = spark.read.parquet(out)
+    assert landed.count() == len(EVENTS)
+    assert {r["event_id"] for r in landed.select("event_id").collect()} == {1, 2, 3, 4, 5}
+    # restart with the same checkpoint: nothing new to process, no duplicates
+    stream2 = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    run_foreach_batch_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == len(EVENTS)
