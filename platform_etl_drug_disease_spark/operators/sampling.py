@@ -35,6 +35,31 @@ def deterministic_sample(
     return df.where(md5_bucket(id_col, BUCKETS, salt) < int(fraction * BUCKETS))
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Corpus mixing: keep each stratum (source/domain) at its own rate —
+    the deterministic form of the per-source weighting step in training-data
+    pipelines. The draw hashes (stratum, id) so re-weighting one stratum
+    never changes which rows another stratum keeps."""
+    key = F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))
+    b = md5_bucket(key, BUCKETS, salt)
+    thr = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        t = F.lit(int(r * BUCKETS))
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = F.lit(int(default_rate * BUCKETS)) if thr is None else thr.otherwise(
+        F.lit(int(default_rate * BUCKETS))
+    )
+    return df.where(b < thr)
+
+
 def split_assign(
     id_col: Column | str,
     weights: dict[str, float],

@@ -15,6 +15,7 @@ from platform_etl_drug_disease_spark.operators import text as tx
 from platform_etl_drug_disease_spark.operators.sampling import (
     deterministic_sample,
     split_assign,
+    stratified_sample,
 )
 from platform_etl_drug_disease_spark.operators.dedup import (
     connected_components,
@@ -407,6 +408,30 @@ FROM binned GROUP BY 1, 2
 """
 
 
+def corpus_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: down-weight three sources to 25% while
+    keeping the rest whole (operators/sampling.py:stratified_sample); counts
+    per source after the mix."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    mixed = stratified_sample(
+        docs, "doc_id", "source",
+        rates={"src1": 0.25, "src3": 0.25, "src5": 0.25},
+        default_rate=1.0,
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_MIX_SQL = """
+SELECT source, COUNT(*) AS n_docs
+FROM documents
+WHERE CAST(('0x' || substr(md5(concat_ws('|', source, CAST(doc_id AS VARCHAR))), 1, 7)) AS BIGINT)
+      % 10000
+      < CASE source WHEN 'src1' THEN 2500 WHEN 'src3' THEN 2500 WHEN 'src5' THEN 2500
+                    ELSE 10000 END
+GROUP BY 1
+"""
+
+
 def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pass: exact-dedup keepers (min doc_id per content
     hash, one window — no self-join) filtered by quality ≥ 0.5, rolled up per
@@ -453,6 +478,7 @@ QUERIES = {
     "corpus_split_stats": corpus_split_stats,
     "corpus_sample_stats": corpus_sample_stats,
     "clean_corpus_stats": clean_corpus_stats,
+    "corpus_mix_stats": corpus_mix_stats,
     "token_bin_packing": token_bin_packing,
     "token_fingerprints": token_fingerprints,
     "lang_id_heuristic": lang_id_heuristic,
@@ -469,6 +495,7 @@ ORACLES = {
     "corpus_split_stats": _SPLIT_SQL,
     "corpus_sample_stats": _SAMPLE_SQL,
     "clean_corpus_stats": _CLEAN_SQL,
+    "corpus_mix_stats": _MIX_SQL,
     "token_bin_packing": _PACKING_SQL,
     "token_fingerprints": _TOKEN_FP_SQL,
     "lang_id_heuristic": _LANG_ID_SQL,

@@ -286,3 +286,20 @@ def test_split_assign_exhaustive_and_stable(spark):
     n = s.count()
     assert 50 < n < 200
     assert s.exceptAll(deterministic_sample(df.repartition(5), "doc_id", 0.1, salt="s1")).count() == 0
+
+
+def test_stratified_sample_rates_and_independence(spark):
+    from platform_etl_drug_disease_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], "doc_id: long, src: string"
+    )
+    out = stratified_sample(df, "doc_id", "src", rates={"a": 0.25}, default_rate=1.0)
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 1000  # default rate keeps the stratum whole
+    assert 150 < counts["a"] < 350  # ~25%
+    # changing another stratum's rate must not change which 'a' rows survive
+    out2 = stratified_sample(df, "doc_id", "src", rates={"a": 0.25, "b": 0.5}, default_rate=1.0)
+    a1 = {r["doc_id"] for r in out.where("src = 'a'").collect()}
+    a2 = {r["doc_id"] for r in out2.where("src = 'a'").collect()}
+    assert a1 == a2
