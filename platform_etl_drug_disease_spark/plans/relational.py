@@ -613,8 +613,38 @@ def price_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quantity_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — the wide→long inverse of the A7 pivot, via the native
+    ``DataFrame.unpivot`` (no per-column union scan of the source: one pass
+    emits all measure rows). Re-melts the pivoted quantity matrix."""
+    wide = returnflag_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["l_linestatus"],
+        values=["qty_a", "qty_n", "qty_r"],
+        variableColumnName="flag_col",
+        valueColumnName="qty",
+    )
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+    SELECT l_linestatus,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE), 0.0) AS qty_a,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE), 0.0) AS qty_n,
+           COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE), 0.0) AS qty_r
+    FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, 'qty_a' AS flag_col, qty_a AS qty FROM wide
+UNION ALL
+SELECT l_linestatus, 'qty_n' AS flag_col, qty_n AS qty FROM wide
+UNION ALL
+SELECT l_linestatus, 'qty_r' AS flag_col, qty_r AS qty FROM wide
+"""
+
+
 QUERIES = {
     "flagship_harmonic_topk": flagship_harmonic_topk,
+    "quantity_unpivot": quantity_unpivot,
     "price_quantity_corr": price_quantity_corr,
     "price_tdigest_quantiles": price_tdigest_quantiles,
     "segment_acctbal_zscore": segment_acctbal_zscore,
@@ -639,6 +669,7 @@ QUERIES = {
 
 ORACLES = {
     "flagship_harmonic_topk": _FLAGSHIP_SQL,
+    "quantity_unpivot": _UNPIVOT_SQL,
     "price_quantity_corr": _CORR_SQL,
     "segment_acctbal_zscore": _ZSCORE_SQL,
     "pricing_summary": _PRICING_SQL,
