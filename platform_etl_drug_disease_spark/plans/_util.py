@@ -38,6 +38,30 @@ def davg(col: Column | str, scale: int = 6) -> Column:
     return dsum(c, scale) / F.count(c)
 
 
+def arr_join(col: Column | str, elem_cast: str | None = None, sep: str = ",") -> Column:
+    """Driver-safe array rendering: join elements into one comma string.
+
+    The driver canonicalizes results via pandas ``sort_values`` over every
+    output column, which raises ``TypeError: unhashable type: 'list'`` on
+    array columns — so catalog queries keep arrays internal and emit them as
+    joined strings. ``elem_cast`` pins the element text form so both engines
+    render identically: ``"string"`` for integers (``"42"``),
+    ``"decimal(18,2)"`` for doubles (fixed-scale ``"1234.50"``, verified
+    bit-identical between Spark and DuckDB).
+
+    Oracle equivalent:
+    ``array_to_string(list_transform(xs, x -> CAST(x AS VARCHAR)), ',')`` or
+    ``... CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR) ...`` for doubles.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if elem_cast is not None:
+        if elem_cast != "string":
+            c = F.transform(c, lambda x: x.cast(elem_cast).cast("string"))
+        else:
+            c = F.transform(c, lambda x: x.cast("string"))
+    return F.array_join(c, sep)
+
+
 def dround(col: Column | str, digits: int = 4) -> Column:
     """Engine-deterministic rounding of a non-negative double:
     ``floor(x·10^d + 0.5) / 10^d`` — every step an IEEE double op, so any

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators.arrays import flatten_distinct
+from platform_etl_drug_disease_spark.plans._util import arr_join
 from platform_etl_drug_disease_spark.schemas import load_table
 
 
@@ -62,11 +63,12 @@ def priority_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("o_orderpriority")).alias("prios")
     )
     urgent = F.array(F.lit("1-URGENT"), F.lit("2-HIGH"))
+    # array set algebra stays internal; outputs are driver-safe joined strings
     return per_cust.select(
         "o_custkey",
-        F.sort_array(F.array_intersect("prios", urgent)).alias("urgent_held"),
-        F.sort_array(F.array_except("prios", urgent)).alias("non_urgent"),
-        F.sort_array(F.array_union("prios", urgent)).alias("with_urgent"),
+        arr_join(F.sort_array(F.array_intersect("prios", urgent))).alias("urgent_held"),
+        arr_join(F.sort_array(F.array_except("prios", urgent))).alias("non_urgent"),
+        arr_join(F.sort_array(F.array_union("prios", urgent))).alias("with_urgent"),
         F.array_contains("prios", "1-URGENT").alias("has_urgent"),
         F.size("prios").alias("n_prios"),
     )
@@ -78,9 +80,9 @@ WITH per_cust AS (
     FROM orders GROUP BY o_custkey
 )
 SELECT o_custkey,
-       list_sort(list_filter(prios, x -> list_contains(['1-URGENT','2-HIGH'], x))) AS urgent_held,
-       list_sort(list_filter(prios, x -> NOT list_contains(['1-URGENT','2-HIGH'], x))) AS non_urgent,
-       list_sort(list_distinct(list_concat(prios, ['1-URGENT','2-HIGH']))) AS with_urgent,
+       COALESCE(array_to_string(list_sort(list_filter(prios, x -> list_contains(['1-URGENT','2-HIGH'], x))), ','), '') AS urgent_held,
+       COALESCE(array_to_string(list_sort(list_filter(prios, x -> NOT list_contains(['1-URGENT','2-HIGH'], x))), ','), '') AS non_urgent,
+       array_to_string(list_sort(list_distinct(list_concat(prios, ['1-URGENT','2-HIGH']))), ',') AS with_urgent,
        list_contains(prios, '1-URGENT') AS has_urgent,
        CAST(len(prios) AS INTEGER) AS n_prios
 FROM per_cust
@@ -104,7 +106,7 @@ def region_segment_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return nested.select(
         "n_regionkey",
-        F.sort_array(flatten_distinct("nested_segs")).alias("region_segments"),
+        arr_join(F.sort_array(flatten_distinct("nested_segs"))).alias("region_segments"),
         F.size(F.flatten("nested_segs")).alias("n_total"),
     )
 
@@ -120,7 +122,7 @@ WITH per_nation AS (
     FROM per_nation GROUP BY n_regionkey
 )
 SELECT n_regionkey,
-       list_sort(list_distinct(flatten(nested_segs))) AS region_segments,
+       array_to_string(list_sort(list_distinct(flatten(nested_segs))), ',') AS region_segments,
        CAST(len(flatten(nested_segs)) AS INTEGER) AS n_total
 FROM nested
 """
@@ -138,16 +140,18 @@ def nested_struct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return rolled.select(
         "c_nationkey",
-        F.col("members.c_custkey").alias("member_keys"),
-        F.col("members.c_acctbal").alias("member_balances"),
+        arr_join(F.col("members.c_custkey"), "string").alias("member_keys"),
+        arr_join(F.col("members.c_acctbal"), "decimal(18,2)").alias("member_balances"),
         F.size("members").alias("n_members"),
     )
 
 
 _STRUCT_ROLLUP_SQL = """
 SELECT c_nationkey,
-       array_agg(c_custkey ORDER BY c_custkey) AS member_keys,
-       array_agg(c_acctbal ORDER BY c_custkey) AS member_balances,
+       array_to_string(list_transform(array_agg(c_custkey ORDER BY c_custkey),
+                                      x -> CAST(x AS VARCHAR)), ',') AS member_keys,
+       array_to_string(list_transform(array_agg(c_acctbal ORDER BY c_custkey),
+                                      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS member_balances,
        CAST(COUNT(*) AS INTEGER) AS n_members
 FROM customer
 GROUP BY c_nationkey
@@ -169,7 +173,7 @@ def explode_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tmp")
     ).select(
         "p_partkey",
-        F.col("tmp.word").alias("long_words"),
+        arr_join(F.col("tmp.word")).alias("long_words"),
         F.size("tmp").alias("n_long_words"),
     )
 
@@ -183,7 +187,7 @@ WITH words AS (
     WHERE length(u.word) > 3
 )
 SELECT p_partkey,
-       array_agg(word ORDER BY pos) AS long_words,
+       array_to_string(array_agg(word ORDER BY pos), ',') AS long_words,
        CAST(COUNT(*) AS INTEGER) AS n_long_words
 FROM words
 GROUP BY p_partkey

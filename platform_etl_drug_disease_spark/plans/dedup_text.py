@@ -25,6 +25,7 @@ from platform_etl_drug_disease_spark.operators.dedup import (
     minhash_lsh_candidates,
     simhash64,
 )
+from platform_etl_drug_disease_spark.plans._util import arr_join
 from platform_etl_drug_disease_spark.schemas import load_table
 
 # DuckDB equivalents of operators.text.tokens / operators.text.shingles —
@@ -274,7 +275,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "id_a", "id_b")
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sort_array(F.collect_list("node")).alias("members"),
+        arr_join(F.sort_array(F.collect_list("node")), "string").alias("members"),
     )
 
 
@@ -297,7 +298,8 @@ comp AS (
     SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
     FROM reach GROUP BY a
 )
-SELECT cluster_id, COUNT(*) AS n_docs, list_sort(list(doc_id)) AS members
+SELECT cluster_id, COUNT(*) AS n_docs,
+       array_to_string(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), ',') AS members
 FROM comp GROUP BY cluster_id
 """
 )
@@ -359,7 +361,7 @@ def corpus_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SAMPLE_SQL = r"""
 SELECT lang, COUNT(*) AS n_docs,
-       SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS total_tokens
+       CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens
 FROM documents
 WHERE CAST(('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) % 10000 < 1000
 GROUP BY lang
@@ -402,7 +404,7 @@ _PACKING_SQL = _TOKS_CTE + """
                        - n_tokens) / 4096.0) AS BIGINT) AS bin
     FROM toks_n
 )
-SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens,
+SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM binned GROUP BY 1, 2
 """
@@ -467,7 +469,7 @@ _CLEAN_SQL = _TOKS_CTE + """
 ), keepers AS (
     SELECT *, MIN(doc_id) OVER (PARTITION BY h) = doc_id AS is_keeper FROM scored
 )
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM keepers WHERE is_keeper AND q >= 0.5
 GROUP BY lang
 """

@@ -37,7 +37,7 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
        COUNT(json_extract_string(props, '$.missing')) AS n_missing,
        COUNT(*) AS n_events
@@ -124,7 +124,7 @@ WITH gaps AS (
     FROM events
 )
 SELECT user_id,
-       SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM gaps
 GROUP BY user_id

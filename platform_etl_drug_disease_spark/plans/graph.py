@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators.arrays import flatten_distinct
-from platform_etl_drug_disease_spark.plans._util import dsum
+from platform_etl_drug_disease_spark.plans._util import arr_join, dsum
 from platform_etl_drug_disease_spark.schemas import load_table
 
 
@@ -81,13 +81,16 @@ def adjacency_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("dst")).alias("neighbours")
     )
     return grouped.select(
-        "src", "neighbours", F.size("neighbours").cast("bigint").alias("degree")
+        "src",
+        arr_join("neighbours", "string").alias("neighbours"),
+        F.size("neighbours").cast("bigint").alias("degree"),
     )
 
 
 _ADJACENCY_SQL = _SYM_EDGES_CTE + """
 SELECT src,
-       list_sort(array_agg(DISTINCT dst)) AS neighbours,
+       array_to_string(list_transform(list_sort(array_agg(DISTINCT dst)),
+                                      x -> CAST(x AS VARCHAR)), ',') AS neighbours,
        COUNT(DISTINCT dst) AS degree
 FROM edges
 GROUP BY src
@@ -173,7 +176,7 @@ def region_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
         ancestors.select("n_name", F.explode("ancestors").alias("ancestor"))
         .groupBy("ancestor")
         .agg(
-            F.sort_array(F.collect_set("n_name")).alias("descendants"),
+            arr_join(F.sort_array(F.collect_set("n_name"))).alias("descendants"),
             F.countDistinct("n_name").alias("n_descendants"),
         )
     )
@@ -185,7 +188,7 @@ WITH ancestors AS (
     FROM nation JOIN region ON n_regionkey = r_regionkey
 )
 SELECT ancestor,
-       list_sort(array_agg(DISTINCT n_name)) AS descendants,
+       array_to_string(list_sort(array_agg(DISTINCT n_name)), ',') AS descendants,
        COUNT(DISTINCT n_name) AS n_descendants
 FROM ancestors
 GROUP BY ancestor

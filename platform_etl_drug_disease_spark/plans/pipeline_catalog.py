@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from platform_etl_drug_disease_spark.plans._util import arr_join
 from platform_etl_drug_disease_spark.plans.drug_disease import run_pipeline
 from platform_etl_drug_disease_spark.plans.synthetic_domain import domain_inputs
 
@@ -37,8 +38,8 @@ def drug_disease_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_name",
         "disease_name",
         "drug_hypothesis",
-        F.sort_array("drug_hypothesis_aes").alias("drug_hypothesis_aes"),
-        F.sort_array("disease_aes_from_drugs").alias("disease_aes_from_drugs"),
+        arr_join(F.sort_array("drug_hypothesis_aes")).alias("drug_hypothesis_aes"),
+        arr_join(F.sort_array("disease_aes_from_drugs")).alias("disease_aes_from_drugs"),
         F.round("drug_hypothesis_aes_score", 6).alias("drug_hypothesis_aes_score"),
         F.round("disease_aes_score", 6).alias("disease_aes_score"),
         F.round("drug_hypothesis_disease_aes_score", 6).alias("aes_blend_score"),
@@ -54,8 +55,8 @@ SELECT 'EFO_D1' AS disease_id,
        'G1' AS target_name,
        'disease one' AS disease_name,
        'DR1' AS drug_hypothesis,
-       ['ae1','ae2'] AS drug_hypothesis_aes,
-       ['ae2','ae3','ae4'] AS disease_aes_from_drugs,
+       'ae1,ae2' AS drug_hypothesis_aes,
+       'ae2,ae3,ae4' AS disease_aes_from_drugs,
        0.5 AS drug_hypothesis_aes_score,
        0.333333 AS disease_aes_score,
        0.4 AS aes_blend_score

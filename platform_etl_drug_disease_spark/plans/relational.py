@@ -26,7 +26,7 @@ from platform_etl_drug_disease_spark.operators.joins import (
     semi_join,
 )
 from platform_etl_drug_disease_spark.operators.windows import top_n_per_group
-from platform_etl_drug_disease_spark.plans._util import davg, dround, dsum
+from platform_etl_drug_disease_spark.plans._util import arr_join, davg, dround, dsum
 from platform_etl_drug_disease_spark.schemas import load_table
 
 
@@ -350,11 +350,13 @@ GROUP BY bucket
 
 def segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
-    return group_collect_set(cust, ["c_nationkey"], "c_mktsegment", "segments")
+    collected = group_collect_set(cust, ["c_nationkey"], "c_mktsegment", "segments")
+    return collected.select("c_nationkey", arr_join("segments").alias("segments"))
 
 
 _SEGMENTS_SQL = """
-SELECT c_nationkey, list_sort(array_agg(DISTINCT c_mktsegment)) AS segments
+SELECT c_nationkey,
+       array_to_string(list_sort(array_agg(DISTINCT c_mktsegment)), ',') AS segments
 FROM customer GROUP BY c_nationkey
 """
 
@@ -362,13 +364,18 @@ FROM customer GROUP BY c_nationkey
 def top_prices_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 (reference form): collect-then-sort-then-slice (sim.sc:297-298)."""
     li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-    return grouped_top_k(
+    topk = grouped_top_k(
         li, ["l_returnflag"], "l_extendedprice", k=5, out="top_prices", bounded=False
+    )
+    return topk.select(
+        "l_returnflag", arr_join("top_prices", "decimal(18,2)").alias("top_prices")
     )
 
 
 _TOP_PRICES_SQL = """
-SELECT l_returnflag, (list_sort(list(l_extendedprice), 'DESC'))[1:5] AS top_prices
+SELECT l_returnflag,
+       array_to_string(list_transform((list_sort(list(l_extendedprice), 'DESC'))[1:5],
+                                      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top_prices
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -607,9 +614,14 @@ def price_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_quantiles_per_flag). Sketch internals are engine-specific →
     rows-only driver check; accuracy asserted vs exact in tests."""
     li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-    return li.groupBy("l_returnflag").agg(
+    sketched = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("approx_pcts"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return sketched.select(
+        "l_returnflag",
+        arr_join("approx_pcts", "decimal(18,2)").alias("approx_pcts"),
+        "n",
     )
 
 

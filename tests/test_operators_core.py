@@ -244,7 +244,8 @@ def test_approx_percentile_close_to_exact(spark):
     sf = "/root/testdata/sf0.001"
     exact = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
              for r in price_quantiles_per_flag(spark, sf).collect()}
-    approx = {r["l_returnflag"]: r["approx_pcts"]
+    # approx_pcts is a driver-safe joined string (see plans/_util.arr_join)
+    approx = {r["l_returnflag"]: [float(x) for x in r["approx_pcts"].split(",")]
               for r in price_tdigest_quantiles(spark, sf).collect()}
     for flag, (p25, p50, p75) in exact.items():
         for a, e in zip(approx[flag], (p25, p50, p75)):

@@ -1,8 +1,18 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every ``queries()`` entry in Spark and its ``oracle_sql()`` in DuckDB on
-the same sf dir, then compares row count, column names, and an
-order-insensitive value representation. Run before every commit:
+the same sf dir, then compares the way the driver does: both results go
+through pandas (``toPandas()`` / ``rel.df()``), columns sorted by name, rows
+canonically ordered, then exact value AND dtype comparison. This is strictly
+at-least-as-hard as the driver's check, which surfaced two failure classes
+round 1 that a collect()-based compare hid:
+
+- array-typed output columns crash the driver's ``sort_values`` canonicalizer
+  (``TypeError: unhashable type: 'list'``) → here an explicit FAIL;
+- DuckDB HUGEINT sums land in pandas as float64 while Spark emits int64 —
+  equal values, different hashes → here a dtype FAIL.
+
+Run before every commit:
 
     python tools/oracle_check.py [--sf /root/testdata/sf0.01] [name ...]
 """
@@ -11,41 +21,85 @@ from __future__ import annotations
 
 import argparse
 import glob
-import math
 import sys
-from datetime import date, datetime
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 
-def _norm(v):
-    """Canonicalize a cell for cross-engine comparison."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return repr(float(v))
-        return repr(v)
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
-    if isinstance(v, (datetime, date)):
-        return v.isoformat()
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return repr(float(v))
-    except ImportError:
-        pass
-    return repr(v)
+def _strip_object_nan(df: pd.DataFrame) -> pd.DataFrame:
+    """Unify missing-value spelling (None vs NaN) in object columns only."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].where(pd.notna(df[c]), None)
+    return df
 
 
-def rows_key(rows, colnames):
-    """Sort columns by name, then rows, producing a canonical multiset repr."""
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+def _array_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells are lists/ndarrays — they crash the driver."""
+    bad = []
+    for c in df.columns:
+        if df[c].dtype == object:
+            for v in df[c]:
+                if v is None:
+                    continue
+                if isinstance(v, (list, tuple, np.ndarray, dict)):
+                    bad.append(c)
+                break
+    return bad
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted by a
+    stable stringified key (avoids sort_values dtype pitfalls while giving
+    the same multiset semantics)."""
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    if len(df) == 0:
+        return df
+    key = df.astype(str).agg("|".join, axis=1).to_numpy()
+    order = np.argsort(key, kind="stable")
+    return df.iloc[order].reset_index(drop=True)
+
+
+def compare_frames(sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
+    """Return list of problems; empty = driver-green equivalent."""
+    problems = []
+    if len(sp) != len(du):
+        problems.append(f"rowcount spark={len(sp)} duckdb={len(du)}")
+    if sorted(sp.columns) != sorted(du.columns):
+        problems.append(
+            f"columns spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"
+        )
+        return problems
+    bad_sp, bad_du = _array_cols(sp), _array_cols(du)
+    if bad_sp or bad_du:
+        problems.append(
+            f"driver-unsafe array/struct cells (canonicalizer would crash): "
+            f"spark={bad_sp} duckdb={bad_du}"
+        )
+        return problems
+    sp, du = _strip_object_nan(sp.copy()), _strip_object_nan(du.copy())
+    sp, du = canon(sp), canon(du)
+    for c in sp.columns:
+        if sp[c].dtype != du[c].dtype:
+            problems.append(
+                f"dtype mismatch on {c}: spark={sp[c].dtype} duckdb={du[c].dtype} "
+                f"(driver hashes dtype-sensitively)"
+            )
+    if problems:
+        return problems
+    for c in sp.columns:
+        if not sp[c].equals(du[c]):
+            neq = sp[c] != du[c]
+            # NaN-safe count: equals() already treats NaN==NaN
+            n = int(neq.sum())
+            i = int(np.argmax(neq.to_numpy())) if n else 0
+            problems.append(
+                f"values differ on {c} ({n} rows): "
+                f"spark={sp[c].iloc[i]!r} duckdb={du[c].iloc[i]!r}"
+            )
+    return problems
 
 
 def main() -> int:
@@ -71,45 +125,33 @@ def main() -> int:
     for name in names:
         try:
             sdf = queries[name](spark, args.sf)
-            srows = sdf.collect()
-            scols = sdf.columns
+            sp = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, no oracle)")
+            bad = _array_cols(sp)
+            if bad:
+                print(f"FAIL  {name}: rows-only but driver-unsafe array cols {bad}")
+                failures.append(name)
+            else:
+                print(f"ok?   {name}: rows-only ({len(sp)} rows, no oracle)")
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            du = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
-        if not problems:
-            skey, dkey = rows_key(srows, scols), rows_key(drows, dcols)
-            if skey != dkey:
-                n_diff = sum(1 for a, b in zip(skey, dkey) if a != b)
-                problems.append(f"values differ ({n_diff}/{len(skey)} rows)")
-                for a, b in list(zip(skey, dkey))[:200]:
-                    if a != b:
-                        problems.append(f"  spark : {a[:200]}")
-                        problems.append(f"  duckdb: {b[:200]}")
-                        break
+        problems = compare_frames(sp, du)
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems[:1]))
             for p in problems[1:]:
-                print(p)
+                print(f"      {p}")
             failures.append(name)
         else:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            print(f"PASS  {name} ({len(sp)} rows)")
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
     return 1 if failures else 0
 
