@@ -14,7 +14,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # headline set: the shuffle/join/agg-heavy queries that dominate runtime and
-# exercise every operator family end to end.
+# exercise every operator family end to end — INCLUDING the scale-riskiest
+# plans (candidate-generation joins, the full pipeline DAG), so a regression
+# in a scale-critical path shows up here, not only in PERF.md.
 HEADLINE = [
     "flagship_harmonic_topk",
     "pricing_summary",
@@ -30,12 +32,16 @@ HEADLINE = [
     "segment_acctbal_zscore",
     "dedup_minhash_lsh",
     "dedup_cluster_components",
+    "dedup_ngram_jaccard",
     "clean_corpus_stats",
     "asof_latest_click",
     "errors_near_purchase",
     "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "embedding_near_dup",
     "streaming_hourly_windows",
     "multimodal_features",
+    "drug_disease_pipeline",
 ]
 
 

@@ -39,10 +39,19 @@ def explode_col(
 def overlap_coefficient(a: Column | str, b: Column | str) -> Column:
     """The reference's AE-profile overlap score (sim.sc:502-508 semantics):
     ``1 - size(array_except(a, b)) / size(a)`` — fraction of ``a``'s elements
-    also in ``b`` — null-safe: returns null when ``a`` is null/empty (the
-    reference's raw division yields null via divide-by-zero; we make that
-    explicit with nullif)."""
+    also in ``b``.
+
+    Edge semantics, made EXPLICIT so they cannot shift with engine config:
+    both degenerate inputs — ``a`` null and ``a`` empty — return null ("no
+    profile to overlap"). The reference's raw expression is config-dependent
+    here: its legacy runtime (``sizeOfNull = -1``) yields 0.0 for null input,
+    while ANSI ``size`` semantics yield null; we pin the normalized
+    null-means-absent form with an explicit ``when`` guard. Asserted in
+    tests/test_operators_core.py::test_overlap_coefficient_null_safe."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     denom = F.nullif(F.size(ca).cast("double"), F.lit(0.0))
-    return F.lit(1.0) - F.size(F.array_except(ca, cb)).cast("double") / denom
+    return F.when(
+        ca.isNotNull(),
+        F.lit(1.0) - F.size(F.array_except(ca, cb)).cast("double") / denom,
+    )

@@ -64,11 +64,19 @@ def knn_bruteforce(
 
 
 def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (no RNG state: components are
-    ``sin(p*dim + d)``-derived, identical on every engine/run)."""
-    return [
-        [math.sin(p * dim + d + 1.0) for d in range(dim)] for p in range(n_planes)
-    ]
+    """Deterministic pseudo-random Gaussian hyperplanes. Seeded Mersenne
+    Twister per plane — platform-stable, so every engine/run sees identical
+    constants (they ship into query plans as literals; nothing about the RNG
+    needs to be SQL-expressible). Gaussian components give near-independent
+    sign bits, unlike smooth sin-derived planes whose correlated bits cost
+    LSH recall."""
+    import random
+
+    planes = []
+    for p in range(n_planes):
+        rng = random.Random(1_000_003 * (p + 1))
+        planes.append([rng.gauss(0.0, 1.0) for _ in range(dim)])
+    return planes
 
 
 def lsh_sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
@@ -81,6 +89,111 @@ def lsh_sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
         )
         bucket = bucket + bit
     return bucket
+
+
+def band_keys(
+    vec: Column, planes: list[list[float]], n_bands: int, band_bits: int
+) -> Column:
+    """Banded sign-LSH keys: one packed integer per band of ``band_bits``
+    sign bits (MinHash-band-style OR-amplification for cosine). Returns an
+    ``array<struct<band:int, key:int>>`` ready to explode into a bucket
+    equi-join. Deterministic: plane dot products are IEEE left folds,
+    identical across engines, so the keys are SQL-reproducible."""
+    assert len(planes) == n_bands * band_bits
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(c) for c in p])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for p in planes
+    ]
+    keys = []
+    for b in range(n_bands):
+        k = F.lit(0)
+        for i in range(band_bits):
+            k = k + bits[b * band_bits + i] * F.lit(1 << i)
+        keys.append(
+            F.struct(F.lit(b).cast("int").alias("band"), k.cast("int").alias("key"))
+        )
+    return F.array(*keys)
+
+
+def banded_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int,
+    n_bands: int = 8,
+    band_bits: int = 2,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane-LSH blocking + exact
+    cosine verify — the scale shape that replaces a block-wide all-pairs
+    self-join (a cartesian-class scale-killer on any large block; the same
+    candidate-generation/verify split as MinHash-LSH text dedup).
+
+    Pair semantics: two rows are candidates iff they agree on ALL bits of at
+    least ONE band (and match ``block_cols``); candidates are deduplicated
+    and then exactly verified (cosine >= threshold). Per-pair match
+    probability is ``1-(1-p^band_bits)^n_bands`` with ``p = 1 - angle/pi`` —
+    tune bands/bits to the operating threshold (near-dup at tau >= 0.9 wants
+    wider bands, e.g. 8-16 bits, where blocking prunes exponentially).
+
+    Plan shape: band keys are computed map-side (JVM fold, no Python), the
+    candidate join is a shuffle equi-join on (band, key, block_cols) carrying
+    only ids, and vectors are re-fetched for the O(candidates) verify —
+    vectors never ride the candidate shuffle.
+    """
+    block_cols = block_cols or []
+    planes = hyperplanes(dim, n_bands * band_bits)
+    # persist the pruned projection with PRE-NORMALIZED vectors: it fans out
+    # 4 ways (both sides of the candidate join + both vector lookups of the
+    # verify), and normalizing once at cache-fill time means the per-pair
+    # verify needs a single dot fold instead of dot + two norms — the HOF
+    # folds are interpreted (no codegen), so this cuts the verify hot loop
+    # to a third. cosine(a, b) == dot(â, b̂).
+    v = as_double(vec_col)
+    normalized = F.transform(v, lambda x: x / F.sqrt(dot(v, v)))
+    src = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], normalized.alias("__nv")
+    ).persist()
+    keyed = src.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(band_keys(F.col("__nv"), planes, n_bands, band_bits)).alias(
+            "__bk"
+        ),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), *[F.col(c) for c in block_cols], "__bk"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col("__bk").alias("__bk_b"),
+    )
+    cond = [a["__bk"] == b["__bk_b"]] + [
+        a[c] == b[f"__b_{c}"] for c in block_cols
+    ]
+    candidates = (
+        a.join(b, cond)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *block_cols)
+        .distinct()
+    )
+    va = src.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"))
+    vb = src.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"))
+    verified = (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            *block_cols,
+            F.round(dot(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
+        )
+    )
+    return verified.where(F.col("cosine_sim") >= threshold)
 
 
 def knn_lsh(

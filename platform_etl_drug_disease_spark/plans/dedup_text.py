@@ -191,27 +191,37 @@ HAVING COUNT(*) > 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared-shingle-blocked trigram Jaccard pairs ≥ 0.5, lang-blocked."""
+    """Shared-shingle-blocked trigram Jaccard pairs ≥ 0.5, lang-blocked,
+    with the df>256 hot-shingle cap on candidate generation (exact verify
+    over full shingle arrays — see operators/dedup.jaccard_candidates)."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
     return jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.5, block_col="lang"
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, block_col="lang",
+        max_shingle_df=256,
     )
 
 
+# Mirrors the Spark pipeline exactly: df-capped candidates, then exact
+# Jaccard over the FULL arrays (hot shingles count toward the value).
 _JACCARD_SQL = _SHINGLES_CTE + """
 , ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM sh),
-shared AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-    FROM ex a JOIN ex b
+hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 256),
+cold AS (SELECT doc_id, lang, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM cold a JOIN cold b
       ON a.s = b.s AND a.doc_id < b.doc_id AND a.lang = b.lang
-    GROUP BY 1, 2
-), sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh)
-SELECT id_a, id_b,
-       round(n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
-FROM shared
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE n_shared * 1.0 / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           round(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) * 1.0
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))), 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON c.id_a = sa.doc_id
+    JOIN sh sb ON c.id_b = sb.doc_id
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 

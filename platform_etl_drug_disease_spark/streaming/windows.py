@@ -152,22 +152,34 @@ def stream_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def write_batch_idempotent(batch_df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent micro-batch landing: each batch overwrites its own
+    ``batch_id=<id>`` partition directory. foreachBatch alone is only
+    at-least-once — a crash after a blind append but before the checkpoint
+    commit would replay the batch and duplicate its rows on restart; keying
+    the write by batch_id makes the replay overwrite the same files instead,
+    restoring an exactly-once EFFECT. Readers see ``batch_id`` as a normal
+    partition column (and can prune on it)."""
+    batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+
 def run_foreach_batch_parquet(
     stream_df: DataFrame,
     path: str,
     checkpoint_dir: str,
     output_mode: str = "append",
 ) -> int:
-    """Production sink path: land a stream into partition-appended parquet
-    via ``foreachBatch`` — each micro-batch is written as a normal batch
-    DataFrame (so any batch writer feature — partitionBy, bucketing, merge
-    logic — is available), with exactly-once bookkeeping from the streaming
-    checkpoint. Runs with Trigger.AvailableNow (drain-what-exists) and
-    returns the number of micro-batches written."""
+    """Production sink path: land a stream into parquet via ``foreachBatch``
+    — each micro-batch is written as a normal batch DataFrame (so any batch
+    writer feature — partitionBy, bucketing, merge logic — is available).
+    The streaming checkpoint gives at-least-once replay; combined with the
+    per-batch_id idempotent write it is exactly-once in effect even across a
+    crash inside the write/commit window. Runs with Trigger.AvailableNow
+    (drain-what-exists) and returns the number of micro-batches written."""
     batches = {"n": 0}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(path)
+        write_batch_idempotent(batch_df, path, batch_id)
         batches["n"] += 1
 
     q = (

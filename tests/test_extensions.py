@@ -89,6 +89,33 @@ def test_jaccard_pairs_find_near_dup(spark):
     assert all({a, b} != {1, 4} for a, b in got)
 
 
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """A stop-phrase shingle shared by every doc must not make candidate
+    generation quadratic: the df cap drops it, while true near-dups (which
+    also share low-df shingles) are still found with EXACT jaccard values
+    (verify runs over the full arrays, hot shingles included)."""
+    from platform_etl_drug_disease_spark.operators.dedup import jaccard_candidates
+    from platform_etl_drug_disease_spark.operators.text import with_shingles
+
+    common = "as an official disclaimer this document is provided as is"
+    rows = [(i, f"{common} unique filler number {i} body {i * 7}") for i in range(40)]
+    rows += [(100, f"{common} the quick brown fox jumps over the lazy dog"),
+             (101, f"{common} the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = with_shingles(df.select("doc_id", "text"), "text", 3).select("doc_id", "sh")
+
+    uncapped = jaccard_candidates(sh, "doc_id", max_shingle_df=None).count()
+    capped = jaccard_candidates(sh, "doc_id", max_shingle_df=16).count()
+    assert uncapped == 42 * 41 // 2, "stop-phrase makes the uncapped join all-pairs"
+    assert capped < uncapped / 10, "df cap must collapse hot-shingle pair blowup"
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(df, "doc_id", "text", threshold=0.5,
+                                    max_shingle_df=16).collect()}
+    assert (100, 101) in pairs
+    assert pairs[(100, 101)] == 1.0, "verify must count hot shingles in the value"
+
+
 def test_minhash_candidates_superset_of_exact_dups(spark):
     cands = minhash_lsh_candidates(_docs(spark), "doc_id", "text")
     got = {(r["id_a"], r["id_b"]) for r in cands.collect()}

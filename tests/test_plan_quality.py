@@ -59,7 +59,7 @@ def test_catalog_queries_lint_clean(spark):
     query set — exempted as a deliberate, bounded cross product)."""
     import __spark_entry__ as entrymod
 
-    exempt = {"knn_cosine_bruteforce", "knn_cosine_lsh", "embedding_near_dup"}
+    exempt = {"knn_cosine_bruteforce", "knn_cosine_lsh"}
     for name, fn in entrymod.queries().items():
         if name in exempt:
             continue
@@ -74,6 +74,43 @@ def test_band_join_is_equi_not_nested_loop(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, (
         "bucketed band join must plan as an equi-join, not a quadratic loop"
     )
+
+
+def test_embedding_near_dup_is_bucket_equi_join(spark):
+    """The banded-LSH rewrite must plan as equi-joins — the r1 label-blocked
+    all-pairs self-join was a cartesian-class scale-killer."""
+    from platform_etl_drug_disease_spark.plans.similarity import embedding_near_dup
+
+    plan = explain_string(embedding_near_dup(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, (
+        "near-dup candidates must come from the band-key equi-join"
+    )
+
+
+def test_embedding_near_dup_recall_vs_exact(spark):
+    """Banded candidates are a subset of the exact all-pairs result and the
+    Gaussian planes keep recall high at the operating threshold."""
+    from platform_etl_drug_disease_spark.operators.similarity import as_double, cosine
+    from platform_etl_drug_disease_spark.plans.similarity import embedding_near_dup
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    got = {(r.id_a, r.id_b) for r in embedding_near_dup(spark, SF_SMOKE).collect()}
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("label").alias("lb"),
+    )
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b",
+                F.round(cosine(as_double("va"), as_double("vb")), 6).alias("cs"))
+        .where(F.col("cs") >= 0.3)
+        .collect()
+    }
+    assert got <= truth, "every banded pair must verify against the exact semantics"
+    assert len(got & truth) / len(truth) >= 0.9, "banded recall degraded"
 
 
 def test_asof_join_plans_without_join_node(spark):
