@@ -63,6 +63,9 @@ def main() -> None:
         df = catalog[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # full execution, no collect cost
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries are standalone: drop their persisted intermediates so later
+        # timings aren't distorted by accumulated cache blocks + GC pressure.
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
