@@ -65,10 +65,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, columns: list[str] |
     if name == "events":
         # the fixture's ts is parquet TIMESTAMP(NANOS), which Spark's reader
         # rejects; read nanos as long and truncate to micros (exactly what
-        # DuckDB's nanos→micros coercion does, so oracles agree).
+        # DuckDB's nanos→micros coercion does, so oracles agree). Re-written
+        # copies of the fixture (tools/make_scaled_sf.py, third-party dumps)
+        # may carry ts as a real micros timestamp instead — normalize both
+        # spellings to TIMESTAMP (session tz is pinned UTC) by dtype.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if columns:

@@ -132,3 +132,32 @@ def test_write_json_target_partitions(spark, tmp_path):
     parts = [e for e in os.listdir(path) if e.startswith("part-")]
     assert len(parts) == 4
     assert read_json(spark, path, "id bigint").count() == 100
+
+
+def test_load_table_events_ts_both_spellings(spark, tmp_path):
+    """events.ts may arrive as TIMESTAMP(NANOS)-as-INT64 (the fixture) or as
+    a real micros timestamp (any DuckDB/Spark re-write of the fixture, e.g.
+    tools/make_scaled_sf.py). load_table must normalize both to TIMESTAMP
+    with identical values."""
+    import duckdb
+
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    src = "/root/testdata/sf0.001"
+    native = load_table(spark, src, "events")
+    assert dict(native.dtypes)["ts"] == "timestamp"
+
+    # DuckDB round-trip re-writes ts as TIMESTAMP_MICROS (its widest parquet
+    # timestamp) — the second on-disk spelling.
+    out = str(tmp_path / "rewritten")
+    os.makedirs(out)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/events.parquet')) "
+        f"TO '{out}/events.parquet' (FORMAT PARQUET)"
+    )
+    rewritten = load_table(spark, out, "events")
+    assert dict(rewritten.dtypes)["ts"] == "timestamp"
+
+    a = sorted(native.select("event_id", "ts").collect())
+    b = sorted(rewritten.select("event_id", "ts").collect())
+    assert a == b

@@ -98,6 +98,10 @@ def main() -> None:
             if c in shift_cols:
                 stride = strides[STRIDE_OWNER[c]]
                 select.append(f"{c} + r.rep * {stride} AS {c}")
+            # NOTE: events.ts arrives as parquet TIMESTAMP(NANOS) and leaves
+            # as TIMESTAMP_MICROS (DuckDB's widest parquet timestamp). The
+            # engine's reader (schemas.load_table) normalizes both spellings
+            # by dtype, and truncating nanos→micros matches the read path.
             else:
                 select.append(c)
         copy(
