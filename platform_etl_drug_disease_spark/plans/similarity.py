@@ -1,8 +1,12 @@
 """Similarity-search catalog over the ``embeddings`` table: exact brute-force
-cosine top-k (baseline) and hyperplane-LSH bucketed top-k (the scale path).
+cosine top-k (baseline), hyperplane-LSH bucketed top-k, IVF cell-partitioned
+top-k, and banded-LSH embedding near-dup.
 
-The oracle computes cosine with the *identical* accumulation order
-(index-ascending left fold) so values agree bit-for-bit before rounding.
+Every operator (and every oracle) scores with ONE arithmetic: unit-normalize
+each vector once (left-fold norm, nullif zero), then cosine(a, b) ==
+dot(â, b̂) as a single index-ascending left fold. DuckDB reproduces the same
+IEEE operations in the same order, so values agree bit-for-bit before
+rounding and approximate results are provably subsets of exact ones.
 """
 
 from __future__ import annotations
@@ -13,7 +17,6 @@ from pyspark.sql import functions as F
 from platform_etl_drug_disease_spark.operators.similarity import (
     as_double,
     banded_near_dup,
-    cosine,
     hyperplanes,
     knn_bruteforce,
     knn_ivf,
@@ -21,11 +24,23 @@ from platform_etl_drug_disease_spark.operators.similarity import (
 )
 from platform_etl_drug_disease_spark.schemas import load_table
 
-# DuckDB cosine with Spark-identical fold order.
-_COS = """
-list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), (x,y) -> x + y)
-/ nullif(sqrt(list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {a}[i]), (x,y) -> x + y))
-       * sqrt(list_reduce(list_transform(range(1, len({b}) + 1), i -> {b}[i] * {b}[i]), (x,y) -> x + y)), 0.0)
+_DIM = 64
+
+# DuckDB unit-normalization and normalized-dot with Spark-identical fold order.
+_NORM = (
+    f"sqrt(list_reduce(list_transform(range(1, {_DIM} + 1), "
+    f"i -> v[i] * v[i]), (x, y) -> x + y))"
+)
+_NDOT = (
+    f"round(list_reduce(list_transform(range(1, {_DIM} + 1), "
+    f"i -> {{a}}[i] * {{b}}[i]), (x, y) -> x + y), 6)"
+)
+# e → n: vectors as unit doubles (the CTE every oracle starts from).
+_UNIT_CTES = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+n AS (SELECT vec_id, label,
+             list_transform(v, x -> x / nullif({_NORM}, 0.0)) AS nv
+      FROM e)
 """
 
 
@@ -42,12 +57,12 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KNN_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+WITH {_UNIT_CTES},
+q AS (SELECT vec_id AS q_id, nv AS qnv FROM n WHERE vec_id < 5),
 scored AS (
     SELECT q.q_id, c.vec_id AS c_id,
-           round({_COS.format(a="q.qv", b="c.v")}, 6) AS cosine_sim
-    FROM q JOIN e c ON q.q_id != c.vec_id
+           {_NDOT.format(a="q.qnv", b="c.nv")} AS cosine_sim
+    FROM q JOIN n c ON q.q_id != c.vec_id
 ), ranked AS (
     SELECT q_id, c_id, cosine_sim,
            CAST(row_number() OVER (PARTITION BY q_id
@@ -58,29 +73,62 @@ SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
-_ND_BANDS, _ND_BITS, _ND_DIM, _ND_TAU = 8, 2, 64, 0.3
+# ---------------------------------------------------------------------------
+# embedding near-dup: banded LSH + exact verify over an augmented corpus with
+# PLANTED near-duplicates.
+# ---------------------------------------------------------------------------
+
+_ND_BANDS, _ND_BITS, _ND_TAU = 8, 10, 0.85
+_PLANT_STRIDE, _PLANT_OFFSET = 10, 10_000_000
+
+
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table plus a deterministic near-duplicate of every
+    ``_PLANT_STRIDE``-th vector: component i scaled by ``1 + 0.01*((i%5)-2)``
+    (±2% per-coordinate jitter → cosine ≈ 0.999 to its source). Planting
+    gives the near-dup query KNOWN ground-truth pairs at every scale factor —
+    the raw table is near-uniform (within-label cosines top out ≈ 0.41), so a
+    true near-dup threshold would otherwise return an empty, untestable
+    result. The same augmentation is reproduced in the oracle SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", as_double("embedding").alias("embedding"), "label"
+    )
+    jitter = lambda x, i: x * (  # noqa: E731
+        F.lit(1.0) + F.lit(0.01) * ((i % F.lit(5)) - F.lit(2)).cast("double")
+    )
+    planted = base.where(F.col("vec_id") % _PLANT_STRIDE == 0).select(
+        (F.col("vec_id") + F.lit(_PLANT_OFFSET)).alias("vec_id"),
+        F.transform("embedding", jitter).alias("embedding"),
+        F.col("label"),
+    )
+    return base.unionByName(planted)
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: banded hyperplane-LSH candidate
-    generation (8 bands x 2 sign bits, same-label blocking) + exact cosine
-    verify at threshold 0.3.
+    """Embedding-cosine near-dup pairs at a genuine near-dup threshold
+    (τ=0.85): banded hyperplane-LSH candidate generation (8 bands × 10 sign
+    bits → 1024-way split per band, same-label blocking) + exact cosine
+    verify, over the planted-duplicate corpus (see
+    :func:`_augmented_embeddings`).
 
-    Round 1 shipped this as a label-blocked ALL-PAIRS self-join — a
-    cartesian-class scale-killer once any label block is large (VERDICT r1).
-    The banded form is the same candidate/verify split as
-    ``dedup_minhash_lsh``: candidates are pairs agreeing on all bits of >= 1
-    band, the join is a bucket equi-join carrying ids only, verify cost is
-    O(candidates). The banding is deterministic (sin-derived planes, IEEE
-    left-fold dots), so the oracle below reproduces it bit-for-bit and the
-    result stays value-hash-checked."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    Round 1 shipped this as a label-blocked ALL-PAIRS self-join (VERDICT r1);
+    the first banded rewrite used 2-bit bands at τ=0.3 — only a 4-way split,
+    still quadratic-in-practice on uniform data, because low thresholds are
+    not prunable by sign-LSH (p(τ=0.3)=0.597 vs p(random)=0.5). This version
+    operates where LSH actually prunes exponentially: planted pairs
+    (cos≈0.999, p≈0.986/bit) are recovered with P(miss) < 1e-7 per pair,
+    while random pairs survive a band with probability ~2^-10.
+
+    Fully deterministic (Gaussian planes as literals, IEEE left folds, ±2%
+    literal jitter) → the oracle reproduces candidates AND cosines
+    bit-for-bit; the result stays value-hash-checked."""
     return banded_near_dup(
-        emb.select(F.col("vec_id"), F.col("embedding"), F.col("label")),
+        _augmented_embeddings(spark, sf_dir),
         id_col="vec_id",
         vec_col="embedding",
         threshold=_ND_TAU,
-        dim=_ND_DIM,
+        dim=_DIM,
         n_bands=_ND_BANDS,
         band_bits=_ND_BITS,
         block_cols=["label"],
@@ -89,20 +137,16 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _near_dup_sql() -> str:
     """Generate the DuckDB mirror of the banded-LSH near-dup query: the same
-    Gaussian planes inlined as literals, the same pre-normalization, the same
-    left-fold dot products and band packing — identical candidates AND
-    identical cosine bits by construction (cosine(a,b) == dot(â,b̂); both
-    engines divide by the same left-fold norm then fold in index order)."""
-    planes = hyperplanes(_ND_DIM, _ND_BANDS * _ND_BITS)
-    norm = (
-        f"sqrt(list_reduce(list_transform(range(1, {_ND_DIM} + 1), "
-        f"i -> v[i] * v[i]), (x, y) -> x + y))"
-    )
+    planted augmentation, the same Gaussian planes inlined as literals, the
+    same unit-normalization and left-fold dot products, the same band
+    packing — identical candidates AND identical cosine bits by
+    construction."""
+    planes = hyperplanes(_DIM, _ND_BANDS * _ND_BITS)
     bit_exprs = []
     for p, plane in enumerate(planes):
         lit = "[" + ", ".join(repr(c) for c in plane) + "]"
         d = (
-            f"list_reduce(list_transform(range(1, {_ND_DIM} + 1), "
+            f"list_reduce(list_transform(range(1, {_DIM} + 1), "
             f"i -> nv[i] * ({lit})[i]), (x, y) -> x + y)"
         )
         bit_exprs.append(f"CASE WHEN {d} >= 0 THEN 1 ELSE 0 END AS bit_{p}")
@@ -114,13 +158,21 @@ def _near_dup_sql() -> str:
         band_rows.append(
             f"SELECT vec_id, label, {b} AS band, ({key}) AS key FROM bits"
         )
-    ndot = (
-        f"list_reduce(list_transform(range(1, {_ND_DIM} + 1), "
-        f"i -> ea.nv[i] * eb.nv[i]), (x, y) -> x + y)"
-    )
+    ndot = _NDOT.format(a="ea.nv", b="eb.nv")
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-n AS (SELECT vec_id, label, list_transform(v, x -> x / {norm}) AS nv FROM e),
+aug AS (
+    SELECT vec_id, v, label FROM e
+    UNION ALL
+    SELECT vec_id + {_PLANT_OFFSET},
+           list_transform(range(1, {_DIM} + 1),
+               i -> v[i] * (1.0 + 0.01 * CAST(((i - 1) % 5 - 2) AS DOUBLE))),
+           label
+    FROM e WHERE vec_id % {_PLANT_STRIDE} = 0
+),
+n AS (SELECT vec_id, label,
+             list_transform(v, x -> x / nullif({_NORM}, 0.0)) AS nv
+      FROM aug),
 bits AS (SELECT vec_id, label, nv, {", ".join(bit_exprs)} FROM n),
 keyed AS ({" UNION ALL ".join(band_rows)}),
 cand AS (
@@ -130,7 +182,7 @@ cand AS (
      AND a.vec_id < b.vec_id
 ),
 scored AS (
-    SELECT c.id_a, c.id_b, c.label, round({ndot}, 6) AS cosine_sim
+    SELECT c.id_a, c.id_b, c.label, {ndot} AS cosine_sim
     FROM cand c
     JOIN n ea ON ea.vec_id = c.id_a
     JOIN n eb ON eb.vec_id = c.id_b
@@ -154,54 +206,74 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    return knn_lsh(queries, candidates, dim=64, k=5, n_planes=4)
+    return knn_lsh(queries, candidates, dim=_DIM, k=5, n_planes=4)
 
 
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5: centroids are every 50th vector (deterministic,
-    data-derived — a k-means stand-in), candidates partition into their
-    nearest cell, queries probe the 2 nearest cells and rerank exactly.
-    Fully deterministic (rounded cosines + id tie-breaks) → value-hash
-    oracle, unlike the LSH variant."""
-    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    """IVF approximate top-5: ~√n centroids sampled deterministically from
+    the data (every ``ceil(n/ceil(√n))``-th vector id — a k-means stand-in),
+    candidates partition into their nearest cell, queries probe the 2 nearest
+    cells and rerank exactly. Fully deterministic (rounded cosines + id
+    tie-breaks) → value-hash oracle, unlike the LSH variant.
+
+    The centroid count MUST be sublinear in the corpus: round 1 used a fixed
+    id stride (every 50th vector), which grows C linearly with n and makes
+    the assign stage n×C = O(n²/50) folds — 195 s at sf≈1 vs ~8 s with √n
+    cells. The stride is computed declaratively (count aggregate broadcast
+    into the filter), no driver-side collect.
+
+    The pruned (vec_id, embedding) projection is persisted: it fans out four
+    ways (candidates, queries, the stride count, the centroid filter)."""
+    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"]).persist()
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     candidates = emb.select(
         F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
     )
-    centroids = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    stride = emb.agg(
+        F.ceil(F.count(F.lit(1)) / F.ceil(F.sqrt(F.count(F.lit(1)))))
+        .cast("bigint")
+        .alias("__stride")
+    )
+    centroids = (
+        emb.crossJoin(F.broadcast(stride))
+        .where(F.col("vec_id") % F.col("__stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
     )
     return knn_ivf(queries, candidates, centroids, k=5, nprobe=2)
 
 
 _IVF_SQL = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+WITH {_UNIT_CTES},
+cents AS (
+    SELECT vec_id AS cent_id, nv AS cnv FROM n
+    WHERE vec_id % (SELECT CAST(CEIL(count(*) / CEIL(SQRT(count(*)))) AS BIGINT)
+                    FROM e) = 0
+),
 assign AS (
-    SELECT c.vec_id AS c_id, c.v AS cvv, ct.cent_id,
+    SELECT c.vec_id AS c_id, c.nv AS cvv, ct.cent_id,
            row_number() OVER (
                PARTITION BY c.vec_id
-               ORDER BY round({_COS.format(a="c.v", b="ct.cv")}, 6) DESC, ct.cent_id
+               ORDER BY {_NDOT.format(a="c.nv", b="ct.cnv")} DESC, ct.cent_id
            ) AS rn
-    FROM e c, cents ct
+    FROM n c, cents ct
 ),
 cells AS (SELECT c_id, cvv, cent_id FROM assign WHERE rn = 1),
-q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+q AS (SELECT vec_id AS q_id, nv AS qnv FROM n WHERE vec_id < 5),
 probes AS (
-    SELECT q_id, qv, cent_id FROM (
-        SELECT q.q_id, q.qv, ct.cent_id,
+    SELECT q_id, qnv, cent_id FROM (
+        SELECT q.q_id, q.qnv, ct.cent_id,
                row_number() OVER (
                    PARTITION BY q.q_id
-                   ORDER BY round({_COS.format(a="q.qv", b="ct.cv")}, 6) DESC, ct.cent_id
+                   ORDER BY {_NDOT.format(a="q.qnv", b="ct.cnv")} DESC, ct.cent_id
                ) AS rn
         FROM q, cents ct
     ) WHERE rn <= 2
 ),
 scored AS (
     SELECT p.q_id, c.c_id,
-           round({_COS.format(a="p.qv", b="c.cvv")}, 6) AS cosine_sim
+           {_NDOT.format(a="p.qnv", b="c.cvv")} AS cosine_sim
     FROM probes p JOIN cells c USING (cent_id)
     WHERE p.q_id != c.c_id
 ),

