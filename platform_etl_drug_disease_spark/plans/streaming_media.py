@@ -33,24 +33,36 @@ from platform_etl_drug_disease_spark.plans.events_time import (
 from platform_etl_drug_disease_spark.schemas import load_table
 from platform_etl_drug_disease_spark.streaming.windows import run_to_memory_sink
 
-# fixture ts is parquet TIMESTAMP(NANOS); streaming sources never infer, so
-# read nanos as long and truncate to micros exactly like schemas.load_table.
+# ts arrives in two spellings across fixture generations (TESTDATA.md):
+# TIMESTAMP(NANOS), which Spark's reader only accepts via nanosAsLong, or
+# plain TIMESTAMP_MICROS. A stream source declares its schema up front and
+# cannot sniff per-row, so pick the schema from the parquet footer
+# (schemas.events_ts_unit) — same normalization as the batch load_table.
 _EVENTS_NANOS_SCHEMA = (
     "event_id bigint, ts long, user_id bigint, event_type string,"
     " value double, props string"
 )
+_EVENTS_MICROS_SCHEMA = _EVENTS_NANOS_SCHEMA.replace("ts long", "ts timestamp")
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from platform_etl_drug_disease_spark.schemas import events_ts_unit
+
+    nanos = events_ts_unit(sf_dir) == "ns"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # glob, not a bare file path: the file stream source requires its base
     # path to be a directory (it resolves the non-glob prefix as basePath).
     raw = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(
+            _EVENTS_NANOS_SCHEMA if nanos else _EVENTS_MICROS_SCHEMA
+        )
         .format("parquet")
         .load(f"{sf_dir}/events.parquet*")
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:

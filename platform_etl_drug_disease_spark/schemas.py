@@ -55,6 +55,18 @@ HARNESS_TABLES: dict[str, str] = {
 }
 
 
+def events_ts_unit(sf_dir: str) -> str:
+    """Physical spelling of ``events.ts`` in this sf dir's parquet footer:
+    ``'ns'`` (round-1 fixtures: TIMESTAMP(NANOS), which Spark's reader only
+    accepts via nanosAsLong) or ``'us'`` (regenerated fixtures and
+    tools/make_scaled_sf.py copies: plain TIMESTAMP_MICROS). Streaming
+    sources declare their schema up front and cannot sniff per-row, so both
+    the batch and the stream reader key off this footer check."""
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type.unit)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str, columns: list[str] | None = None) -> DataFrame:
     """Read one harness table; optionally prune to ``columns`` at the scan.
 
