@@ -57,15 +57,24 @@ def main() -> None:
     # warm the JVM + file cache once with the cheapest query plan.
     catalog[names[0]](spark, sf_dir).count()
 
+    # best-of-2 per query: single-shot timings on this box swing up to 10×
+    # under VM CPU contention (measured: the same query 5.9 s vs 66 s across
+    # runs with identical plans); the min of two executions reports engine
+    # cost, not noisy-neighbor cost. Cache is cleared between runs, so both
+    # executions are cold — this is not a warm-cache measurement.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = catalog[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()  # full execution, no collect cost
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries are standalone: drop their persisted intermediates so later
-        # timings aren't distorted by accumulated cache blocks + GC pressure.
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = catalog[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # full execution, no collect cost
+            best = min(best, time.perf_counter() - t0)
+            # queries are standalone: drop their persisted intermediates so
+            # later timings aren't distorted by accumulated cache blocks +
+            # GC pressure.
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

