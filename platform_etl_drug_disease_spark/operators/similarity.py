@@ -16,6 +16,14 @@ single left-fold per comparison. Two reasons:
 - determinism: every operator (and the DuckDB oracles) produces bit-identical
   doubles for the same pair, so approximate results are provably subsets of
   exact ones and value-hash checks stay green.
+
+Measured dead end (do not retry): UNROLLING the fold into
+``v[1]*p[1] + … + v[64]*p[64]`` arithmetic — nominally codegen-friendly —
+is 4-10× SLOWER here. The 64-term trees multiply across the 80 hyperplane
+dots of band_keys into >5000-node expressions per row; generated methods
+blow past JIT/codegen size limits and Spark falls back to interpreting the
+giant tree, which loses to the compact HOF fold it replaced
+(embedding_near_dup 7 s → 80 s at sf0.1, knn_cosine_ivf 1.9 s → 7 s).
 """
 
 from __future__ import annotations
