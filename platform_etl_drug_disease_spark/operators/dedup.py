@@ -184,18 +184,43 @@ def minhash_lsh_dedup(
     at sf0.1 — caught by bench.py.)
 
     The shingle table is built ONCE and persisted — it feeds the banded
-    self-join (2 consumers) and both sides of the verify join; without the
-    persist the source is scanned 4× (caught by plan_lint).
+    self-join (2 consumers) and the exploded verify; without the persist the
+    source is scanned 4× (caught by plan_lint).
+
+    Verify ships NO arrays: shingle arrays are distinct per doc, so joining
+    candidates against the exploded (id, shingle) rows of both sides and
+    counting per pair IS the exact intersection (union follows from per-doc
+    sizes). On a duplicate-dense corpus (sf≈1 replica bench: 248k candidate
+    pairs × ~53-shingle docs) the earlier ``array_intersect`` verify moved
+    ~650 MB of array payload through the shuffle; the count verify moves
+    O(candidates × |sh|) narrow rows instead.
     """
     sh = _shingle_table(df, id_col, text_col, shingle_n).persist()
     cands = _candidates_from_shingles(sh, id_col, n_hashes, n_bands)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    ex_a = sh.select(
+        F.col(id_col).alias("id_a"), F.explode("sh").alias("shingle")
+    )
+    ex_b = sh.select(
+        F.col(id_col).alias("id_b"), F.explode("sh").alias("shingle")
+    )
+    inter_cnt = (
+        cands.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("__sz"))
+    inter = F.col("__inter").cast("double")
+    union = (F.col("__sz_a") + F.col("__sz_b")).cast("double") - inter
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
+        inter_cnt.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")),
+            "id_b",
+        )
         .withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
