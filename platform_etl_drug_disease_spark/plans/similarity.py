@@ -26,6 +26,21 @@ from platform_etl_drug_disease_spark.schemas import load_table
 
 _DIM = 64
 
+
+def _load_emb(spark: SparkSession, sf_dir: str, columns: list[str] | None = None):
+    """embeddings table with compute-shaped partitioning: the fixture is a
+    single small parquet file → one input partition, which would run every
+    map-heavy vector stage (n×C assign folds, 80-plane band keys) on one
+    core. Repartition by vec_id up to the cluster's slot count when the scan
+    arrives skinnier — the same partition-follows-compute rule as
+    operators/dedup._shingle_table; a no-op on a well-partitioned corpus."""
+    df = load_table(spark, sf_dir, "embeddings", columns)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, "vec_id")
+    return df
+
+
 # DuckDB unit-normalization and normalized-dot with Spark-identical fold order.
 _NORM = (
     f"sqrt(list_reduce(list_transform(range(1, {_DIM} + 1), "
@@ -46,7 +61,7 @@ n AS (SELECT vec_id, label,
 
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 neighbours for query vectors (vec_id < 5) by cosine."""
-    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"])
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -90,7 +105,7 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw table is near-uniform (within-label cosines top out ≈ 0.41), so a
     true near-dup threshold would otherwise return an empty, untestable
     result. The same augmentation is reproduced in the oracle SQL."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_emb(spark, sf_dir)
     base = emb.select(
         "vec_id", as_double("embedding").alias("embedding"), "label"
     )
@@ -199,7 +214,7 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only within-bucket pairs are scored (deterministic planes, so the result
     is stable — but engine-specific plumbing → rows-only driver check;
     recall vs brute force is asserted in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"])
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -224,7 +239,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pruned (vec_id, embedding) projection is persisted: it fans out four
     ways (candidates, queries, the stride count, the centroid filter)."""
-    emb = load_table(spark, sf_dir, "embeddings", ["vec_id", "embedding"]).persist()
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"]).persist()
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
