@@ -359,7 +359,19 @@ def jaccard_pairs(
     sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
         *cols, F.col("sh"), F.size("sh").alias("__sz")
     ).persist()
-    exploded = sh.select(*cols, F.col("__sz"), F.explode("sh").alias("shingle"))
+    # shingles ride every downstream shuffle as 8-byte xxhash64 keys, not
+    # ~25-byte strings: the verify fan-out (candidates × |sh| rows) is the
+    # dominant shuffle, and long keys cut its bytes ~3× and make the joins/
+    # aggregations integer-keyed. Collision risk is birthday-bounded over
+    # the DISTINCT shingle vocabulary (~272k at sf≈1 → P ≈ 4e-9); a
+    # collision would merge two shingles corpus-wide, which both candidate
+    # generation and verify would see consistently. The canonical prefix
+    # order becomes (df, hash) — any consistent global order keeps the
+    # prefix filter lossless, so the thresholded output (and the oracle,
+    # which orders by (df, text)) is unchanged.
+    exploded = sh.select(
+        *cols, F.col("__sz"), F.explode("sh").alias("__s")
+    ).select(*cols, F.col("__sz"), F.xxhash64("__s").alias("shingle"))
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if max_shingle_df is not None:
         freq = freq.where(F.col("__df") <= max_shingle_df)
