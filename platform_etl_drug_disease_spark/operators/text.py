@@ -205,6 +205,21 @@ def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
     )
 
 
+def raw_shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (no array_distinct) — the counting form
+    for repetition analysis: a doc that repeats one phrase 50× must show 50
+    occurrences, which the set form (shingles_from_tokens) collapses. Same
+    materialized-token-column contract as shingles_from_tokens."""
+    t = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(t) >= n, gram).otherwise(F.array().cast("array<string>"))
+
+
 def with_shingles(df, text_col: str, n: int = 3, out: str = "sh"):
     """Two-step shingling: tokenize into a real column, then build n-grams by
     indexing that attribute. Always use this (not an inline expression) when

@@ -502,6 +502,138 @@ GROUP BY lang
 """
 
 
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter: per document, the fraction of
+    trigram occurrences taken by the single most-repeated trigram (counting
+    multiplicity — boilerplate/spam repeats phrases) plus lexical diversity,
+    and a boolean low-quality verdict at literal thresholds. All JVM column
+    arithmetic + one (doc, gram) count aggregation — no text ever shuffles
+    beyond the grams themselves."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.withColumn("__t", tx.tokens("text"))
+    base = toks.select(
+        "doc_id",
+        F.size("__t").alias("n_tokens"),
+        F.round(tx.distinct_token_ratio_of("__t"), 6).alias("frac_distinct"),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(tx.raw_shingles_from_tokens("__t", 3)).alias("g")
+    )
+    rep = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("__c").alias("__mx"),
+            F.count(F.lit(1)).alias("__ndistinct"),
+            F.sum("__c").alias("__tot"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.col("__mx").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("max_trigram_frac"),
+        )
+    )
+    out = base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "frac_distinct",
+        F.coalesce("max_trigram_frac", F.lit(0.0)).alias("max_trigram_frac"),
+    )
+    return out.withColumn(
+        "low_quality",
+        (F.col("frac_distinct") < 0.3) | (F.col("max_trigram_frac") > 0.2),
+    )
+
+
+_REPETITION_SQL = _TOKS_CTE + """
+, grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM toks
+),
+gc AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+rep AS (SELECT doc_id, round(MAX(c) * 1.0 / SUM(c), 6) AS max_trigram_frac
+        FROM gc GROUP BY doc_id),
+base AS (
+    SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+           round(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 6)
+               AS frac_distinct
+    FROM toks
+)
+SELECT b.doc_id, b.n_tokens, b.frac_distinct,
+       COALESCE(r.max_trigram_frac, 0.0) AS max_trigram_frac,
+       (b.frac_distinct < 0.3 OR COALESCE(r.max_trigram_frac, 0.0) > 0.2)
+           AS low_quality
+FROM base b LEFT JOIN rep r USING (doc_id)
+"""
+
+
+def decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: every ``doc_id % 100 == 0`` document
+    stands in for a held-out eval set; a training document is CONTAMINATED if
+    it shares any trigram shingle with that probe set. Per source: documents
+    screened and documents flagged.
+
+    Scale shape: the probe shingle vocabulary is tiny relative to the corpus
+    (eval sets always are), so it broadcasts and contamination is a
+    broadcast LEFT SEMI join on the shingle — the corpus never shuffles, and
+    the only aggregation is per-source counts. This is the standard
+    n-gram-overlap decontamination pass (the eval set and n
+    are parameters in a real pipeline)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    sh = tx.with_shingles(docs, "text", 3)
+    probe_sh = (
+        sh.where(F.col("doc_id") % 100 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 100 != 0)
+    contaminated = (
+        train.select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(probe_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__flag", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("__flag")).alias("n_contaminated"),
+        )
+    )
+
+
+_DECONTAM_SQL = _TOKS_CTE + """
+, sh AS (
+    SELECT doc_id, source,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM toks
+),
+probe AS (SELECT DISTINCT unnest(sh) AS ps FROM sh WHERE doc_id % 100 = 0),
+train AS (SELECT doc_id, source, sh FROM sh WHERE doc_id % 100 <> 0),
+contam AS (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, unnest(sh) AS s FROM train) e
+    WHERE s IN (SELECT ps FROM probe)
+)
+SELECT t.source, COUNT(*) AS n_docs,
+       COUNT(c.doc_id) AS n_contaminated
+FROM train t LEFT JOIN contam c USING (doc_id)
+GROUP BY t.source
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_split_stats": corpus_split_stats,
@@ -517,6 +649,8 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash": dedup_simhash,
+    "repetition_quality": repetition_quality,
+    "decontaminate_stats": decontaminate_stats,
 }
 
 ORACLES = {
@@ -534,4 +668,6 @@ ORACLES = {
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_cluster_components": _CC_SQL,
     # dedup_simhash: Spark-side bit loop, rows-only by design
+    "repetition_quality": _REPETITION_SQL,
+    "decontaminate_stats": _DECONTAM_SQL,
 }

@@ -330,3 +330,40 @@ def test_stratified_sample_rates_and_independence(spark):
     a1 = {r["doc_id"] for r in out.where("src = 'a'").collect()}
     a2 = {r["doc_id"] for r in out2.where("src = 'a'").collect()}
     assert a1 == a2
+
+
+def test_repetition_quality_flags_spam(spark):
+    from platform_etl_drug_disease_spark.operators import text as tx
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "buy now " * 30),  # one trigram dominates
+        (2, "a genuinely varied sentence with many different words in it ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    toks = df.withColumn("__t", tx.tokens("text"))
+    grams = toks.select(
+        "doc_id", F.explode(tx.raw_shingles_from_tokens("__t", 3)).alias("g")
+    )
+    rep = (
+        grams.groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("frac"))
+        .collect()
+    )
+    frac = {r["doc_id"]: r["frac"] for r in rep}
+    assert frac[1] > 0.2  # spam: "buy now buy"/"now buy now" dominate
+    assert frac[2] < 0.2
+
+
+def test_decontaminate_semi_join_flags_overlap(spark):
+    import __spark_entry__ as m
+
+    # catalog-level smoke on the fixture: flagged count never exceeds
+    # screened count and the probe docs themselves are excluded.
+    out = m.queries()["decontaminate_stats"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_contaminated"] <= r["n_docs"]
