@@ -275,6 +275,102 @@ def connected_components(
     return labels.select(F.col("a").alias("node"), F.col("comp").alias("component"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star rounds
+    (the two-phase MapReduce CC construction): converges in O(log n) rounds
+    on ANY graph shape, including the long-chain adversarial case where
+    hash-min label propagation needs diameter rounds.
+
+    - large-star: every node u links each STRICTLY GREATER neighbour to the
+      minimum of its closed neighbourhood min(Γ(u) ∪ {u});
+    - small-star: with edges oriented parent<child, every node links each
+      ≤-neighbour (and itself) to that same minimum.
+
+    Each round is two (groupBy-min + join + project + distinct) passes —
+    node-id-keyed shuffles, no driver-side graph state; ``localCheckpoint``
+    truncates lineage per round. Convergence = the oriented edge set is
+    stable (count + order-independent xxhash64 sum — one cheap aggregate,
+    no join-diff). At the fixed point the edge set IS the star forest
+    (child → component-min), so the result needs no extra propagation.
+
+    Use this variant when the duplicate graph may contain long chains
+    (transitive near-dup paths); :func:`connected_components` (hash-min) is
+    preferred for the quasi-clique graphs LSH dedup actually produces, where
+    diameter ≈ 2-4 makes its per-round constant cheaper.
+    """
+    # symmetrize then orient parent<child: (u,v) with u < v, u the parent.
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("p"), F.greatest("a", "b").alias("c")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("p").alias("n")).union(
+        e.select(F.col("c").alias("n"))
+    ).distinct().localCheckpoint()
+
+    def _signature(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of xxhash64 values
+            # overflows (ANSI mode raises); decimal keeps the signature
+            # order-independent and exact.
+            F.coalesce(
+                F.sum(F.xxhash64("p", "c").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        # large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+        # connect v > u to m(u).
+        sym = e.select("p", "c").union(
+            e.select(F.col("c").alias("p"), F.col("p").alias("c"))
+        )
+        m = sym.groupBy("p").agg(
+            F.least(F.min("c"), F.first("p")).alias("m")
+        )
+        large = (
+            sym.join(m, "p")
+            .where(F.col("c") > F.col("p"))
+            .select(F.least("m", "c").alias("p"), F.greatest("m", "c").alias("c"))
+            .where(F.col("p") != F.col("c"))
+            .distinct()
+        )
+        # small-star over the oriented view: every node links its parents
+        # (≤-neighbours) and itself to the minimum parent.
+        mp = large.groupBy("c").agg(F.min("p").alias("m"))
+        small = (
+            large.join(mp, "c")
+            .select(F.col("m").alias("p"), F.col("p").alias("c"))
+            .where(F.col("p") != F.col("c"))
+            .union(large.join(mp, "c").select(F.col("m").alias("p"), "c"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    comp = e.select(F.col("c").alias("node"), F.col("p").alias("component"))
+    roots = nodes.join(
+        e.select(F.col("c").alias("n")), "n", "left_anti"
+    ).select(F.col("n").alias("node"), F.col("n").alias("component"))
+    return comp.union(roots)
+
+
 def jaccard_candidates(
     sh: DataFrame,
     id_col: str,

@@ -19,6 +19,7 @@ from platform_etl_drug_disease_spark.operators.sampling import (
 )
 from platform_etl_drug_disease_spark.operators.dedup import (
     connected_components,
+    connected_components_star,
     minhash_lsh_dedup,
     exact_dedup_clusters,
     jaccard_pairs,
@@ -634,6 +635,22 @@ GROUP BY t.source
 """
 
 
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as ``dedup_cluster_components`` computed by the
+    alternating large-star/small-star construction (O(log n) rounds on any
+    graph shape, incl. long transitive near-dup chains where hash-min needs
+    diameter rounds) — same output, same oracle."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
+    ).localCheckpoint()
+    comp = connected_components_star(pairs, "id_a", "id_b")
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        arr_join(F.sort_array(F.collect_list("node")), "string").alias("members"),
+    )
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_split_stats": corpus_split_stats,
@@ -651,6 +668,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "repetition_quality": repetition_quality,
     "decontaminate_stats": decontaminate_stats,
+    "dedup_cluster_components_star": dedup_cluster_components_star,
 }
 
 ORACLES = {
@@ -670,4 +688,5 @@ ORACLES = {
     # dedup_simhash: Spark-side bit loop, rows-only by design
     "repetition_quality": _REPETITION_SQL,
     "decontaminate_stats": _DECONTAM_SQL,
+    "dedup_cluster_components_star": _CC_SQL,
 }

@@ -367,3 +367,38 @@ def test_decontaminate_semi_join_flags_overlap(spark):
     assert out
     for r in out:
         assert 0 <= r["n_contaminated"] <= r["n_docs"]
+
+
+def test_star_cc_long_chain_converges_fast(spark):
+    """A 2,000-edge path graph: hash-min label propagation needs diameter
+    (~2,000) rounds; the alternating-star construction must finish within
+    its 25-round cap and label every node with the chain head."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(2000)], "a: long, b: long"
+    )
+    out = connected_components_star(edges, "a", "b").collect()
+    assert len(out) == 2001
+    assert {r["component"] for r in out} == {0}
+
+
+def test_star_cc_matches_hash_min_on_random_graphs(spark):
+    import random
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    star = {(r["node"], r["component"])
+            for r in connected_components_star(df, "a", "b").collect()}
+    hmin = {(r["node"], r["component"])
+            for r in connected_components(df, "a", "b").collect()}
+    assert star == hmin
