@@ -20,6 +20,7 @@ from platform_etl_drug_disease_spark.operators.sampling import (
 from platform_etl_drug_disease_spark.operators.dedup import (
     connected_components,
     connected_components_star,
+    incremental_minhash_matches,
     minhash_lsh_dedup,
     exact_dedup_clusters,
     jaccard_pairs,
@@ -651,6 +652,56 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: docs with ``doc_id % 10 == 0`` play the
+    incoming batch, the rest the existing corpus; the batch is matched
+    against the corpus LSH index (band-key equi-join + count-verified
+    Jaccard ≥ 0.5) — per-batch cost tracks the batch, never the corpus
+    (operators/dedup.incremental_minhash_matches)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return incremental_minhash_matches(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        n_hashes=16,
+        n_bands=4,
+        threshold=0.5,
+    )
+
+
+_INCREMENTAL_SQL = _SHINGLES_CTE + """
+, sigs AS (
+    SELECT doc_id, sh,
+           list_transform(range(0, 16), seed ->
+               list_aggregate(list_transform(sh,
+                   s -> md5(CAST(seed AS VARCHAR) || '|' || s)), 'min')) AS sig
+    FROM sh WHERE len(sh) > 0
+), banded AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, 4), b -> concat_ws('#',
+               CAST(b AS VARCHAR),
+               sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]))) AS band_key
+    FROM sigs
+), cands AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM banded n JOIN banded c ON n.band_key = c.band_key
+    WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+), verified AS (
+    SELECT ca.new_id, ca.corpus_id,
+           round(len(list_filter(sn.sh, s -> list_contains(sc.sh, s))) * 1.0
+                 / (len(sn.sh) + len(sc.sh)
+                    - len(list_filter(sn.sh, s -> list_contains(sc.sh, s)))), 6)
+               AS jaccard
+    FROM cands ca
+    JOIN sh sn ON ca.new_id = sn.doc_id
+    JOIN sh sc ON ca.corpus_id = sc.doc_id
+)
+SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.5
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_split_stats": corpus_split_stats,
@@ -669,6 +720,7 @@ QUERIES = {
     "repetition_quality": repetition_quality,
     "decontaminate_stats": decontaminate_stats,
     "dedup_cluster_components_star": dedup_cluster_components_star,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -689,4 +741,5 @@ ORACLES = {
     "repetition_quality": _REPETITION_SQL,
     "decontaminate_stats": _DECONTAM_SQL,
     "dedup_cluster_components_star": _CC_SQL,
+    "dedup_incremental": _INCREMENTAL_SQL,
 }

@@ -402,3 +402,25 @@ def test_star_cc_matches_hash_min_on_random_graphs(spark):
     hmin = {(r["node"], r["component"])
             for r in connected_components(df, "a", "b").collect()}
     assert star == hmin
+
+
+def test_incremental_minhash_matches_batch_vs_corpus(spark):
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        incremental_minhash_matches,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different corpus content about spark engines")],
+        "doc_id: long, text: string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+         (101, "fresh unseen text with no corpus overlap at all")],
+        "doc_id: long, text: string",
+    )
+    out = incremental_minhash_matches(
+        batch, corpus, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in out} == {(100, 1)}
+    assert all(r["jaccard"] >= 0.5 for r in out)
