@@ -277,6 +277,7 @@ def _assign_cells(
     centsn: DataFrame,
     cent_id: str,
     carry_cols: list[str],
+    keep_score: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment over pre-normalized vectors.
 
@@ -295,8 +296,13 @@ def _assign_cells(
         F.col("__cos").alias("c"),
         (-F.col(cent_id)).cast("bigint").alias("nid"),
     )
+    extra = (
+        # max over the same struct order: .c is the winning (rounded) cosine.
+        [F.max(order).getField("c").alias(keep_score)] if keep_score else []
+    )
     return scored.groupBy(id_col).agg(
         F.max_by(cent_id, order).alias(cent_id),
+        *extra,
         *[F.first(c).alias(c) for c in carry_cols],
     )
 
@@ -373,3 +379,51 @@ def knn_ivf(
     )
     w = Window.partitionBy(q_id).orderBy(F.col("cosine_sim").desc(), F.col(c_id))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: partition the corpus into
+    centroid cells (the same nearest-centroid assignment as IVF), then keep
+    ONE representative per cell — the member closest to its centroid
+    (highest rounded cosine, smallest id on ties) — and account for the
+    rest as semantic duplicates.
+
+    The 100-TB shape is identical to the IVF index build: n×C dot folds
+    reduced map-side (one row per vector reaches the shuffle), then a single
+    cell-keyed aggregate. No pairwise comparisons anywhere — cost is
+    O(n·C + n), never O(n²), which is the entire point of cluster-then-keep
+    semantic dedup versus pairwise near-dup.
+
+    Returns one row per cell: (cent_id, kept_id, kept_cos, n_members,
+    members_digest) — the digest is md5 over the sorted member ids, proving
+    the full cell contents without shipping id arrays through the compare.
+    """
+    dfn = with_unit_vec(df.select(id_col, vec_col), vec_col, "__nv")
+    centsn = with_unit_vec(centroids, cent_vec, "__cnv").select(cent_id, "__cnv")
+    assigned = _assign_cells(
+        dfn.select(id_col, "__nv"), id_col, centsn, cent_id, [], keep_score="__cos"
+    )
+    keeper = F.struct(
+        F.col("__cos").alias("c"), (-F.col(id_col)).cast("bigint").alias("nid")
+    )
+    return assigned.groupBy(cent_id).agg(
+        F.max_by(F.col(id_col), keeper).alias("kept_id"),
+        F.max(keeper).getField("c").alias("kept_cos"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("members_digest"),
+    )

@@ -1,0 +1,262 @@
+"""Retrieval + text-preparation catalog over ``documents``: TF-IDF term
+weighting, BM25 keyword search, fixed-size token chunking with overlap, and
+PII scrub stats — the remaining text-side passes of an LLM data pipeline
+(what runs between raw crawl and tokenizer shards).
+
+Tokenization is byte-identical to plans/dedup_text (split lowercased trim on
+\\s+), so the DuckDB oracles share the same CTE and every score matches
+bit-for-bit: IDF/BM25 values are rounded at fixed points and summed through
+the exact-decimal detour (plans/_util).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators import text as tx
+from platform_etl_drug_disease_spark.operators.pii import with_pii_stats
+from platform_etl_drug_disease_spark.operators.retrieval import (
+    bm25_search,
+    tfidf_top_terms,
+)
+from platform_etl_drug_disease_spark.schemas import load_table
+
+_TOKS_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, lang, source,
+           string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF per-document top terms
+# ---------------------------------------------------------------------------
+
+
+def tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (rank, term, score)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3)
+
+
+_TFIDF_SQL = _TOKS_CTE + """
+, post AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM post GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * round(ln(1.0 + (n.n_docs - dfreq.df + 0.5)
+                                      / (dfreq.df + 0.5)), 6), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+), ranked AS (
+    SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 search
+# ---------------------------------------------------------------------------
+
+_QUERY_TERMS = ["join", "hash", "window"]
+_BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
+
+
+def bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the fixed query {join, hash, window}."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return bm25_search(docs, _QUERY_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+_BM25_SQL = _TOKS_CTE + f"""
+, post AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM post WHERE term IN ('join', 'hash', 'window')
+    GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+    SELECT count(*) AS n_docs,
+           CAST(SUM(CAST(len(t) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avgdl
+    FROM toks
+), dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+w AS (
+    SELECT tf.doc_id,
+           round(round(ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+                 * round((tf.tf * ({_BM25_K1} + 1.0))
+                         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                            + {_BM25_B} * dl.dl / s.avgdl)), 6), 6) AS w
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+), scored AS (
+    SELECT doc_id,
+           round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+    FROM w GROUP BY doc_id
+), ranked AS (
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT doc_id, score, rank FROM ranked WHERE rank <= {_BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-size token chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STEP = 64, 48  # 16-token overlap
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunks (size 64, stride 48): one output row per
+    chunk with its index, token count, and an md5 digest of the chunk text.
+
+    The whole pass is projection + posexplode — embarrassingly parallel, no
+    shuffle at all: each document's chunk starts come from ``sequence`` over
+    its own token count, and ``slice`` re-materializes each chunk from the
+    one tokenization. At 100 TB this is the tokenizer-sharding pass; the
+    digest (not the chunk text) is what crosses the compare, so the oracle
+    proves chunk boundaries AND content without moving text."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STEP))
+    chunk = F.slice(toks, F.col("start") + 1, _CHUNK_SIZE)
+    return (
+        docs.withColumn("__toks", tx.tokens("text"))
+        .where(n > 0)
+        .select("doc_id", toks.alias("__toks"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STEP).cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_digest"),
+        )
+    )
+
+
+_CHUNK_SQL = _TOKS_CTE + f"""
+, starts AS (
+    SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STEP})) AS start
+    FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(start / {_CHUNK_STEP} AS INTEGER) AS chunk_idx,
+       CAST(len(t[start + 1 : start + {_CHUNK_SIZE}]) AS INTEGER) AS n_chunk_tokens,
+       md5(list_aggregate(t[start + 1 : start + {_CHUNK_SIZE}], 'string_agg', ' '))
+           AS chunk_digest
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub stats (planted PII — the raw corpus is synthetic and clean)
+# ---------------------------------------------------------------------------
+
+
+def _planted(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII so the scrubber has ground truth at every
+    scale factor (same pattern as plans/similarity's planted near-dups):
+    every 7th doc gains an email, every 13th a phone number, every 17th an
+    IPv4 — reproduced verbatim in the oracle SQL."""
+    d = F.col("doc_id")
+    text = F.col("text")
+    text = F.when(
+        d % 7 == 0,
+        F.concat(text, F.lit(" reach user"), d.cast("string"), F.lit("@mail.example.com")),
+    ).otherwise(text)
+    text = F.when(
+        d % 13 == 0,
+        F.concat(text, F.lit(" call 555-867-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(text)
+    text = F.when(
+        d % 17 == 0,
+        F.concat(text, F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".25")),
+    ).otherwise(text)
+    return docs.withColumn("text", text)
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII census over the planted corpus: docs scanned, docs with
+    any PII, per-kind occurrence totals, and the total redacted length —
+    the latter proves the redaction itself byte-identical to the oracle's
+    without shipping redacted text. Pure codegen'd regex projections + one
+    aggregate."""
+    docs = _planted(load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"]))
+    stats = with_pii_stats(docs, "text")
+    any_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(any_pii.cast("bigint")).alias("docs_with_pii"),
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_phone").alias("total_phones"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("clean_len").alias("clean_chars"),
+    )
+
+
+_PII_SQL = r"""
+WITH planted AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 17 = 0 THEN base3 || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25'
+                ELSE base3 END AS text
+    FROM (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 13 = 0 THEN base2 || ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE base2 END AS base3
+        FROM (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                        ELSE text END AS base2
+            FROM documents
+        )
+    )
+), stats AS (
+    SELECT doc_id, source,
+           len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,4}')) AS n_email,
+           len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+           len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+           length(regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,4}', '<PII>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PII>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<PII>', 'g')) AS clean_len
+    FROM planted
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+       CAST(SUM(clean_len) AS BIGINT) AS clean_chars
+FROM stats GROUP BY source
+"""
+
+
+QUERIES = {
+    "tfidf_top_terms": tfidf_query,
+    "bm25_search": bm25_query,
+    "doc_chunking": doc_chunking,
+    "pii_scrub_stats": pii_scrub_stats,
+}
+
+ORACLES = {
+    "tfidf_top_terms": _TFIDF_SQL,
+    "bm25_search": _BM25_SQL,
+    "doc_chunking": _CHUNK_SQL,
+    "pii_scrub_stats": _PII_SQL,
+}

@@ -21,6 +21,7 @@ from platform_etl_drug_disease_spark.operators.similarity import (
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
+    semantic_dedup,
 )
 from platform_etl_drug_disease_spark.schemas import load_table
 
@@ -302,7 +303,62 @@ SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: √n deterministic centroids (the same
+    stride rule as knn_cosine_ivf), every vector assigned to its nearest
+    cell, one representative kept per cell (closest to centroid, id
+    tie-break). Output is one row per cell with the keeper, its cosine, the
+    member count, and an md5 digest of the sorted member ids — cluster-then-
+    keep dedup whose cost is O(n·√n) assignment + one aggregate, never a
+    pairwise join. Fully deterministic → value-hash oracle."""
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"]).persist()
+    stride = emb.agg(
+        F.ceil(F.count(F.lit(1)) / F.ceil(F.sqrt(F.count(F.lit(1)))))
+        .cast("bigint")
+        .alias("__stride")
+    )
+    centroids = (
+        emb.crossJoin(F.broadcast(stride))
+        .where(F.col("vec_id") % F.col("__stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    )
+    return semantic_dedup(emb, centroids, id_col="vec_id", vec_col="embedding")
+
+
+_SEMDEDUP_SQL = f"""
+WITH {_UNIT_CTES},
+cents AS (
+    SELECT vec_id AS cent_id, nv AS cnv FROM n
+    WHERE vec_id % (SELECT CAST(CEIL(count(*) / CEIL(SQRT(count(*)))) AS BIGINT)
+                    FROM e) = 0
+),
+assign AS (
+    SELECT c.vec_id, ct.cent_id,
+           {_NDOT.format(a="c.nv", b="ct.cnv")} AS cos,
+           row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_NDOT.format(a="c.nv", b="ct.cnv")} DESC, ct.cent_id
+           ) AS rn
+    FROM n c, cents ct
+),
+cells AS (SELECT vec_id, cent_id, cos FROM assign WHERE rn = 1),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cent_id
+              ORDER BY cos DESC, vec_id) AS krn
+    FROM cells
+)
+SELECT cent_id,
+       MAX(CASE WHEN krn = 1 THEN vec_id END) AS kept_id,
+       MAX(CASE WHEN krn = 1 THEN cos END) AS kept_cos,
+       CAST(count(*) AS BIGINT) AS n_members,
+       md5(list_aggregate(list_transform(list_sort(list(vec_id)),
+           x -> CAST(x AS VARCHAR)), 'string_agg', ',')) AS members_digest
+FROM ranked GROUP BY cent_id
+"""
+
+
 QUERIES = {
+    "semantic_dedup_cells": semantic_dedup_cells,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_near_dup": embedding_near_dup,
     "knn_cosine_lsh": knn_cosine_lsh,
@@ -310,6 +366,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "semantic_dedup_cells": _SEMDEDUP_SQL,
     "knn_cosine_bruteforce": _KNN_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
     # knn_cosine_lsh: LSH bucketing is engine plumbing, rows-only by design
