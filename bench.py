@@ -42,6 +42,13 @@ HEADLINE = [
     "streaming_hourly_windows",
     "multimodal_features",
     "drug_disease_pipeline",
+    "tfidf_top_terms",
+    "bm25_search",
+    "doc_chunking",
+    "pii_scrub_stats",
+    "semantic_dedup_cells",
+    "kmeans_cells",
+    "boilerplate_span_stats",
 ]
 
 

@@ -427,3 +427,70 @@ def semantic_dedup(
             )
         ).alias("members_digest"),
     )
+
+
+def _mean_centroids(assigned: DataFrame, cent_id: str, vec_col: str) -> DataFrame:
+    """Per-dimension exact-decimal mean of the member vectors in each cell,
+    re-packed into an array in dimension order — the k-means update step.
+
+    posexplode fans each vector into (cell, dim, component) rows, but the
+    map-side partial aggregate collapses them to C×dim partial sums per
+    partition before the shuffle, so wire volume is partitions × C × dim —
+    independent of n. The decimal accumulator makes the mean order-
+    independent (see plans/_util), which keeps the whole fit deterministic
+    and therefore oracle-checkable."""
+    dims = (
+        assigned.select(cent_id, F.posexplode(vec_col).alias("__pos", "__x"))
+        .groupBy(cent_id, "__pos")
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+    )
+    return dims.groupBy(cent_id).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("__pos"), F.col("__m")))),
+            lambda s: s.getField("__m"),
+        ).alias("cent_vec")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cent_vec",
+) -> tuple[DataFrame, DataFrame]:
+    """Distributed spherical k-means (Lloyd's iterations) as pure DataFrame
+    algebra — the index-build step that turns stride-sampled IVF seeds into
+    learned centroids.
+
+    Each iteration is (a) nearest-centroid assignment — the same map-side
+    max_by reduction as IVF, one row per vector to the shuffle — and (b) the
+    centroid update in :func:`_mean_centroids` (wire volume independent of
+    n). Nothing ever collects to the driver; centroids stay a C-row
+    DataFrame that is broadcast into each assignment. Cost per iteration is
+    exactly one corpus pass, so the 100-TB plan is n_iters scans of a
+    persisted normalized projection.
+
+    Assignment scores round to 6 places and tie-break on centroid id; the
+    update accumulates in exact decimal — every iteration is deterministic,
+    so the full fit (and its cell memberships) value-hash-matches a SQL
+    replay. Returns (centroids_after_n_iters, last_assignment); the last
+    assignment is the membership that PRODUCED the final centroids.
+    """
+    membersn = with_unit_vec(df.select(id_col, vec_col), vec_col, "__nv").select(
+        id_col, "__nv"
+    ).persist()
+    cents = centroids
+    assigned = None
+    for _ in range(n_iters):
+        centsn = with_unit_vec(cents, cent_vec, "__cnv").select(cent_id, "__cnv")
+        assigned = _assign_cells(membersn, id_col, centsn, cent_id, ["__nv"])
+        cents = _mean_centroids(assigned, cent_id, "__nv")
+    return cents, assigned.drop("__nv")

@@ -260,3 +260,108 @@ ORACLES = {
     "doc_chunking": _CHUNK_SQL,
     "pii_scrub_stats": _PII_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate span census (C4-style repeated-span detection)
+# ---------------------------------------------------------------------------
+
+_BOILER_REL_DF, _BOILER_FLAG = 0.05, 0.5
+
+
+def boilerplate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: a 3-gram span is boilerplate if
+    it appears in ≥ max(2, 5% of docs) distinct documents; each document is
+    scored by the fraction of its distinct spans that are boilerplate, then
+    rolled up per source (avg fraction + docs flagged above 0.5).
+
+    This is the cross-corpus complement of repetition_quality (within-doc):
+    the C4/Dolma "remove spans seen everywhere" pass. Scale shape: spans
+    travel as md5-derived int64 keys (never strings) into the census
+    aggregate; the census is then PRUNED to frequent keys only before the
+    join back — on a real corpus boilerplate spans are a sliver of the
+    vocabulary, so the join's build side collapses (AQE picks broadcast)
+    and the corpus-side spans are joined without moving the census."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    spans = (
+        tx.with_shingles(docs, "text", n=3, out="__sh")
+        .where(F.size("__sh") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode("__sh").alias("__span"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5("__span"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("key"),
+        )
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    freq_keys = (
+        spans.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("span_df"))
+        .crossJoin(F.broadcast(total))
+        .where(
+            F.col("span_df")
+            >= F.greatest(F.lit(2), F.ceil(F.lit(_BOILER_REL_DF) * F.col("n_total")))
+        )
+        .select("key", F.lit(True).alias("__freq"))
+    )
+    per_doc = (
+        spans.join(freq_keys, "key", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("__freq").isNotNull().cast("bigint")).alias("n_freq"),
+        )
+        .withColumn("frac", F.round(F.col("n_freq") / F.col("n_spans"), 6))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("frac").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_boiler_frac"),
+        F.sum((F.col("frac") >= _BOILER_FLAG).cast("bigint")).alias("n_flagged"),
+    )
+
+
+_BOILER_SQL = _TOKS_CTE + f"""
+, sh AS (
+    SELECT doc_id, source,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM toks
+), spans AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(unnest(sh)), 1, 15)) AS BIGINT) AS key
+    FROM sh WHERE len(sh) > 0
+), total AS (SELECT count(*) AS n_total FROM documents),
+freq_keys AS (
+    SELECT key FROM spans CROSS JOIN total
+    GROUP BY key, n_total
+    HAVING count(*) >= greatest(2, CAST(CEIL({_BOILER_REL_DF} * n_total) AS BIGINT))
+), per_doc AS (
+    SELECT s.doc_id, s.source,
+           round(SUM(CASE WHEN f.key IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS frac
+    FROM spans s LEFT JOIN freq_keys f USING (key)
+    GROUP BY s.doc_id, s.source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(SUM(CAST(frac AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+           AS avg_boiler_frac,
+       CAST(SUM(CASE WHEN frac >= {_BOILER_FLAG} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flagged
+FROM per_doc GROUP BY source
+"""
+
+QUERIES["boilerplate_span_stats"] = boilerplate_span_stats
+ORACLES["boilerplate_span_stats"] = _BOILER_SQL

@@ -18,6 +18,7 @@ from platform_etl_drug_disease_spark.operators.similarity import (
     as_double,
     banded_near_dup,
     hyperplanes,
+    kmeans_fit,
     knn_bruteforce,
     knn_ivf,
     knn_lsh,
@@ -357,7 +358,113 @@ FROM ranked GROUP BY cent_id
 """
 
 
+_KM_K, _KM_ITERS = 16, 2
+
+
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd's iterations of spherical k-means (K≈16, stride-sampled
+    seeds) over the embeddings, reported as per-cell stats of the final
+    update: member count, member-id sum, and the final centroid's norm.
+    Every step is deterministic (rounded assignment scores, exact-decimal
+    centroid means), so the whole fit value-hash-matches the SQL replay —
+    the learned-centroid index build that feeds IVF at scale."""
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"]).persist()
+    stride = emb.agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(_KM_K)).cast("bigint").alias("__stride")
+    )
+    seeds = (
+        emb.crossJoin(F.broadcast(stride))
+        .where(F.col("vec_id") % F.col("__stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    )
+    cents, assigned = kmeans_fit(emb, seeds, n_iters=_KM_ITERS)
+    stats = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+    norms = cents.select(
+        "cent_id",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform("cent_vec", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, e: a + e,
+                )
+            ),
+            6,
+        ).alias("c_norm"),
+    )
+    return stats.join(norms, "cent_id")
+
+
+def _kmeans_sql() -> str:
+    """DuckDB replay of the 2-iteration fit: same stride seeds, same rounded
+    cosine assignment with centroid-id tie-break, same exact-decimal
+    per-dimension means, same left-fold norms."""
+    mean_dim = (
+        "CAST(SUM(CAST(nv[r.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*)"
+    )
+    norm_c = (
+        f"sqrt(list_reduce(list_transform(range(1, {_DIM} + 1), "
+        f"i -> cv[i] * cv[i]), (x, y) -> x + y))"
+    )
+    assign = """
+    SELECT m.vec_id, c.cent_id,
+           row_number() OVER (
+               PARTITION BY m.vec_id
+               ORDER BY {ndot} DESC, c.cent_id
+           ) AS rn
+    FROM n m, {cents} c
+    """
+    ndot0 = _NDOT.format(a="m.nv", b="c.cnv")
+    return f"""
+WITH {_UNIT_CTES},
+seeds AS (
+    SELECT vec_id AS cent_id, nv AS cnv FROM n
+    WHERE vec_id % (SELECT CAST(CEIL(count(*) / {_KM_K}.0) AS BIGINT) FROM e) = 0
+),
+a1 AS ({assign.format(ndot=ndot0, cents="seeds")}),
+m1 AS (SELECT vec_id, cent_id FROM a1 WHERE rn = 1),
+c1dims AS (
+    SELECT m1.cent_id, r.i, {mean_dim} AS m
+    FROM m1 JOIN n USING (vec_id) CROSS JOIN range(1, {_DIM} + 1) r(i)
+    GROUP BY m1.cent_id, r.i
+),
+c1 AS (
+    SELECT cent_id, list(m ORDER BY i) AS cv FROM c1dims GROUP BY cent_id
+),
+c1n AS (
+    SELECT cent_id,
+           list_transform(cv, x -> x / nullif({norm_c}, 0.0)) AS cnv
+    FROM c1
+),
+a2 AS ({assign.format(ndot=ndot0, cents="c1n")}),
+m2 AS (SELECT vec_id, cent_id FROM a2 WHERE rn = 1),
+c2dims AS (
+    SELECT m2.cent_id, r.i, {mean_dim} AS m
+    FROM m2 JOIN n USING (vec_id) CROSS JOIN range(1, {_DIM} + 1) r(i)
+    GROUP BY m2.cent_id, r.i
+),
+c2 AS (
+    SELECT cent_id, list(m ORDER BY i) AS cv FROM c2dims GROUP BY cent_id
+)
+SELECT c2.cent_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(s.id_sum AS BIGINT) AS id_sum,
+       round({norm_c}, 6) AS c_norm
+FROM c2 JOIN (
+    SELECT cent_id, count(*) AS n_members, SUM(vec_id) AS id_sum
+    FROM m2 GROUP BY cent_id
+) s USING (cent_id)
+"""
+
+
+_KMEANS_SQL = _kmeans_sql()
+
+
 QUERIES = {
+    "kmeans_cells": kmeans_cells,
     "semantic_dedup_cells": semantic_dedup_cells,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_near_dup": embedding_near_dup,
@@ -366,6 +473,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_cells": _KMEANS_SQL,
     "semantic_dedup_cells": _SEMDEDUP_SQL,
     "knn_cosine_bruteforce": _KNN_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,

@@ -125,3 +125,53 @@ def test_bm25_plan_has_no_single_partition_window_over_corpus(spark):
 
     plan = explain_string(bm25_query(spark, SF_SMOKE), mode="formatted")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_converges_and_partitions(spark):
+    from platform_etl_drug_disease_spark.operators.similarity import kmeans_fit
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings", ["vec_id", "embedding"])
+    n = emb.count()
+    seeds = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    cents, assigned = kmeans_fit(emb, seeds, n_iters=2)
+    # assignment partitions the corpus
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    # centroids are means of unit vectors: norms must be in (0, 1]
+    rows = cents.collect()
+    assert rows
+    import math
+
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r.cent_vec))
+        assert 0.0 < norm <= 1.0 + 1e-9
+
+
+def test_kmeans_deterministic(spark):
+    from platform_etl_drug_disease_spark.operators.similarity import kmeans_fit
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings", ["vec_id", "embedding"])
+    seeds = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    a = kmeans_fit(emb, seeds, n_iters=2)[1].orderBy("vec_id").collect()
+    b = kmeans_fit(emb, seeds, n_iters=2)[1].orderBy("vec_id").collect()
+    assert a == b
+
+
+def test_boilerplate_frac_bounds(spark):
+    """Boilerplate fractions are well-formed per source (values oracle-checked
+    at sf0.01 by tools/oracle_check.py)."""
+    from platform_etl_drug_disease_spark.plans.retrieval import (
+        boilerplate_span_stats,
+    )
+
+    out = boilerplate_span_stats(spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.avg_boiler_frac <= 1.0
+        assert 0 <= r.n_flagged <= r.n_docs
