@@ -34,9 +34,17 @@ def postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 
     Tokenize once, explode, count. The groupBy's map-side partial aggregate
     means repeated terms inside a document never cross the shuffle — the
-    wire carries at most |doc| distinct terms per document."""
+    wire carries at most |doc| distinct terms per document.
+
+    explode_outer + null filter, not plain explode: explode lets Spark's
+    InferFiltersFromGenerate derive a ``size(tokens) > 0`` constraint and
+    push it below any exchange under the Generate, re-evaluating the
+    tokenizer on the pre-shuffle side (see plans/retrieval's boilerplate
+    query for the measured pathology). Tokenization never yields an empty
+    array ('' splits to ['']), so the filter drops nothing."""
     return (
-        df.select(F.col(id_col), F.explode(tx.tokens(text_col)).alias("term"))
+        df.select(F.col(id_col), F.explode_outer(tx.tokens(text_col)).alias("term"))
+        .where(F.col("term").isNotNull())
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

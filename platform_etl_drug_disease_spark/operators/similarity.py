@@ -489,8 +489,15 @@ def kmeans_fit(
     ).persist()
     cents = centroids
     assigned = None
-    for _ in range(n_iters):
+    for it in range(n_iters):
         centsn = with_unit_vec(cents, cent_vec, "__cnv").select(cent_id, "__cnv")
-        assigned = _assign_cells(membersn, id_col, centsn, cent_id, ["__nv"])
+        prev = assigned
+        # persist each round's assignment: it fans out (centroid update now,
+        # plus the caller's membership stats), and the next round's broadcast
+        # centroids embed it as a subquery — without the persist every
+        # consumer replays the full corpus assignment.
+        assigned = _assign_cells(membersn, id_col, centsn, cent_id, ["__nv"]).persist()
+        if prev is not None:
+            prev.unpersist()
         cents = _mean_centroids(assigned, cent_id, "__nv")
-    return cents, assigned.drop("__nv")
+    return cents.persist(), assigned.drop("__nv")

@@ -44,6 +44,23 @@ def scans_with_pushdown(df: DataFrame) -> list[str]:
     ]
 
 
+def filter_conditions(df: DataFrame) -> list[str]:
+    """The ``Condition :`` line of every Filter node in the formatted plan.
+
+    Guard against the InferFiltersFromGenerate pathology: exploding a
+    computed array lets Spark derive ``size(arr) > 0`` and sink it below an
+    exchange, re-evaluating the (possibly expensive) array expression on the
+    pre-shuffle side. Asserting that no Filter condition contains the
+    expensive constructor (e.g. ``array_distinct``/``transform``) pins the
+    fix (explode_outer + post-Generate null filter)."""
+    plan = explain_string(df, mode="formatted")
+    return [
+        line.split("Condition :", 1)[1].strip()
+        for line in plan.splitlines()
+        if line.strip().startswith("Condition :")
+    ]
+
+
 def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in explain_string(df)
 

@@ -22,6 +22,21 @@ from platform_etl_drug_disease_spark.operators.retrieval import (
 )
 from platform_etl_drug_disease_spark.schemas import load_table
 
+
+def _load_docs(spark: SparkSession, sf_dir: str, columns: list[str] | None = None):
+    """documents table with compute-shaped partitioning: the fixture ships as
+    one parquet file → a one-partition scan, which would run every tokenize/
+    shingle/regex stage on a single core. Repartition by doc_id up to the
+    cluster's slot count when the scan arrives skinnier — same
+    partition-follows-compute rule as plans/similarity._load_emb; a no-op on
+    a well-partitioned corpus."""
+    df = load_table(spark, sf_dir, "documents", columns)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, "doc_id")
+    return df
+
+
 _TOKS_CTE = r"""
 WITH toks AS (
     SELECT doc_id, lang, source,
@@ -38,7 +53,7 @@ WITH toks AS (
 
 def tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (rank, term, score)."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = _load_docs(spark, sf_dir, ["doc_id", "text"])
     return tfidf_top_terms(docs, k=3)
 
 
@@ -76,7 +91,7 @@ _BM25_K, _BM25_K1, _BM25_B = 10, 1.2, 0.75
 
 def bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for the fixed query {join, hash, window}."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = _load_docs(spark, sf_dir, ["doc_id", "text"])
     return bm25_search(docs, _QUERY_TERMS, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
@@ -131,15 +146,18 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     one tokenization. At 100 TB this is the tokenizer-sharding pass; the
     digest (not the chunk text) is what crosses the compare, so the oracle
     proves chunk boundaries AND content without moving text."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    docs = _load_docs(spark, sf_dir, ["doc_id", "text"])
     toks = F.col("__toks")
     n = F.size(toks)
     starts = F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STEP))
     chunk = F.slice(toks, F.col("start") + 1, _CHUNK_SIZE)
     return (
         docs.withColumn("__toks", tx.tokens("text"))
-        .where(n > 0)
-        .select("doc_id", toks.alias("__toks"), F.explode(starts).alias("start"))
+        # explode_outer + null filter: see boilerplate_span_stats — plain
+        # explode's inferred size()>0 filter would re-run the tokenizer
+        # below the exchange. Tokens are never empty, so nothing is dropped.
+        .select("doc_id", toks.alias("__toks"), F.explode_outer(starts).alias("start"))
+        .where(F.col("start").isNotNull())
         .select(
             "doc_id",
             (F.col("start") / _CHUNK_STEP).cast("int").alias("chunk_idx"),
@@ -196,7 +214,7 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the latter proves the redaction itself byte-identical to the oracle's
     without shipping redacted text. Pure codegen'd regex projections + one
     aggregate."""
-    docs = _planted(load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"]))
+    docs = _planted(_load_docs(spark, sf_dir, ["doc_id", "source", "text"]))
     stats = with_pii_stats(docs, "text")
     any_pii = (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0
     return stats.groupBy("source").agg(
@@ -282,15 +300,21 @@ def boilerplate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back — on a real corpus boilerplate spans are a sliver of the
     vocabulary, so the join's build side collapses (AQE picks broadcast)
     and the corpus-side spans are joined without moving the census."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    docs = _load_docs(spark, sf_dir, ["doc_id", "source", "text"])
+    # explode_outer, NOT explode: plain explode lets InferFiltersFromGenerate
+    # derive ``size(__sh) > 0 AND isnotnull(__sh)`` and push it below the
+    # repartition exchange, where the whole shingle CASE expression is
+    # evaluated twice per document on the unsplit scan partition — a
+    # measured 20 s single-core stall at sf0.1. explode_outer infers no such
+    # constraint; the post-Generate null filter can't sink below it.
     spans = (
         tx.with_shingles(docs, "text", n=3, out="__sh")
-        .where(F.size("__sh") > 0)
         .select(
             "doc_id",
             "source",
-            F.explode("__sh").alias("__span"),
+            F.explode_outer("__sh").alias("__span"),
         )
+        .where(F.col("__span").isNotNull())
         .select(
             "doc_id",
             "source",
@@ -298,6 +322,9 @@ def boilerplate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("key"),
         )
+        # spans fan out (census + join-back): without the persist the whole
+        # shingle→md5 pipeline runs twice over the corpus.
+        .persist()
     )
     total = docs.agg(F.count(F.lit(1)).alias("n_total"))
     freq_keys = (

@@ -175,3 +175,21 @@ def test_boilerplate_frac_bounds(spark):
     for r in out:
         assert 0.0 <= r.avg_boiler_frac <= 1.0
         assert 0 <= r.n_flagged <= r.n_docs
+
+
+def test_no_expensive_exprs_sunk_into_filters(spark):
+    """InferFiltersFromGenerate must not re-materialize shingle/token arrays
+    inside a Filter below the repartition exchange (measured 20 s single-core
+    stall when it does — see boilerplate_span_stats)."""
+    from platform_etl_drug_disease_spark.plan_lint import filter_conditions
+    from platform_etl_drug_disease_spark.plans.retrieval import (
+        bm25_query,
+        boilerplate_span_stats,
+        doc_chunking,
+        tfidf_query,
+    )
+
+    for fn in (boilerplate_span_stats, tfidf_query, bm25_query, doc_chunking):
+        for cond in filter_conditions(fn(spark, SF_SMOKE)):
+            assert "array_distinct" not in cond, cond
+            assert "transform(sequence" not in cond, cond
