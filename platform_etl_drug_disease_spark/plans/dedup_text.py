@@ -511,16 +511,22 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a boolean low-quality verdict at literal thresholds. All JVM column
     arithmetic + one (doc, gram) count aggregation — no text ever shuffles
     beyond the grams themselves."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    from platform_etl_drug_disease_spark.plans.retrieval import _load_docs
+
+    docs = _load_docs(spark, sf_dir, ["doc_id", "text"])
     toks = docs.withColumn("__t", tx.tokens("text"))
     base = toks.select(
         "doc_id",
         F.size("__t").alias("n_tokens"),
         F.round(tx.distinct_token_ratio_of("__t"), 6).alias("frac_distinct"),
     )
+    # explode_outer + null filter: plain explode's inferred size()>0 filter
+    # sinks below the repartition and re-runs the trigram transform twice on
+    # the unsplit scan partition (see plans/retrieval.boilerplate_span_stats).
     grams = toks.select(
-        "doc_id", F.explode(tx.raw_shingles_from_tokens("__t", 3)).alias("g")
-    )
+        "doc_id",
+        F.explode_outer(tx.raw_shingles_from_tokens("__t", 3)).alias("g"),
+    ).where(F.col("g").isNotNull())
     rep = (
         grams.groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -587,8 +593,13 @@ def decontaminate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only aggregation is per-source counts. This is the standard
     n-gram-overlap decontamination pass (the eval set and n
     are parameters in a real pipeline)."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
-    sh = tx.with_shingles(docs, "text", 3)
+    from platform_etl_drug_disease_spark.plans.retrieval import _load_docs
+
+    docs = _load_docs(spark, sf_dir, ["doc_id", "text", "source"])
+    # persist: the shingled corpus fans out (probe vocabulary + train side),
+    # and the cache boundary also stops the explode-inferred size()>0 filter
+    # from sinking the shingle expression below the repartition exchange.
+    sh = tx.with_shingles(docs, "text", 3).persist()
     probe_sh = (
         sh.where(F.col("doc_id") % 100 == 0)
         .select(F.explode("sh").alias("shingle"))
