@@ -402,6 +402,27 @@ def _kmeans_sql() -> str:
     """DuckDB replay of the 2-iteration fit: same stride seeds, same rounded
     cosine assignment with centroid-id tie-break, same exact-decimal
     per-dimension means, same left-fold norms."""
+    norm_c = (
+        f"sqrt(list_reduce(list_transform(range(1, {_DIM} + 1), "
+        f"i -> cv[i] * cv[i]), (x, y) -> x + y))"
+    )
+    return _kmeans_ctes() + f"""
+SELECT c2.cent_id,
+       CAST(s.n_members AS BIGINT) AS n_members,
+       CAST(s.id_sum AS BIGINT) AS id_sum,
+       round({norm_c}, 6) AS c_norm
+FROM c2 JOIN (
+    SELECT cent_id, count(*) AS n_members, SUM(vec_id) AS id_sum
+    FROM m2 GROUP BY cent_id
+) s USING (cent_id)
+"""
+
+
+def _kmeans_ctes() -> str:
+    """The shared CTE chain of the 2-iteration spherical k-means replay
+    (seeds → assign → decimal-mean update, twice), ending at ``c2`` (final
+    centroids) and ``m2`` (final membership). Used by both the kmeans_cells
+    oracle and the learned-centroid IVF oracle."""
     mean_dim = (
         "CAST(SUM(CAST(nv[r.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*)"
     )
@@ -449,22 +470,91 @@ c2dims AS (
 c2 AS (
     SELECT cent_id, list(m ORDER BY i) AS cv FROM c2dims GROUP BY cent_id
 )
-SELECT c2.cent_id,
-       CAST(s.n_members AS BIGINT) AS n_members,
-       CAST(s.id_sum AS BIGINT) AS id_sum,
-       round({norm_c}, 6) AS c_norm
-FROM c2 JOIN (
-    SELECT cent_id, count(*) AS n_members, SUM(vec_id) AS id_sum
-    FROM m2 GROUP BY cent_id
-) s USING (cent_id)
+"""
+
+
+def knn_cosine_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index-build + serve composition: 2 Lloyd's iterations learn
+    the centroids (kmeans_fit), then IVF serves top-5 neighbours from the
+    learned cells (nprobe=2, exact rerank inside probed cells). This is the
+    production ANN layout at 100 TB — the fit amortizes over every query
+    batch, serving is a cell-keyed equi-join — and the whole composition
+    stays deterministic, so it carries a full value-hash oracle."""
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"]).persist()
+    stride = emb.agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(_KM_K)).cast("bigint").alias("__stride")
+    )
+    seeds = (
+        emb.crossJoin(F.broadcast(stride))
+        .where(F.col("vec_id") % F.col("__stride") == 0)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    )
+    cents, _ = kmeans_fit(emb, seeds, n_iters=_KM_ITERS)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    return knn_ivf(queries, candidates, cents, k=5, nprobe=2)
+
+
+def _ivf_kmeans_sql() -> str:
+    """Learned-centroid IVF replay: the shared k-means CTE chain to ``c2``,
+    then the same normalize/assign/probe/rerank CTEs as the stride-seeded
+    IVF oracle, with ``c2`` as the centroid table."""
+    norm_c = (
+        f"sqrt(list_reduce(list_transform(range(1, {_DIM} + 1), "
+        f"i -> cv[i] * cv[i]), (x, y) -> x + y))"
+    )
+    return _kmeans_ctes() + f"""
+, c2n AS (
+    SELECT cent_id, list_transform(cv, x -> x / nullif({norm_c}, 0.0)) AS cnv
+    FROM c2
+),
+assign3 AS (
+    SELECT c.vec_id AS c_id, c.nv AS cvv, ct.cent_id,
+           row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_NDOT.format(a="c.nv", b="ct.cnv")} DESC, ct.cent_id
+           ) AS rn
+    FROM n c, c2n ct
+),
+cells AS (SELECT c_id, cvv, cent_id FROM assign3 WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, nv AS qnv FROM n WHERE vec_id < 5),
+probes AS (
+    SELECT q_id, qnv, cent_id FROM (
+        SELECT q.q_id, q.qnv, ct.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY {_NDOT.format(a="q.qnv", b="ct.cnv")} DESC, ct.cent_id
+               ) AS rn
+        FROM q, c2n ct
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT p.q_id, c.c_id,
+           {_NDOT.format(a="p.qnv", b="c.cvv")} AS cosine_sim
+    FROM probes p JOIN cells c USING (cent_id)
+    WHERE p.q_id != c.c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine_sim DESC, c_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
 _KMEANS_SQL = _kmeans_sql()
+_IVF_KMEANS_SQL = _ivf_kmeans_sql()
 
 
 QUERIES = {
     "kmeans_cells": kmeans_cells,
+    "knn_cosine_ivf_kmeans": knn_cosine_ivf_kmeans,
     "semantic_dedup_cells": semantic_dedup_cells,
     "knn_cosine_bruteforce": knn_cosine_bruteforce,
     "embedding_near_dup": embedding_near_dup,
@@ -474,6 +564,7 @@ QUERIES = {
 
 ORACLES = {
     "kmeans_cells": _KMEANS_SQL,
+    "knn_cosine_ivf_kmeans": _IVF_KMEANS_SQL,
     "semantic_dedup_cells": _SEMDEDUP_SQL,
     "knn_cosine_bruteforce": _KNN_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,

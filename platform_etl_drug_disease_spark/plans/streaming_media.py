@@ -212,16 +212,83 @@ WHERE n_frames > 0
 """
 
 
+
+
+_DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup on the streaming engine: new documents
+    arrive as a file stream (docs with ``doc_id % 10 == 0`` play the
+    incoming feed, as in the batch ``dedup_incremental``), and each
+    micro-batch is matched against the STATIC corpus LSH index inside
+    ``foreachBatch`` — band-key equi-join + count-verified Jaccard, per-batch
+    cost tracking the batch, never the corpus. Matches land through the
+    idempotent per-batch_id parquet writer (exactly-once in effect across
+    crash/replay), then read back. Output and oracle identical to
+    ``dedup_incremental``: streaming == batch == oracle."""
+    import tempfile
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        incremental_minhash_matches,
+    )
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        write_batch_idempotent,
+    )
+
+    corpus = (
+        load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+        .where(F.col("doc_id") % 10 != 0)
+    )
+    feed = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir}/documents.parquet*")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
+
+    def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = incremental_minhash_matches(
+            batch_df,
+            corpus,
+            "doc_id",
+            "text",
+            shingle_n=3,
+            n_hashes=16,
+            n_bands=4,
+            threshold=0.5,
+        )
+        write_batch_idempotent(matches, out_dir, batch_id)
+
+    q = (
+        feed.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("new_id", "corpus_id", "jaccard")
+
+
+
 QUERIES = {
     "streaming_hourly_windows": streaming_hourly_windows,
     "streaming_session_windows": streaming_session_windows,
     "streaming_user_totals": streaming_user_totals,
     "streaming_click_purchase_join": streaming_click_purchase_join,
+    "streaming_incremental_dedup": streaming_incremental_dedup,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
 
+from platform_etl_drug_disease_spark.plans.dedup_text import _INCREMENTAL_SQL
+
 ORACLES = {
+    "streaming_incremental_dedup": _INCREMENTAL_SQL,
     "streaming_hourly_windows": _HOURLY_SQL,
     "streaming_session_windows": _SESSIONS_SQL,
     "streaming_user_totals": _TOTALS_SQL,

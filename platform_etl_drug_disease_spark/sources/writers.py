@@ -69,3 +69,27 @@ def write_json(
     if compression:
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_sorted_shards(
+    df,
+    path: str,
+    range_col: str,
+    n_shards: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard export: globally range-partition on ``range_col`` into
+    ``n_shards`` files, each sorted within itself — the standard layout for
+    sequential training-data readers (a reader streams shard k and sees keys
+    in order; shard boundaries are global order statistics).
+
+    ``repartitionByRange`` samples the column to compute balanced range
+    bounds (one pass + shuffle), and ``sortWithinPartitions`` sorts each
+    shard during the same shuffle's reduce side — no global sort barrier,
+    no driver involvement, which is what makes this the 100-TB shard writer:
+    cost is one shuffle regardless of shard count. Writers downstream can
+    range-prune shards by the same column."""
+    out = df.repartitionByRange(n_shards, range_col)
+    out = out.sortWithinPartitions(*(sort_cols or [range_col]))
+    out.write.mode(mode).parquet(path)

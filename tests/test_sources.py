@@ -161,3 +161,33 @@ def test_load_table_events_ts_both_spellings(spark, tmp_path):
     a = sorted(native.select("event_id", "ts").collect())
     b = sorted(rewritten.select("event_id", "ts").collect())
     assert a == b
+
+
+def test_write_sorted_shards_orders_globally(spark, tmp_path):
+    """Each shard file is internally sorted and shard ranges do not overlap
+    (global order across shard boundaries)."""
+    import pyspark.sql.functions as F
+
+    from platform_etl_drug_disease_spark.schemas import load_table
+    from platform_etl_drug_disease_spark.sources.writers import write_sorted_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents", ["doc_id", "n_chars"])
+    out = str(tmp_path / "shards")
+    write_sorted_shards(docs, out, "doc_id", n_shards=4)
+    back = spark.read.parquet(out).withColumn("__file", F.input_file_name())
+    per_file = (
+        back.groupBy("__file")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert sum(r.n for r in per_file) == docs.count()
+    spans = sorted((r.lo, r.hi) for r in per_file)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "shard ranges overlap"
+    # internal order: rows in file order must be monotone per shard
+    import pyarrow.parquet as pq
+    import glob as g
+
+    for f in g.glob(out + "/part-*.parquet"):
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids)
