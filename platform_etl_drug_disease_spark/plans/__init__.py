@@ -100,6 +100,7 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         events_time,
         graph,
         pipeline_catalog,
+        quality_lm,
         relational,
         retrieval,
         scalar_fns,
@@ -117,6 +118,7 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         events_time,
         graph,
         dedup_text,
+        quality_lm,
         similarity,
         retrieval,
         streaming_media,

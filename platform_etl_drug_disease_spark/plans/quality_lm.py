@@ -1,0 +1,130 @@
+"""Corpus language-model quality scoring + vocabulary analytics.
+
+Training-data pipelines score documents against a corpus-level language
+model (perplexity filtering, CCNet-style) and build vocabulary statistics
+(Zipf audit, tokenizer design). Both are pure word-count-shaped Spark jobs:
+
+- ``quality_lm_score``: train a unigram LM over the whole corpus (token →
+  relative frequency), then score every document by its cross-entropy under
+  that model. Two shuffle rounds — (doc, token) partial counts map-side
+  combine, then a token-keyed join back — the canonical wordcount shape that
+  scales linearly to 100 TB. No driver-side vocab, no broadcast of the LM
+  (vocab is unbounded at corpus scale; the join build side is one row per
+  token, so shuffled-hash/sort-merge with AQE skew splitting handles hot
+  stopword keys).
+- ``vocab_zipf_stats``: global top-k vocabulary by frequency with document
+  frequency. Top-k via orderBy().limit(k) (TakeOrdered — no global sort
+  materialization); the rank window runs on the k surviving rows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators import text as tx
+from platform_etl_drug_disease_spark.schemas import load_table
+
+_TOKS_CTE = r"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+u AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+"""
+
+
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, c): per-document token counts. Aggregating BEFORE the
+    LM join shrinks the probe side from total tokens to distinct (doc, tok)
+    pairs and lets the groupBy partial-aggregate map-side."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return (
+        docs.select("doc_id", F.explode_outer(tx.tokens("text")).alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus unigram LM.
+
+    xent = -Σ_tok c(doc,tok)·ln p(tok) / Σ_tok c(doc,tok), where
+    p(tok) = corpus_count(tok) / corpus_total. No smoothing needed: every
+    scored token is in the model by construction (the model IS the corpus).
+    High xent → rare-token-heavy documents (gibberish, boilerplate IDs);
+    low xent → stopword soup. Both tails are what perplexity filters cut.
+    """
+    dt = _doc_token_counts(spark, sf_dir)
+    tf = dt.groupBy("tok").agg(F.sum("c").alias("tc"))
+    total = tf.agg(F.sum("tc").alias("n"))
+    # one-row total: broadcast cross join, never a single-partition window.
+    lm = tf.crossJoin(F.broadcast(total))
+    return (
+        dt.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("c") * F.log(F.col("tc") / F.col("n")))
+                / F.sum("c"),
+                6,
+            ).alias("xent"),
+        )
+    )
+
+
+_QUALITY_LM_SQL = _TOKS_CTE + """
+, dt AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+tf AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS tc FROM dt GROUP BY tok),
+tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS n FROM tf)
+SELECT dt.doc_id,
+       CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+       round(-SUM(dt.c * ln(tf.tc * 1.0 / tot.n)) / SUM(dt.c), 6) AS xent
+FROM dt JOIN tf USING (tok) CROSS JOIN tot
+GROUP BY dt.doc_id
+"""
+
+
+def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary: rank, token, corpus count, document frequency.
+
+    Ties broken by token text so the rank is deterministic. count_distinct
+    on doc_id is exact here (vocab audit wants exact df); the approximate
+    variant for wide-vocab monitoring is approx_count_distinct (A2,
+    exercised by ``adjacency_degree_approx``)."""
+    dt = _doc_token_counts(spark, sf_dir)
+    tf = dt.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("count"),
+        F.count("*").cast("long").alias("doc_freq"),
+    )
+    top = tf.orderBy(F.col("count").desc(), "tok").limit(50)
+    w = Window.orderBy(F.col("count").desc(), "tok")
+    return top.select(
+        F.row_number().over(w).alias("rank"), "tok", "count", "doc_freq"
+    )
+
+
+_VOCAB_SQL = _TOKS_CTE + """
+, dt AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+tf AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS count,
+              CAST(COUNT(*) AS BIGINT) AS doc_freq
+       FROM dt GROUP BY tok)
+SELECT CAST(row_number() OVER (ORDER BY count DESC, tok) AS INTEGER) AS rank,
+       tok, count, doc_freq
+FROM tf
+ORDER BY count DESC, tok
+LIMIT 50
+"""
+
+
+QUERIES = {
+    "quality_lm_score": quality_lm_score,
+    "vocab_zipf_stats": vocab_zipf_stats,
+}
+
+ORACLES = {
+    "quality_lm_score": _QUALITY_LM_SQL,
+    "vocab_zipf_stats": _VOCAB_SQL,
+}

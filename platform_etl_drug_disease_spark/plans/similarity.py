@@ -548,6 +548,62 @@ SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization audit: per-vector max-abs scale, quantize to
+    round(x/scale) ∈ [-127, 127], measure reconstruction RMSE; report per
+    label. All per-row HOF arithmetic inside whole-stage codegen — at 100 TB
+    this is a map-only pass plus one small per-label aggregate (the real
+    pipeline would write the quantized codes; the audit is the testable
+    surface). nullif guards the all-zero vector (scale 0 → null stats)."""
+    emb = _load_emb(spark, sf_dir)
+    v = as_double("embedding")
+    zero = F.lit(0.0)
+    scale = (
+        F.aggregate(v, zero, lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0)
+    )
+    df = emb.select("vec_id", "label", v.alias("v"), F.nullif(scale, zero).alias("s"))
+    q = F.transform(F.col("v"), lambda x: F.round(x / F.col("s")))
+    err2 = F.aggregate(
+        F.zip_with(F.col("v"), q, lambda x, qq: F.pow(x - qq * F.col("s"), F.lit(2.0))),
+        zero,
+        lambda a, x: a + x,
+    )
+    per_vec = df.select(
+        "label",
+        F.col("s").alias("scale"),
+        F.sqrt(err2 / F.size(F.col("v"))).alias("rmse"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+        F.round(F.avg("rmse"), 6).alias("avg_rmse"),
+    )
+
+
+# same fold order as Spark: left-fold max-abs, elementwise round/zip, sqrt.
+_QUANT_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+s AS (
+    SELECT label, v,
+           nullif(list_reduce(list_transform(v, x -> abs(x)),
+                              (a, x) -> greatest(a, x)) / 127.0, 0.0) AS s
+    FROM e
+),
+pv AS (
+    SELECT label, s,
+           sqrt(list_reduce(
+                    list_transform(range(1, {_DIM} + 1),
+                                   i -> pow(v[i] - round(v[i] / s) * s, 2.0)),
+                    (a, x) -> a + x) / {_DIM}) AS rmse
+    FROM s
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(AVG(s), 6) AS avg_scale,
+       round(AVG(rmse), 6) AS avg_rmse
+FROM pv GROUP BY label
+"""
+
+
 _KMEANS_SQL = _kmeans_sql()
 _IVF_KMEANS_SQL = _ivf_kmeans_sql()
 
@@ -560,6 +616,7 @@ QUERIES = {
     "embedding_near_dup": embedding_near_dup,
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_cosine_ivf": knn_cosine_ivf,
+    "embedding_quantize_stats": embedding_quantize_stats,
 }
 
 ORACLES = {
@@ -570,4 +627,5 @@ ORACLES = {
     "embedding_near_dup": _NEAR_DUP_SQL,
     # knn_cosine_lsh: LSH bucketing is engine plumbing, rows-only by design
     "knn_cosine_ivf": _IVF_SQL,
+    "embedding_quantize_stats": _QUANT_SQL,
 }

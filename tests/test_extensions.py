@@ -424,3 +424,75 @@ def test_incremental_minhash_matches_batch_vs_corpus(spark):
     ).collect()
     assert {(r["new_id"], r["corpus_id"]) for r in out} == {(100, 1)}
     assert all(r["jaccard"] >= 0.5 for r in out)
+
+
+def test_quality_lm_score_semantics(spark):
+    """Cross-entropy under the corpus unigram LM: a doc of corpus-common
+    tokens scores lower than a doc of corpus-unique tokens; a single-token
+    corpus-dominant doc approaches -ln(p_max)."""
+    import math
+
+    import pytest as _pytest
+
+    from platform_etl_drug_disease_spark.plans import quality_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a a b b"), (3, "x y z q")],
+        "doc_id: long, text: string",
+    )
+    docs.createOrReplaceTempView("_qlm_docs")
+
+    # run the same DAG as the catalog query against the tiny frame.
+    dt = (
+        docs.selectExpr("doc_id", "explode(split(trim(lower(text)), '\\\\s+')) AS tok")
+        .groupBy("doc_id", "tok")
+        .count()
+        .withColumnRenamed("count", "c")
+    )
+    # corpus: a×6, b×2, x,y,z,q ×1 → total 12
+    out = {r["doc_id"]: r["xent"] for r in _score(quality_lm, dt).collect()}
+    p_a, p_b, p_r = 6 / 12, 2 / 12, 1 / 12
+    assert out[1] == _pytest.approx(-math.log(p_a), abs=1e-6)
+    assert out[2] == _pytest.approx(-(math.log(p_a) + math.log(p_b)) / 2, abs=1e-6)
+    assert out[3] == _pytest.approx(-math.log(p_r), abs=1e-6)
+    assert out[1] < out[2] < out[3]
+
+
+def _score(quality_lm, dt):
+    from pyspark.sql import functions as F
+
+    tf = dt.groupBy("tok").agg(F.sum("c").alias("tc"))
+    total = tf.agg(F.sum("tc").alias("n"))
+    lm = tf.crossJoin(F.broadcast(total))
+    return (
+        dt.join(lm, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(F.col("c") * F.log(F.col("tc") / F.col("n"))) / F.sum("c"), 6).alias("xent")
+        )
+    )
+
+
+def test_vocab_zipf_rank_deterministic_on_ties(spark):
+    from platform_etl_drug_disease_spark.plans.quality_lm import vocab_zipf_stats
+
+    rows = vocab_zipf_stats(spark, "/root/testdata/sf0.001").collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    # ordering: count desc, then token asc on ties — re-sorting must be a no-op
+    key = [(-r["count"], r["tok"]) for r in rows]
+    assert key == sorted(key)
+    assert all(r["doc_freq"] <= r["count"] for r in rows)
+
+
+def test_embedding_quantize_bounds(spark):
+    """Quantization error of max-abs int8 is bounded by scale/2 per element
+    → rmse ≤ scale/2; scale is max|x|/127."""
+    from platform_etl_drug_disease_spark.plans.similarity import (
+        embedding_quantize_stats,
+    )
+
+    rows = embedding_quantize_stats(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_vecs"] > 0
+        assert 0 < r["avg_rmse"] <= r["avg_scale"] / 2 + 1e-9
