@@ -501,3 +501,156 @@ def kmeans_fit(
             prev.unpersist()
         cents = _mean_centroids(assigned, cent_id, "__nv")
     return cents.persist(), assigned.drop("__nv")
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN via asymmetric distance
+# --------------------------------------------------------------------------
+
+
+def subspace_rows(df: DataFrame, id_col: str, vec_col: str, m: int, d: int) -> DataFrame:
+    """Fan each D-dim vector into ``m`` rows of d-dim double subvectors:
+    (id, sub_id ∈ [0, m), sv). A map-only explode — at 100 TB the m×
+    row-count blowup stays inside the scan stage (no shuffle) and the
+    subvectors are d/D the size of the originals."""
+    v = as_double(vec_col)
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("sub_id"),
+            F.slice(v, i * d + 1, d).alias("sv"),
+        ),
+    )
+    out = df.select(id_col, F.explode_outer(subs).alias("__s")).where(
+        F.col("__s").isNotNull()
+    )
+    return out.select(id_col, "__s.sub_id", "__s.sv")
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Rounded squared L2 as one left-fold (same codegen/determinism story
+    as the cosine fold above)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        ),
+        6,
+    )
+
+
+def _nearest_code(sub: DataFrame, id_col: str, codebook: DataFrame) -> DataFrame:
+    """Per (id, sub_id): the codebook entry with min rounded L2², smallest
+    code on ties. Broadcast codebook (m×K rows), max_by reduction — one row
+    per (id, sub_id) reaches the shuffle, same shape as _assign_cells."""
+    scored = sub.join(F.broadcast(codebook), "sub_id").withColumn(
+        "__d", _l2sq(F.col("sv"), F.col("cv"))
+    )
+    order = F.struct(
+        (-F.col("__d")).alias("nd"), (-F.col("code")).cast("bigint").alias("nc")
+    )
+    return scored.groupBy(id_col, "sub_id").agg(
+        F.max_by("code", order).alias("code"),
+        F.first("sv").alias("sv"),
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    d: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Train an m-subspace PQ codebook: stride-sampled seeds (code id = seed
+    vector id, identical in every subspace) refined by ONE Lloyd's iteration
+    with exact-decimal means. Deterministic end to end — rounded distances,
+    code-id tie-breaks, order-independent decimal centroid update — so the
+    fit value-hash-matches a SQL replay. Returns (sub_id, code, cv).
+
+    100-TB shape: one corpus pass to assign (broadcast m×K codebook,
+    map-side max_by), one to update (partial sums per partition; wire volume
+    partitions × m × K × d, independent of n)."""
+    sub = subspace_rows(df, id_col, vec_col, m, d)
+    stride = df.agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(n_codes)).cast("bigint").alias("__stride")
+    )
+    seeds = (
+        sub.crossJoin(F.broadcast(stride))
+        .where(F.col(id_col) % F.col("__stride") == 0)
+        .select("sub_id", F.col(id_col).alias("code"), F.col("sv").alias("cv"))
+    )
+    assigned = _nearest_code(sub, id_col, seeds)
+    dims = (
+        assigned.select("sub_id", "code", F.posexplode("sv").alias("__pos", "__x"))
+        .groupBy("sub_id", "code", "__pos")
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+    )
+    return dims.groupBy("sub_id", "code").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__m"))),
+            lambda s: s.getField("__m"),
+        ).alias("cv")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    d: int = 8,
+) -> DataFrame:
+    """Encode each vector as m codes: (id, sub_id, code). This is the PQ
+    index — m small ints instead of D floats (64×4B → 8×1B per vector at the
+    default geometry), which is what lets a 100 TB corpus's index fit on a
+    serving tier."""
+    sub = subspace_rows(df, id_col, vec_col, m, d)
+    return _nearest_code(sub, id_col, codebook).select(id_col, "sub_id", "code")
+
+
+def knn_pq_adc(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    d: int = 8,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, precompute the m×K table of
+    rounded L2² distances from its subvectors to every codebook entry, then
+    score candidates by summing their m table lookups — never touching
+    candidate vectors. The lookup table (nq×m×K rows) broadcasts against the
+    code index; the per-candidate sum accumulates in DECIMAL so the total is
+    addition-order-independent (oracle-stable) before ranking asc with c_id
+    tie-break. Returns (q_id, c_id, approx_dist, rank)."""
+    from pyspark.sql import Window
+
+    qsub = subspace_rows(queries, q_id, q_vec, m, d)
+    table = (
+        qsub.join(F.broadcast(codebook), "sub_id")
+        .select(q_id, "sub_id", "code", _l2sq(F.col("sv"), F.col("cv")).alias("__d"))
+    )
+    scored = (
+        codes.join(F.broadcast(table), ["sub_id", "code"])
+        .where(F.col(q_id) != F.col(c_id))
+        .groupBy(q_id, c_id)
+        .agg(
+            F.sum(F.col("__d").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("approx_dist").asc(), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -548,6 +548,159 @@ SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+_PQ_M = 16  # subspaces
+_PQ_D = _DIM // _PQ_M  # dims per subspace
+_PQ_K = 16  # codes per subspace
+_PQ_SHORTLIST = 50  # ADC candidates per query before exact rerank
+
+
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, full build+serve+rerank composition:
+    unit-normalize, train a 16-subspace ×16-code codebook (stride seeds +
+    one exact-decimal Lloyd refinement), encode the corpus as 16 codes per
+    vector, shortlist 50 candidates per query by asymmetric distance (each
+    query precomputes its 16×16 lookup table; candidates are scored by
+    summing table lookups, never touching raw vectors), then exact-rerank
+    the shortlist by cosine for the final top-5 — the standard PQ serving
+    stack (IVFADC-style shortlist + rerank).
+
+    The 100-TB story is the memory hierarchy: the code index is ~16× smaller
+    than the float corpus, ADC scoring joins codes against a broadcast
+    lookup table, and exact vector math is paid only on shortlist×nq rows.
+    Decimal-summed ADC totals keep the pipeline deterministic enough
+    for a value-hash oracle."""
+    from platform_etl_drug_disease_spark.operators.similarity import (
+        knn_pq_adc as _adc,
+        pq_encode,
+        pq_fit,
+        with_unit_vec,
+    )
+
+    # unit-normalize FIRST: L2² on unit vectors is 2−2·cos, so ADC ranking
+    # approximates the cosine ranking the exact baseline uses.
+    emb = (
+        with_unit_vec(
+            _load_emb(spark, sf_dir, ["vec_id", "embedding"]), "embedding", "__uv"
+        )
+        .select("vec_id", F.col("__uv").alias("embedding"))
+        .persist()
+    )
+    codebook = pq_fit(emb, m=_PQ_M, d=_PQ_D, n_codes=_PQ_K).persist()
+    codes = pq_encode(emb, codebook, m=_PQ_M, d=_PQ_D)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    shortlist = _adc(
+        queries,
+        codes.withColumnRenamed("vec_id", "c_id"),
+        codebook,
+        k=_PQ_SHORTLIST,
+        m=_PQ_M,
+        d=_PQ_D,
+    ).select("q_id", "c_id")
+    # exact rerank over shortlist×nq rows only; vectors are already unit, so
+    # the fold dot IS the cosine — identical arithmetic to the exact baseline.
+    from pyspark.sql import Window
+
+    from platform_etl_drug_disease_spark.operators.similarity import dot
+
+    qv = queries.select("q_id", F.col("q_vec").alias("__qn"))
+    cv = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cn"))
+    scored = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(cv, "c_id")
+        .select(
+            "q_id",
+            "c_id",
+            F.round(dot(F.col("__qn"), F.col("__cn")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("c_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 5)
+
+
+def _pq_sql() -> str:
+    """DuckDB replay of the PQ fit/encode/ADC chain: same stride seeds, same
+    rounded-L2² assignments with code-id tie-breaks, same decimal centroid
+    means and decimal ADC sums."""
+    l2 = (
+        f"round(list_reduce(list_transform(range(1, {_PQ_D} + 1), "
+        f"i -> ({{a}}[i] - {{b}}[i]) * ({{a}}[i] - {{b}}[i])), "
+        f"(x, y) -> x + y), 6)"
+    )
+    assign = f"""
+    SELECT s.vec_id, s.sub_id, c.code,
+           row_number() OVER (
+               PARTITION BY s.vec_id, s.sub_id
+               ORDER BY {l2.format(a="s.sv", b="c.cv")} ASC, c.code
+           ) AS rn
+    FROM sv s JOIN {{cents}} c USING (sub_id)
+    """
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (
+    SELECT vec_id, list_transform(v, x -> x / nullif({_NORM}, 0.0)) AS v
+    FROM e0
+),
+sv AS (
+    SELECT vec_id, CAST(s.j AS INTEGER) AS sub_id,
+           list_transform(range(1, {_PQ_D} + 1), i -> v[s.j * {_PQ_D} + i]) AS sv
+    FROM e, range(0, {_PQ_M}) s(j)
+),
+seeds AS (
+    SELECT sub_id, vec_id AS code, sv AS cv FROM sv
+    WHERE vec_id % (SELECT CAST(CEIL(count(*) / {_PQ_K}.0) AS BIGINT) FROM e) = 0
+),
+a1 AS ({assign.format(cents="seeds")}),
+m1 AS (SELECT vec_id, sub_id, code FROM a1 WHERE rn = 1),
+cbdims AS (
+    SELECT m1.sub_id, m1.code, r.i,
+           CAST(SUM(CAST(sv.sv[r.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+    FROM m1 JOIN sv USING (vec_id, sub_id) CROSS JOIN range(1, {_PQ_D} + 1) r(i)
+    GROUP BY m1.sub_id, m1.code, r.i
+),
+cb AS (SELECT sub_id, code, list(m ORDER BY i) AS cv FROM cbdims GROUP BY sub_id, code),
+a2 AS ({assign.format(cents="cb")}),
+codes AS (SELECT vec_id, sub_id, code FROM a2 WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, sub_id, sv FROM sv WHERE vec_id < 5),
+tbl AS (
+    SELECT q.q_id, q.sub_id, c.code, {l2.format(a="q.sv", b="c.cv")} AS d
+    FROM q JOIN cb c USING (sub_id)
+),
+scored AS (
+    SELECT t.q_id, codes.vec_id AS c_id,
+           CAST(SUM(CAST(t.d AS DECIMAL(18,6))) AS DOUBLE) AS approx_dist
+    FROM codes JOIN tbl t USING (sub_id, code)
+    WHERE t.q_id != codes.vec_id
+    GROUP BY t.q_id, codes.vec_id
+),
+shortr AS (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY approx_dist ASC, c_id) AS rn
+    FROM scored
+),
+short AS (SELECT q_id, c_id FROM shortr WHERE rn <= {_PQ_SHORTLIST}),
+rr AS (
+    SELECT s.q_id, s.c_id,
+           {_NDOT.format(a="eq.v", b="ec.v")} AS cosine_sim
+    FROM short s
+    JOIN e eq ON eq.vec_id = s.q_id
+    JOIN e ec ON ec.vec_id = s.c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine_sim DESC, c_id) AS INTEGER) AS rank
+    FROM rr
+)
+SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+_PQ_SQL = _pq_sql()
+
+
 def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization audit: per-vector max-abs scale, quantize to
     round(x/scale) ∈ [-127, 127], measure reconstruction RMSE; report per
@@ -617,6 +770,7 @@ QUERIES = {
     "knn_cosine_lsh": knn_cosine_lsh,
     "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_quantize_stats": embedding_quantize_stats,
+    "knn_pq_adc": knn_pq_adc,
 }
 
 ORACLES = {
@@ -628,4 +782,5 @@ ORACLES = {
     # knn_cosine_lsh: LSH bucketing is engine plumbing, rows-only by design
     "knn_cosine_ivf": _IVF_SQL,
     "embedding_quantize_stats": _QUANT_SQL,
+    "knn_pq_adc": _PQ_SQL,
 }

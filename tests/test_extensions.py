@@ -496,3 +496,36 @@ def test_embedding_quantize_bounds(spark):
     for r in rows:
         assert r["n_vecs"] > 0
         assert 0 < r["avg_rmse"] <= r["avg_scale"] / 2 + 1e-9
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """PQ is approximate — assert meaningful recall of exact cosine top-5
+    on the fixture (L2 on unit-ish synthetic embeddings tracks cosine) and
+    exactly m codes per vector."""
+    from pyspark.sql import functions as F
+
+    from platform_etl_drug_disease_spark.plans.similarity import (
+        knn_cosine_bruteforce,
+        knn_pq_adc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["q_id"], r["c_id"]) for r in knn_cosine_bruteforce(spark, sf).collect()
+    }
+    approx = {(r["q_id"], r["c_id"]) for r in knn_pq_adc(spark, sf).collect()}
+    assert len(approx & exact) / len(exact) >= 0.7
+
+    from platform_etl_drug_disease_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    emb = load_table(spark, sf, "embeddings", ["vec_id", "embedding"])
+    cb = pq_fit(emb)
+    codes = pq_encode(emb, cb)
+    per_vec = codes.groupBy("vec_id").count().agg(
+        F.min("count"), F.max("count")
+    ).first()
+    assert per_vec[0] == per_vec[1] == 8
