@@ -713,6 +713,80 @@ SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can never leak near-duplicates across
+    splits: the md5-bucket split key is the near-dup CLUSTER id (MinHash-LSH
+    pairs → connected components; singleton docs are their own cluster), so
+    a cluster moves as a unit. Reports per-split doc/cluster counts plus the
+    global count of straddling clusters — provably 0, and the oracle checks
+    that 0, not just the counts. Composes the two scale paths already proven
+    separately (banded LSH candidates, per-round equi-join components); the
+    extra cost over a naive doc-id split is one small join on doc_id."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
+    ).localCheckpoint()
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    membership = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    assigned = membership.withColumn(
+        "split", split_assign("cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    ).persist()
+    leaky = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("leaky_clusters")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaky))
+    )
+
+
+_LEAKAGE_SQL = _CC_SQL[: _CC_SQL.rindex("SELECT cluster_id")] + """,
+allc AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+asg AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 7))
+                      AS BIGINT) % 10000 AS b
+          FROM allc)
+),
+lk AS (
+    SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaky_clusters
+    FROM (SELECT cluster_id, COUNT(DISTINCT split) AS ns
+          FROM asg GROUP BY cluster_id)
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       lk.leaky_clusters
+FROM asg CROSS JOIN lk
+GROUP BY split, lk.leaky_clusters
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "corpus_split_stats": corpus_split_stats,
@@ -732,6 +806,7 @@ QUERIES = {
     "decontaminate_stats": decontaminate_stats,
     "dedup_cluster_components_star": dedup_cluster_components_star,
     "dedup_incremental": dedup_incremental,
+    "leakage_safe_split": leakage_safe_split,
 }
 
 ORACLES = {
@@ -753,4 +828,5 @@ ORACLES = {
     "decontaminate_stats": _DECONTAM_SQL,
     "dedup_cluster_components_star": _CC_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
+    "leakage_safe_split": _LEAKAGE_SQL,
 }

@@ -529,3 +529,18 @@ def test_pq_adc_recall_vs_bruteforce(spark):
         F.min("count"), F.max("count")
     ).first()
     assert per_vec[0] == per_vec[1] == 8
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    from platform_etl_drug_disease_spark.plans.dedup_text import leakage_safe_split
+
+    rows = leakage_safe_split(spark, "/root/testdata/sf0.001").collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["leaky_clusters"] == 0 for r in rows)
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n
+    assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
