@@ -49,6 +49,11 @@ HEADLINE = [
     "semantic_dedup_cells",
     "kmeans_cells",
     "boilerplate_span_stats",
+    "quality_lm_score",
+    "vocab_zipf_stats",
+    "embedding_quantize_stats",
+    "knn_pq_adc",
+    "leakage_safe_split",
 ]
 
 

@@ -463,6 +463,68 @@ GROUP BY 1
 """
 
 
+def temperature_mix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source reweighting (α = 0.5, the multilingual-LM
+    mixing rule): sample source s at rate √(n_min/n_s), so post-mix source
+    shares follow p^α renormalized — small sources keep everything, large
+    sources are flattened toward uniform. The rates are DATA-DEPENDENT
+    (computed from the per-source census, broadcast back onto the scan), and
+    the per-doc draw hashes (source, doc_id) so re-weighting one source
+    never changes another source's kept set. sqrt/floor on bigint ratios is
+    IEEE-exact → identical thresholds in any engine, value-hash oracle.
+
+    100-TB shape: one census aggregate (map-side combined), a broadcast join
+    of the tiny rate table onto the corpus scan, and a filter that prunes
+    before any downstream stage ever sees the dropped rows."""
+    from platform_etl_drug_disease_spark.operators.sampling import BUCKETS, md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    n_min = counts.agg(F.min("n_total").alias("n_min"))
+    rates = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            "source",
+            "n_total",
+            F.floor(F.sqrt(F.col("n_min") / F.col("n_total")) * BUCKETS)
+            .cast("bigint")
+            .alias("thresh"),
+        )
+        .persist()
+    )
+    key = F.concat_ws("|", F.col("source"), F.col("doc_id").cast("string"))
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "thresh")), "source")
+        .where(md5_bucket(key) < F.col("thresh"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "thresh",
+    )
+
+
+_TEMP_MIX_SQL = """
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+           FROM documents GROUP BY source),
+mn AS (SELECT MIN(n_total) AS n_min FROM c),
+r AS (SELECT source, n_total,
+             CAST(FLOOR(sqrt(n_min * 1.0 / n_total) * 10000) AS BIGINT) AS thresh
+      FROM c CROSS JOIN mn),
+k AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM documents d JOIN r USING (source)
+      WHERE CAST(('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 7))
+                 AS BIGINT) % 10000 < r.thresh
+      GROUP BY d.source)
+SELECT r.source, r.n_total,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, r.thresh
+FROM r LEFT JOIN k USING (source)
+"""
+
+
 def clean_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pass: exact-dedup keepers (min doc_id per content
     hash, one window — no self-join) filtered by quality ≥ 0.5, rolled up per
@@ -807,6 +869,7 @@ QUERIES = {
     "dedup_cluster_components_star": dedup_cluster_components_star,
     "dedup_incremental": dedup_incremental,
     "leakage_safe_split": leakage_safe_split,
+    "temperature_mix_stats": temperature_mix_stats,
 }
 
 ORACLES = {
@@ -829,4 +892,5 @@ ORACLES = {
     "dedup_cluster_components_star": _CC_SQL,
     "dedup_incremental": _INCREMENTAL_SQL,
     "leakage_safe_split": _LEAKAGE_SQL,
+    "temperature_mix_stats": _TEMP_MIX_SQL,
 }

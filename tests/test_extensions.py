@@ -544,3 +544,25 @@ def test_leakage_safe_split_no_straddle(spark):
     ).fetchone()[0]
     assert sum(r["n_docs"] for r in rows) == n
     assert all(r["n_clusters"] <= r["n_docs"] for r in rows)
+
+
+def test_temperature_mix_flattens_shares(spark):
+    """α=0.5 mixing: the smallest source keeps everything (thresh=10000);
+    kept shares are flatter than raw shares (max/min ratio shrinks)."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import temperature_mix_stats
+
+    rows = temperature_mix_stats(spark, "/root/testdata/sf0.01").collect()
+    by_total = sorted(rows, key=lambda r: r["n_total"])
+    assert by_total[0]["thresh"] == 10000  # smallest source: rate 1.0
+    assert all(r["thresh"] <= 10000 for r in rows)
+    raw_ratio = by_total[-1]["n_total"] / by_total[0]["n_total"]
+    kept = [r["n_kept"] for r in rows if r["n_kept"] > 0]
+    kept_ratio = max(kept) / min(kept)
+    assert kept_ratio <= raw_ratio + 1e-9
+    # expected kept ≈ √(n_min·n_s): spot-check within sampling noise
+    import math
+
+    n_min = by_total[0]["n_total"]
+    for r in rows:
+        exp = math.sqrt(n_min * r["n_total"])
+        assert abs(r["n_kept"] - exp) <= max(12.0, 0.35 * exp)
