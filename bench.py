@@ -54,6 +54,10 @@ HEADLINE = [
     "embedding_quantize_stats",
     "knn_pq_adc",
     "leakage_safe_split",
+    "hybrid_rrf_search",
+    "cdc_upsert_stats",
+    "zorder_locality_stats",
+    "reservoir_sample_stats",
 ]
 
 

@@ -125,6 +125,51 @@ def tfidf_top_terms(
     return ranked
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists — the standard hybrid
+    (keyword + vector) retrieval combiner: score(d) = Σ 1/(c + rank_i(d))
+    over the channels that returned d.
+
+    Output: (doc_id, rrf_score, rank_kw, rank_vec, rank) — per-channel ranks
+    kept so callers can see which channel surfaced each hit; a channel that
+    did not return the doc contributes 0 to the score and reports rank 0
+    (0, not null: nullable ints round-trip to float64 in pandas and would
+    break the driver's exact dtype compare).
+
+    Scale shape: the inputs are top-k lists (k rows each, by construction of
+    the upstream searches), so the fuse itself is O(k) — a full-outer join
+    of two k-row frames plus a k-row sort. The heavy lifting stays in the
+    channels (inverted-index prune for BM25, ANN candidate generation for
+    the vector side); fusion never touches the corpus."""
+    a = ranked_a.select(F.col(id_col), F.col(rank_col).alias("rank_kw"))
+    b = ranked_b.select(F.col(id_col), F.col(rank_col).alias("rank_vec"))
+    contrib_a = F.lit(1.0) / (F.lit(c) + F.col("rank_kw")).cast("double")
+    contrib_b = F.lit(1.0) / (F.lit(c) + F.col("rank_vec")).cast("double")
+    fused = a.join(b, id_col, "full_outer").select(
+        id_col,
+        F.coalesce(F.col("rank_kw"), F.lit(0)).cast("int").alias("rank_kw"),
+        F.coalesce(F.col("rank_vec"), F.lit(0)).cast("int").alias("rank_vec"),
+        F.round(
+            F.coalesce(contrib_a, F.lit(0.0)) + F.coalesce(contrib_b, F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    from pyspark.sql import Window
+
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "rrf_score", "rank_kw", "rank_vec", "rank"
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],

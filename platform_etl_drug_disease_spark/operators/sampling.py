@@ -60,6 +60,35 @@ def stratified_sample(
     return df.where(b < thr)
 
 
+def group_reservoir(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-size-per-stratum sample: the k rows of each stratum whose
+    md5(salt, id) sorts lowest — the deterministic equivalent of a per-group
+    reservoir sample (uniform over the stratum, stable across runs/engines/
+    partitioning, and incremental-friendly: a grown stratum only swaps rows
+    at the hash boundary).
+
+    One shuffle (the window's partitionBy); per-stratum state is the k-row
+    frontier, never the stratum. For heavily skewed strata at 100-TB scale,
+    pre-filter with ``md5 < threshold`` (a loose per-stratum quantile bound)
+    before the window so the shuffle carries candidates, not the corpus."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), c.asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def split_assign(
     id_col: Column | str,
     weights: dict[str, float],

@@ -1,0 +1,202 @@
+"""Lakehouse-maintenance catalog: CDC latest-wins upsert, Z-order layout
+locality, and fixed-size per-stratum reservoir sampling.
+
+These are the passes that keep a 100-TB corpus servable once it stops being
+append-only: merge recrawls/deletes without a full rebuild
+(operators/cdc.py), cluster files so multi-dimensional predicates skip most
+of them (operators/layout.py), and draw stable fixed-size per-domain
+evaluation samples (operators/sampling.py:group_reservoir). The reference
+pipeline rebuilds from whole-release dumps every run
+(platformDataBackendDrugDiseaseSimilarity.sc reads full parquet dumps,
+sim.sc:318-339); this module is the incremental replacement for that
+pattern.
+
+Every query is pure integer/decimal/bit arithmetic mirrored exactly in its
+DuckDB oracle — bit-for-bit value-hash checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from platform_etl_drug_disease_spark.operators.cdc import upsert_latest
+from platform_etl_drug_disease_spark.operators.layout import zvalue, zvalue_sql
+from platform_etl_drug_disease_spark.operators.sampling import group_reservoir
+from platform_etl_drug_disease_spark.plans._util import arr_join, dsum
+from platform_etl_drug_disease_spark.schemas import load_table
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins upsert
+# ---------------------------------------------------------------------------
+# The change batch is derived deterministically from the snapshot itself so
+# the query needs no extra fixture: orders with key ≡ 3 (mod 10) get a
+# status/price update, keys ≡ 7 (mod 100) get a tombstone delete (disjoint
+# sets: 7 mod 10 ≠ 3). The merged snapshot is then aggregated by status —
+# the updated rows surface as status 'U', the deleted keys vanish.
+
+_CDC_COLS = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+
+def cdc_upsert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge snapshot audit: per-status row count and total price after
+    applying an update batch and a delete batch to the orders snapshot."""
+    orders = load_table(spark, sf_dir, "orders", _CDC_COLS)
+    base = orders.withColumn("version", F.lit(0)).withColumn(
+        "deleted", F.lit(False)
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        )
+        .withColumn("version", F.lit(1))
+        .withColumn("deleted", F.lit(False))
+    )
+    deletes = (
+        orders.where(F.col("o_orderkey") % 100 == 7)
+        .withColumn("version", F.lit(1))
+        .withColumn("deleted", F.lit(True))
+    )
+    merged = upsert_latest(
+        base,
+        updates.unionByName(deletes),
+        keys=["o_orderkey"],
+        version_col="version",
+        tombstone_col="deleted",
+    )
+    return (
+        merged.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+_CDC_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version,
+           FALSE AS deleted
+    FROM orders
+), changes AS (
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           o_totalprice + 100.0 AS o_totalprice, 1 AS version,
+           FALSE AS deleted
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 1, TRUE
+    FROM orders WHERE o_orderkey % 100 = 7
+), merged AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM changes)
+)
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM merged WHERE rn = 1 AND NOT deleted
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order locality
+# ---------------------------------------------------------------------------
+# Morton-code customers on (c_custkey mod 256, floor(|c_acctbal|) mod 256),
+# cut the curve into 64 contiguous segments (z >> 10), and report each
+# segment's row count and per-dimension span. Narrow spans on BOTH x and y
+# in every bucket are exactly the property that makes min-max file skipping
+# work on either predicate — the writer counterpart
+# (operators/layout.py:write_zorder_clustered) is footer-asserted in
+# tests/test_lakehouse.py.
+
+_ZBITS = 8
+
+
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    x = (F.col("c_custkey") % 256).cast("long")
+    y = (F.floor(F.abs(F.col("c_acctbal"))).cast("long") % 256).cast("long")
+    pts = cust.select(x.alias("x"), y.alias("y"))
+    z = zvalue("x", "y", _ZBITS)
+    return (
+        pts.withColumn("bucket", F.shiftright(z, 10).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+
+_Z_SQL = f"""
+WITH pts AS (
+    SELECT c_custkey % 256 AS x,
+           CAST(floor(abs(c_acctbal)) AS BIGINT) % 256 AS y
+    FROM customer
+), coded AS (
+    SELECT x, y, CAST({zvalue_sql('x', 'y', _ZBITS)} >> 10 AS INTEGER) AS bucket
+    FROM pts
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       max(x) - min(x) AS x_span,
+       max(y) - min(y) AS y_span
+FROM coded GROUP BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# fixed-size per-stratum reservoir sample
+# ---------------------------------------------------------------------------
+# 5 documents per language, membership a pure hash function of doc_id —
+# the held-out-eval draw of a corpus pipeline. The sampled id list itself is
+# part of the output (joined to a string), so the oracle pins the exact
+# membership, not just the counts.
+
+_RES_K, _RES_SALT = 5, "eval42:"
+
+
+def reservoir_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    picked = group_reservoir(docs, "doc_id", "lang", _RES_K, _RES_SALT)
+    return picked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sample_chars"),
+        arr_join(
+            F.sort_array(F.collect_list("doc_id")), elem_cast="string"
+        ).alias("sample_ids"),
+    )
+
+
+_RES_SQL = f"""
+WITH ranked AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_RES_SALT}' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS rk
+    FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sample_chars,
+       array_to_string(list_transform(list_sort(list(doc_id)),
+                                      x -> CAST(x AS VARCHAR)), ',') AS sample_ids
+FROM ranked WHERE rk <= {_RES_K}
+GROUP BY lang
+"""
+
+
+QUERIES = {
+    "cdc_upsert_stats": cdc_upsert_stats,
+    "zorder_locality_stats": zorder_locality_stats,
+    "reservoir_sample_stats": reservoir_sample_stats,
+}
+
+ORACLES = {
+    "cdc_upsert_stats": _CDC_SQL,
+    "zorder_locality_stats": _Z_SQL,
+    "reservoir_sample_stats": _RES_SQL,
+}

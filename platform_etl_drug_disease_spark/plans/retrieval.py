@@ -392,3 +392,111 @@ FROM per_doc GROUP BY source
 
 QUERIES["boilerplate_span_stats"] = boilerplate_span_stats
 ORACLES["boilerplate_span_stats"] = _BOILER_SQL
+
+
+# ---------------------------------------------------------------------------
+# hybrid keyword + vector retrieval (reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+# The serve-side composition of the two retrieval channels this catalog
+# already proves independently: BM25 over the inverted index (keyword) and
+# exact cosine kNN over embeddings (vector; documents and embeddings share
+# the id space 0..N-1 by fixture construction). RRF needs only the two
+# top-k lists — each channel does its own corpus-size-independent pruning,
+# and the fusion is an O(k) full-outer join (operators/retrieval.py:rrf_fuse).
+
+_HYB_K, _HYB_CH_K, _HYB_C, _HYB_QVEC = 10, 20, 60, 7
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs by RRF over BM25({join,hash,window}) and cosine-kNN of
+    the query embedding (vec_id 7), 20 candidates per channel."""
+    from platform_etl_drug_disease_spark.operators.retrieval import rrf_fuse
+    from platform_etl_drug_disease_spark.operators.similarity import knn_bruteforce
+    from platform_etl_drug_disease_spark.plans.similarity import _load_emb
+
+    docs = _load_docs(spark, sf_dir, ["doc_id", "text"])
+    kw = bm25_search(docs, _QUERY_TERMS, k=_HYB_CH_K, k1=_BM25_K1, b=_BM25_B)
+
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") == _HYB_QVEC).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    vec = knn_bruteforce(queries, candidates, k=_HYB_CH_K).select(
+        F.col("c_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(kw, vec, k=_HYB_K, c=_HYB_C)
+
+
+def _hybrid_sql() -> str:
+    from platform_etl_drug_disease_spark.plans.similarity import _NDOT, _UNIT_CTES
+
+    return (
+        _TOKS_CTE
+        + f"""
+, post AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM post WHERE term IN ('join', 'hash', 'window')
+    GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+), stats AS (
+    SELECT count(*) AS n_docs,
+           CAST(SUM(CAST(len(t) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avgdl
+    FROM toks
+), dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+w AS (
+    SELECT tf.doc_id,
+           round(round(ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 6)
+                 * round((tf.tf * ({_BM25_K1} + 1.0))
+                         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                            + {_BM25_B} * dl.dl / s.avgdl)), 6), 6) AS w
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+), kw_scored AS (
+    SELECT doc_id,
+           round(CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+    FROM w GROUP BY doc_id
+), kw AS (
+    SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        FROM kw_scored
+    ) WHERE rank <= {_HYB_CH_K}
+), {_UNIT_CTES},
+q AS (SELECT nv AS qnv FROM n WHERE vec_id = {_HYB_QVEC}),
+vec_scored AS (
+    SELECT c.vec_id AS doc_id,
+           {_NDOT.format(a="q.qnv", b="c.nv")} AS cosine_sim
+    FROM q CROSS JOIN n c WHERE c.vec_id != {_HYB_QVEC}
+), vec AS (
+    SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS INTEGER) AS rank
+        FROM vec_scored
+    ) WHERE rank <= {_HYB_CH_K}
+), fused AS (
+    SELECT coalesce(kw.doc_id, vec.doc_id) AS doc_id,
+           CAST(coalesce(kw.rank, 0) AS INTEGER) AS rank_kw,
+           CAST(coalesce(vec.rank, 0) AS INTEGER) AS rank_vec,
+           round(coalesce(CAST(1.0 AS DOUBLE) / ({_HYB_C} + kw.rank), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / ({_HYB_C} + vec.rank), 0.0),
+                 6) AS rrf_score
+    FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+)
+SELECT doc_id, rrf_score, rank_kw, rank_vec,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_HYB_K}
+"""
+    )
+
+
+_HYBRID_SQL = _hybrid_sql()
+
+QUERIES["hybrid_rrf_search"] = hybrid_rrf_search
+ORACLES["hybrid_rrf_search"] = _HYBRID_SQL

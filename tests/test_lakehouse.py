@@ -1,0 +1,209 @@
+"""Lakehouse-maintenance operators: CDC upsert, Z-order layout, per-stratum
+reservoir sampling, RRF fusion."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins upsert
+# ---------------------------------------------------------------------------
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, val=v, version=ver, deleted=d) for k, v, ver, d in rows]
+    )
+
+
+def test_upsert_latest_updates_and_inserts(spark):
+    from platform_etl_drug_disease_spark.operators.cdc import upsert_latest
+
+    base = _snap(spark, [(1, "a", 0, False), (2, "b", 0, False)])
+    changes = _snap(spark, [(2, "b2", 1, False), (3, "c", 1, False)])
+    out = upsert_latest(base, changes, ["k"], "version")
+    got = {r.k: (r.val, r.version) for r in out.collect()}
+    assert got == {1: ("a", 0), 2: ("b2", 1), 3: ("c", 1)}
+
+
+def test_upsert_latest_tombstone_deletes_and_drops_marker(spark):
+    from platform_etl_drug_disease_spark.operators.cdc import upsert_latest
+
+    base = _snap(spark, [(1, "a", 0, False), (2, "b", 0, False)])
+    changes = _snap(spark, [(1, "a", 1, True)])
+    out = upsert_latest(base, changes, ["k"], "version", tombstone_col="deleted")
+    assert "deleted" not in out.columns
+    assert [r.k for r in out.collect()] == [2]
+
+
+def test_upsert_latest_multiple_versions_keep_highest(spark):
+    from platform_etl_drug_disease_spark.operators.cdc import upsert_latest
+
+    base = _snap(spark, [(1, "v0", 0, False)])
+    changes = _snap(
+        spark, [(1, "v1", 1, False), (1, "v3", 3, False), (1, "v2", 2, False)]
+    )
+    out = upsert_latest(base, changes, ["k"], "version")
+    assert [(r.k, r.val) for r in out.collect()] == [(1, "v3")]
+
+
+def test_changes_only_view_is_broadcast_semi(spark):
+    from platform_etl_drug_disease_spark.operators.cdc import changes_only_view
+
+    base = _snap(spark, [(1, "a", 0, False), (2, "b", 0, False), (3, "c", 0, False)])
+    changes = _snap(spark, [(2, "x", 1, False), (9, "y", 1, False)])
+    touched = changes_only_view(base, changes, ["k"])
+    assert sorted(r.k for r in touched.collect()) == [2]
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zvalue_matches_reference_interleave(spark):
+    from platform_etl_drug_disease_spark.operators.layout import zvalue
+
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(0, 0), (1, 0), (0, 1), (255, 255), (17, 200), (128, 3)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in pts])
+    got = df.select("x", "y", zvalue("x", "y", 8).alias("z")).collect()
+    for r in got:
+        assert r.z == morton(r.x, r.y), (r.x, r.y)
+
+
+def _file_spans(path, col):
+    """(min, max) per parquet file for ``col`` from the footer statistics."""
+    spans = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    return spans
+
+
+def test_zorder_writer_bounds_both_dimensions(spark, tmp_path):
+    """Clustered layout: every file's footer must bound BOTH x and y well
+    below the global span — the property min-max file skipping needs. A
+    single-column sort would leave the y spans at ~full width."""
+    from platform_etl_drug_disease_spark.operators.layout import (
+        write_zorder_clustered,
+    )
+
+    n, side = 4096, 64  # full 64×64 grid, 16 files → 256 points each
+    grid = spark.range(n).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    zpath = str(tmp_path / "zorder")
+    write_zorder_clustered(grid, zpath, "x", "y", n_files=16, bits=6)
+
+    sorted_path = str(tmp_path / "xsorted")
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(sorted_path)
+    )
+
+    def mean_span(path, col):
+        spans = _file_spans(path, col)
+        return sum(hi - lo for lo, hi in spans) / len(spans)
+
+    # 16 files over a 64×64 grid: perfect z-clustering gives 16×16 tiles
+    # (span 15 each axis); allow curve-boundary slop up to half the side.
+    assert mean_span(zpath, "x") <= side / 2
+    assert mean_span(zpath, "y") <= side / 2
+    # the x-sorted layout must be near-perfect on x and useless on y,
+    # proving the comparison is meaningful
+    assert mean_span(sorted_path, "x") <= side / 8
+    assert mean_span(sorted_path, "y") >= side - 2
+
+
+# ---------------------------------------------------------------------------
+# per-stratum reservoir sample
+# ---------------------------------------------------------------------------
+
+
+def test_group_reservoir_fixed_size_and_stable(spark):
+    from platform_etl_drug_disease_spark.operators.sampling import group_reservoir
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("g")
+    )
+    s1 = group_reservoir(df, "doc_id", "g", 7, salt="s:")
+    s2 = group_reservoir(df.repartition(13), "doc_id", "g", 7, salt="s:")
+    rows1 = sorted((r.g, r.doc_id) for r in s1.collect())
+    rows2 = sorted((r.g, r.doc_id) for r in s2.collect())
+    assert rows1 == rows2, "membership must not depend on partitioning"
+    per_group = {}
+    for g, _ in rows1:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group == {"0": 7, "1": 7, "2": 7}
+    # a different salt draws a different sample
+    s3 = group_reservoir(df, "doc_id", "g", 7, salt="other:")
+    assert sorted((r.g, r.doc_id) for r in s3.collect()) != rows1
+
+
+def test_group_reservoir_incremental_growth_is_monotone(spark):
+    """Growing a stratum only swaps rows at the hash frontier: the sample of
+    the grown corpus restricted to old ids is a subset of the old sample."""
+    from platform_etl_drug_disease_spark.operators.sampling import group_reservoir
+
+    small = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("g").alias("g"))
+    big = spark.range(150).select(F.col("id").alias("doc_id"), F.lit("g").alias("g"))
+    k = 10
+    old = {r.doc_id for r in group_reservoir(small, "doc_id", "g", k).collect()}
+    new = {r.doc_id for r in group_reservoir(big, "doc_id", "g", k).collect()}
+    assert new & set(range(100)) <= old
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_combines_and_ranks(spark):
+    from platform_etl_drug_disease_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([Row(doc_id=1, rank=1), Row(doc_id=2, rank=2)])
+    b = spark.createDataFrame([Row(doc_id=2, rank=1), Row(doc_id=3, rank=2)])
+    out = {r.doc_id: r for r in rrf_fuse(a, b, k=10, c=60).collect()}
+    # doc 2 appears in both channels -> highest fused score
+    assert out[2].rank == 1 and out[2].rank_kw == 2 and out[2].rank_vec == 1
+    assert out[2].rrf_score == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    # single-channel docs report rank 0 on the missing channel, never null
+    assert out[1].rank_vec == 0 and out[3].rank_kw == 0
+    assert out[1].rrf_score == pytest.approx(1 / 61, abs=1e-6)
+    # tie between kw-only rank1 and vec-only rank2? no — check ordering field
+    ranks = [r.rank for r in out.values()]
+    assert sorted(ranks) == [1, 2, 3]
+
+
+def test_hybrid_query_runs_on_smoke(spark):
+    from platform_etl_drug_disease_spark.plans.retrieval import hybrid_rrf_search
+
+    rows = hybrid_rrf_search(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    # at least one hit must come from each channel at this scale
+    assert any(r.rank_kw > 0 for r in rows)
+    assert any(r.rank_vec > 0 for r in rows)
