@@ -58,6 +58,7 @@ HEADLINE = [
     "cdc_upsert_stats",
     "zorder_locality_stats",
     "reservoir_sample_stats",
+    "substring_dedup_stats",
 ]
 
 

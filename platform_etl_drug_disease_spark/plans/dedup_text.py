@@ -894,3 +894,125 @@ ORACLES = {
     "leakage_safe_split": _LEAKAGE_SQL,
     "temperature_mix_stats": _TEMP_MIX_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# repeated-substring removal (Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better", distributed form)
+# ---------------------------------------------------------------------------
+# Exact substring dedup at span granularity: every W-token window that occurs
+# more than once in the corpus is marked for removal, overlapping marks are
+# coalesced per document (operators/intervals.py gaps-and-islands merge), and
+# the census reports how many tokens each source loses. Differs from
+# boilerplate_span_stats (frequency census, no removal semantics) in that
+# spans are MERGED — the output is the exact retained-token accounting a
+# tokenizer shard would see.
+#
+# Scale shape: grams travel as xxhash64 longs (internal join/group keys only
+# — the oracle groups the raw gram strings; counts agree absent a 64-bit
+# collision), the dup-gram table is an equi-join back onto occurrences
+# (output bounded by occurrence count, never quadratic), and the merge
+# shuffles spans once keyed by doc_id.
+
+_SUB_W = 8
+
+
+def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repeated-substring accounting: docs, docs containing any
+    duplicated W-gram, total tokens, removed (merged-span) tokens, kept."""
+    from platform_etl_drug_disease_spark.operators.intervals import merge_intervals
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
+    base = (
+        docs.select("doc_id", "source", tx.tokens("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        .persist()  # consumed twice: occurrence explode + final census
+    )
+    starts = F.when(F.col("n") >= _SUB_W, F.sequence(F.lit(0), F.col("n") - _SUB_W))
+    occ = (
+        base.select("doc_id", "t", F.explode_outer(starts).alias("pos"))
+        .where(F.col("pos").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(
+                F.array_join(F.slice(F.col("t"), F.col("pos") + 1, _SUB_W), " ")
+            ).alias("gram"),
+        )
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("gram")
+    )
+    spans = occ.join(dup, "gram").select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        (F.col("pos") + _SUB_W).alias("end"),
+    )
+    merged = merge_intervals(spans, ["doc_id"])
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum(F.col("end") - F.col("start")).alias("removed")
+    )
+    removed = F.coalesce(F.col("removed"), F.lit(0))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((removed > 0).cast("bigint")).alias("docs_with_dups"),
+            F.sum("n").alias("total_tokens"),
+            F.sum(removed).alias("removed_tokens"),
+            (F.sum("n") - F.sum(removed)).alias("kept_tokens"),
+        )
+    )
+
+
+_SUBSTR_SQL = _TOKS_CTE + f"""
+, base AS (
+    SELECT doc_id, source, t, len(t) AS n FROM toks
+), occ AS (
+    SELECT doc_id, t, unnest(range(0, n - {_SUB_W} + 1)) AS pos
+    FROM base WHERE n >= {_SUB_W}
+), grams AS (
+    SELECT doc_id, pos,
+           list_aggregate(t[pos + 1 : pos + {_SUB_W}], 'string_agg', ' ') AS gram
+    FROM occ
+), dup AS (
+    SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1
+), spans AS (
+    SELECT doc_id, pos AS s, pos + {_SUB_W} AS e
+    FROM grams JOIN dup USING (gram)
+), marked AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+    FROM spans
+), islands AS (
+    SELECT doc_id, s, e,
+           SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+), merged AS (
+    SELECT doc_id, min(s) AS s, max(e) AS e FROM islands GROUP BY doc_id, island
+), per_doc AS (
+    SELECT doc_id, SUM(e - s) AS removed FROM merged GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN coalesce(removed, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_dups,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(coalesce(removed, 0)) AS BIGINT) AS removed_tokens,
+       CAST(SUM(n) - SUM(coalesce(removed, 0)) AS BIGINT) AS kept_tokens
+FROM base LEFT JOIN per_doc USING (doc_id)
+GROUP BY source
+"""
+
+QUERIES["substring_dedup_stats"] = substring_dedup_stats
+ORACLES["substring_dedup_stats"] = _SUBSTR_SQL
