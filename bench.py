@@ -59,6 +59,7 @@ HEADLINE = [
     "zorder_locality_stats",
     "reservoir_sample_stats",
     "substring_dedup_stats",
+    "dq_audit",
 ]
 
 

@@ -189,14 +189,85 @@ GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# data-quality constraint audit
+# ---------------------------------------------------------------------------
+# The promotion gate of a corpus release: key uniqueness, referential
+# integrity fact→dim, null and range budgets — each check one aggregate
+# plan, unioned into a summary table (operators/quality_checks.py).
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_drug_disease_spark.operators.quality_checks import (
+        audit,
+        check_in_range,
+        check_not_null,
+        check_references,
+        check_unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
+    events = load_table(spark, sf_dir, "events", ["value"])
+    return audit(
+        [
+            check_unique(orders, ["o_orderkey"], "orders_pk_unique"),
+            check_unique(li, ["l_orderkey", "l_linenumber"], "lineitem_pk_unique"),
+            check_references(li, "l_orderkey", orders, "o_orderkey", "lineitem_fk_orders"),
+            check_references(orders, "o_custkey", cust, "c_custkey", "orders_fk_customer"),
+            check_not_null(cust, "c_name", "customer_name_not_null"),
+            check_in_range(events, "value", 0.0, 400.0, "events_value_range"),
+        ]
+    )
+
+
+_DQ_SQL = """
+SELECT 'orders_pk_unique' AS check_name,
+       CAST(SUM(c) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_violations
+FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'lineitem_pk_unique',
+       CAST(SUM(c) AS BIGINT),
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_orderkey IS NOT NULL),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL
+SELECT 'orders_fk_customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NOT NULL),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer_name_not_null',
+       (SELECT CAST(count(*) AS BIGINT) FROM customer),
+       (SELECT CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM customer)
+UNION ALL
+SELECT 'events_value_range',
+       (SELECT CAST(count(value) AS BIGINT) FROM events),
+       (SELECT CAST(SUM(CASE WHEN value IS NOT NULL
+                              AND (value < 0.0 OR value > 400.0)
+                         THEN 1 ELSE 0 END) AS BIGINT) FROM events)
+"""
+
+
 QUERIES = {
     "cdc_upsert_stats": cdc_upsert_stats,
     "zorder_locality_stats": zorder_locality_stats,
     "reservoir_sample_stats": reservoir_sample_stats,
+    "dq_audit": dq_audit,
 }
 
 ORACLES = {
     "cdc_upsert_stats": _CDC_SQL,
     "zorder_locality_stats": _Z_SQL,
     "reservoir_sample_stats": _RES_SQL,
+    "dq_audit": _DQ_SQL,
 }

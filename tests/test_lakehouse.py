@@ -207,3 +207,52 @@ def test_hybrid_query_runs_on_smoke(spark):
     # at least one hit must come from each channel at this scale
     assert any(r.rank_kw > 0 for r in rows)
     assert any(r.rank_vec > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# data-quality constraint audit
+# ---------------------------------------------------------------------------
+
+
+def test_dq_checks_detect_planted_violations(spark):
+    from platform_etl_drug_disease_spark.operators.quality_checks import (
+        audit,
+        check_in_range,
+        check_not_null,
+        check_references,
+        check_unique,
+    )
+
+    child = spark.createDataFrame(
+        [Row(k=1, v=None), Row(k=1, v=5.0), Row(k=2, v=99.0), Row(k=9, v=-3.0)]
+    )
+    parent = spark.createDataFrame([Row(p=1), Row(p=2)])
+    out = {
+        r.check_name: (r.n_checked, r.n_violations)
+        for r in audit(
+            [
+                check_unique(child, ["k"], "uniq"),
+                check_not_null(child, "v", "notnull"),
+                check_in_range(child, "v", 0.0, 50.0, "range"),
+                check_references(child, "k", parent, "p", "fk"),
+            ]
+        ).collect()
+    }
+    assert out["uniq"] == (4, 2)      # the two k=1 rows
+    assert out["notnull"] == (4, 1)   # one null v
+    assert out["range"] == (3, 2)     # 99.0 and -3.0 out of [0, 50]
+    assert out["fk"] == (4, 1)        # k=9 has no parent
+
+
+def test_dq_audit_fixture_facts(spark):
+    """Referential integrity and key uniqueness of the harness star schema —
+    including one REAL defect the audit catches: the synthetic generator
+    reuses l_linenumber, so (l_orderkey, l_linenumber) is not a key."""
+    from platform_etl_drug_disease_spark.plans.lakehouse import dq_audit
+
+    out = {r.check_name: r.n_violations for r in dq_audit(spark, SF_SMOKE).collect()}
+    assert out["orders_pk_unique"] == 0
+    assert out["lineitem_pk_unique"] > 0, "fixture defect must be detected"
+    assert out["lineitem_fk_orders"] == 0
+    assert out["orders_fk_customer"] == 0
+    assert out["customer_name_not_null"] == 0
