@@ -99,10 +99,11 @@ def _shingle_table(
     sf0.1). Empty shingle arrays are harmless downstream: ``explode`` drops
     them and every consumer joins inner on ids that came from exploded rows.
     """
-    src = df.select(F.col(id_col), F.col(text_col))
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target, F.col(id_col))
+    from platform_etl_drug_disease_spark.schemas import ensure_compute_partitions
+
+    src = ensure_compute_partitions(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
     return with_shingles(src, text_col, shingle_n).select(F.col(id_col), F.col("sh"))
 
 

@@ -28,7 +28,10 @@ from platform_etl_drug_disease_spark.operators.dedup import (
     simhash64,
 )
 from platform_etl_drug_disease_spark.plans._util import arr_join
-from platform_etl_drug_disease_spark.schemas import load_table
+from platform_etl_drug_disease_spark.schemas import (
+    ensure_compute_partitions,
+    load_table,
+)
 
 # DuckDB equivalents of operators.text.tokens / operators.text.shingles —
 # identical tokenization and shingling so hashes agree byte-for-byte.
@@ -922,10 +925,10 @@ def substring_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated W-gram, total tokens, removed (merged-span) tokens, kept."""
     from platform_etl_drug_disease_spark.operators.intervals import merge_intervals
 
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        docs = docs.repartition(target, "doc_id")
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"]),
+        "doc_id",
+    )
     base = (
         docs.select("doc_id", "source", tx.tokens("text").alias("t"))
         .withColumn("n", F.size("t"))

@@ -206,8 +206,15 @@ def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_unique,
     )
 
-    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    # orders fans out to 4 consumers (pk check, fk parent set, fk child +
+    # its total), lineitem to 3 — persist the pruned projections so the
+    # audit reads each table once, not once per check.
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey"]
+    ).persist()
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]
+    ).persist()
     cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
     events = load_table(spark, sf_dir, "events", ["value"])
     return audit(

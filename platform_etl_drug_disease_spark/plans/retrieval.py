@@ -20,7 +20,10 @@ from platform_etl_drug_disease_spark.operators.retrieval import (
     bm25_search,
     tfidf_top_terms,
 )
-from platform_etl_drug_disease_spark.schemas import load_table
+from platform_etl_drug_disease_spark.schemas import (
+    ensure_compute_partitions,
+    load_table,
+)
 
 
 def _load_docs(spark: SparkSession, sf_dir: str, columns: list[str] | None = None):
@@ -31,10 +34,7 @@ def _load_docs(spark: SparkSession, sf_dir: str, columns: list[str] | None = Non
     partition-follows-compute rule as plans/similarity._load_emb; a no-op on
     a well-partitioned corpus."""
     df = load_table(spark, sf_dir, "documents", columns)
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, "doc_id")
-    return df
+    return ensure_compute_partitions(df, "doc_id")
 
 
 _TOKS_CTE = r"""

@@ -24,7 +24,10 @@ from platform_etl_drug_disease_spark.operators.similarity import (
     knn_lsh,
     semantic_dedup,
 )
-from platform_etl_drug_disease_spark.schemas import load_table
+from platform_etl_drug_disease_spark.schemas import (
+    ensure_compute_partitions,
+    load_table,
+)
 
 _DIM = 64
 
@@ -37,10 +40,7 @@ def _load_emb(spark: SparkSession, sf_dir: str, columns: list[str] | None = None
     arrives skinnier — the same partition-follows-compute rule as
     operators/dedup._shingle_table; a no-op on a well-partitioned corpus."""
     df = load_table(spark, sf_dir, "embeddings", columns)
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target, "vec_id")
-    return df
+    return ensure_compute_partitions(df, "vec_id")
 
 
 # DuckDB unit-normalization and normalized-dot with Spark-identical fold order.

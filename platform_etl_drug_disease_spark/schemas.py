@@ -95,6 +95,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, columns: list[str] |
     return df
 
 
+#: mirror of spark.sql.files.maxPartitionBytes' default (128 MiB) — used only
+#: to ESTIMATE how many input splits a scan yields, never to configure Spark.
+_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def ensure_compute_partitions(df: DataFrame, key: str) -> DataFrame:
+    """Repartition a scan by ``key`` up to the cluster's slot count when the
+    source arrives skinnier — the partition-follows-compute rule for the
+    map-heavy stages (tokenize/shingle/vector folds) that would otherwise
+    run on however few splits the file layout dictates. A no-op on a
+    well-partitioned corpus.
+
+    The split estimate comes from file METADATA only: each local file
+    contributes ceil(size / 128 MiB) splits (non-local URIs count 1 — at
+    worst a harmless extra repartition of data that was about to shuffle
+    anyway). The previous probe, ``df.rdd.getNumPartitions()``, forces the
+    DataFrame→RDD plan conversion — a measured 0.5–1 s of driver-side work
+    per call, which multiplied across the bench's per-query loaders."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    est = 0
+    for uri in df.inputFiles():
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            try:
+                size = os.path.getsize(parsed.path)
+            except OSError:
+                size = 0
+            est += max(1, math.ceil(size / _MAX_PARTITION_BYTES))
+        else:
+            est += 1
+        if est >= target:
+            return df
+    return df.repartition(target, F.col(key))
+
+
 # --------------------------------------------------------------------------
 # B. Reference domain input schemas (FIXTURES.md §B; field set = exactly what
 #    sim.sc reads from each source). Used by plans/drug_disease.py.
