@@ -60,6 +60,7 @@ HEADLINE = [
     "reservoir_sample_stats",
     "substring_dedup_stats",
     "dq_audit",
+    "bpe_merge_pair_stats",
 ]
 
 

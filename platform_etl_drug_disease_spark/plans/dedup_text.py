@@ -1019,3 +1019,74 @@ GROUP BY source
 
 QUERIES["substring_dedup_stats"] = substring_dedup_stats
 ORACLES["substring_dedup_stats"] = _SUBSTR_SQL
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction: the merge-pair counting step
+# ---------------------------------------------------------------------------
+# The inner loop of byte-pair-encoding training is "count every adjacent
+# symbol pair, weighted by word frequency; merge the argmax". The count is
+# the distributed-scale piece (the merge itself is a driver-side argmax over
+# |pairs| rows), and the classic trick applies verbatim in Spark: aggregate
+# the corpus to its DISTINCT-WORD frequency table first, then explode
+# character pairs over the vocabulary — pair work scales with |vocab|, not
+# corpus tokens. Top pairs are reported with the same TakeOrderedAndProject
+# + k-row window pattern as bm25_search (no corpus-wide one-partition sort).
+
+_BPE_TOP_K = 20
+
+
+def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs by frequency-weighted count — BPE
+    training step 0 over the whitespace vocabulary."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    vocab = (
+        docs.select(F.explode_outer(tx.tokens("text")).alias("word"))
+        .where(F.col("word").isNotNull() & (F.col("word") != ""))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pair_idx = F.when(
+        F.length("word") >= 2, F.sequence(F.lit(1), F.length("word") - 1)
+    )
+    pairs = (
+        vocab.select(
+            "freq", F.explode_outer(pair_idx).alias("i"), F.col("word")
+        )
+        .where(F.col("i").isNotNull())
+        .select(F.substring(F.col("word"), F.col("i"), 2).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+    top = pairs.orderBy(F.col("pair_count").desc(), F.col("pair")).limit(_BPE_TOP_K)
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "rank", "pair", "pair_count"
+    )
+
+
+_BPE_SQL = _TOKS_CTE + f"""
+, words AS (
+    SELECT unnest(t) AS word FROM toks
+), vocab AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS freq
+    FROM words WHERE word IS NOT NULL AND word != ''
+    GROUP BY word
+), pairs AS (
+    SELECT substr(word, i, 2) AS pair, freq
+    FROM (SELECT word, freq, unnest(range(1, len(word))) AS i
+          FROM vocab WHERE len(word) >= 2)
+), counted AS (
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+), ranked AS (
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INTEGER)
+               AS rank
+    FROM counted
+)
+SELECT rank, pair, pair_count FROM ranked WHERE rank <= {_BPE_TOP_K}
+"""
+
+QUERIES["bpe_merge_pair_stats"] = bpe_merge_pair_stats
+ORACLES["bpe_merge_pair_stats"] = _BPE_SQL
