@@ -131,3 +131,33 @@ def test_asof_join_plans_without_join_node(spark):
     plan = explain_string(asof_latest_click(spark, SF_SMOKE))
     assert "Join" not in plan, "union-merge as-of must not contain any join operator"
     assert "Window" in plan
+
+
+def test_hybrid_rrf_top_k_without_global_sort(spark):
+    """Both channels' top-k must compile to TakeOrderedAndProject (driver
+    heap merge over k rows), never a corpus-wide single-partition sort."""
+    from platform_etl_drug_disease_spark.plans.retrieval import hybrid_rrf_search
+
+    plan = explain_string(hybrid_rrf_search(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_substring_dedup_is_equi_join_and_windowed_merge(spark):
+    """Dup-gram candidates come from an equi-join (linear in occurrences);
+    the span merge is window functions, not a self-join."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import substring_dedup_stats
+
+    plan = explain_string(substring_dedup_stats(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Window" in plan
+
+
+def test_cdc_upsert_merge_is_single_window_pass(spark):
+    """Latest-wins pick is one row_number window over the union — no join in
+    the merge (the only joins would be a planner artifact)."""
+    from platform_etl_drug_disease_spark.plans.lakehouse import cdc_upsert_stats
+
+    plan = explain_string(cdc_upsert_stats(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Union" in plan
+    assert "Join" not in plan
