@@ -107,27 +107,51 @@ def _shingle_table(
     return with_shingles(src, text_col, shingle_n).select(F.col(id_col), F.col("sh"))
 
 
+def minhash_seeds(n: int) -> list[int]:
+    """Fixed 60-bit XOR mixers for the minhash family — seeded Mersenne
+    Twister per slot, platform-stable, shipped into plans (and the DuckDB
+    oracles) as literals."""
+    import random
+
+    return [random.Random(1_000_003 * (i + 7)).getrandbits(60) for i in range(n)]
+
+
 def banded_signatures(
     sh: DataFrame, id_col: str, n_hashes: int = 16, n_bands: int = 4
 ) -> DataFrame:
     """(id, band_key) rows — the REUSABLE LSH index of a shingled corpus.
 
     The signature is computed in exploded form — one (id, shingle) row per
-    shingle, ``n_hashes`` ``min(md5(seed||s))`` aggregates under one groupBy
-    — NOT as nested array-transform lambdas (HOF lambdas run interpreted;
-    the same md5s as plain aggregates stay codegen'd: 40× at sf0.1). At
-    100 TB this table IS the dedup index: persist/write it once per corpus
-    snapshot, and match any new batch against it without touching corpus
-    text again (:func:`incremental_minhash_matches`).
+    shingle, ``n_hashes`` min-aggregates under one groupBy — NOT as nested
+    array-transform lambdas (HOF lambdas run interpreted; the same hashes as
+    plain aggregates stay codegen'd: 40× at sf0.1). At 100 TB this table IS
+    the dedup index: persist/write it once per corpus snapshot, and match
+    any new batch against it without touching corpus text again
+    (:func:`incremental_minhash_matches`).
+
+    Hash family: ONE md5 per shingle (60-bit integer from the first 15 hex
+    chars), then ``min(h XOR r_i)`` per slot with fixed random mixers — XOR
+    with a constant is a bijection on the 60-bit universe, so each slot
+    behaves as an independent min-wise permutation of the same base hash.
+    This replaces the earlier ``min(md5(seed||s))`` family: n_hashes× fewer
+    md5 evaluations on the corpus-dominant stage (the md5 is the expensive
+    part; the XORs are single codegen'd long ops). 60 bits keeps the
+    universe far above any real shingle cardinality (2^60 ≫ 10^12 distinct
+    shingles at 100 TB), where a 28-bit truncation would saturate min-hash
+    estimates with collisions.
     """
     rows_per_band = n_hashes // n_bands
-    ex = sh.select(F.col(id_col), F.explode("sh").alias("s"))
+    seeds = minhash_seeds(n_hashes)
+    ex = sh.select(F.col(id_col), F.explode("sh").alias("s")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
     sig = ex.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("s")))).alias(
-                f"h{seed}"
-            )
-            for seed in range(n_hashes)
+            F.min(F.col("__h").bitwiseXOR(F.lit(seeds[i]))).alias(f"h{i}")
+            for i in range(n_hashes)
         ]
     )
     return sig.select(
@@ -169,8 +193,11 @@ def minhash_lsh_candidates(
     """shingle → minhash → band → bucket-join candidate pairs (id_a < id_b).
 
     The join is on band keys, so cost scales with bucket sizes, not n².
-    """
-    sh = _shingle_table(df, id_col, text_col, shingle_n)
+    The shingle table is persisted: the banded self-join consumes the
+    signature pipeline on BOTH sides, and without materialization the whole
+    tokenize/shingle/hash chain runs twice (measured pathological on large
+    corpora)."""
+    sh = _shingle_table(df, id_col, text_col, shingle_n).persist()
     return _candidates_from_shingles(sh, id_col, n_hashes, n_bands)
 
 

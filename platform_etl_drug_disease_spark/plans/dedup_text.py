@@ -25,6 +25,7 @@ from platform_etl_drug_disease_spark.operators.dedup import (
     exact_dedup_clusters,
     jaccard_pairs,
     minhash_lsh_candidates,
+    minhash_seeds,
     simhash64,
 )
 from platform_etl_drug_disease_spark.plans._util import arr_join
@@ -257,14 +258,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MINHASH_PAIRS_CORE = """
+# Mirror of operators/dedup.py:banded_signatures' hash family: one md5 per
+# shingle → 60-bit int, then min(xor(h, seed_i)) per slot. Seeds are the
+# SAME literals (minhash_seeds) on both engines.
+_MINHASH_SEEDS_SQL = "[" + ", ".join(str(s) for s in minhash_seeds(16)) + "]"
+
+_SIGS_CTE = f"""
 , sigs AS (
     SELECT doc_id, sh,
-           list_transform(range(0, 16), seed ->
+           list_transform(range(0, 16), i ->
                list_aggregate(list_transform(sh,
-                   s -> md5(CAST(seed AS VARCHAR) || '|' || s)), 'min')) AS sig
+                   s -> xor(CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT),
+                            ({_MINHASH_SEEDS_SQL})[i + 1])), 'min')) AS sig
     FROM sh WHERE len(sh) > 0
-), banded AS (
+)"""
+
+_MINHASH_PAIRS_CORE = _SIGS_CTE + """
+, banded AS (
     SELECT doc_id,
            unnest(list_transform(range(0, 4), b -> concat_ws('#',
                CAST(b AS VARCHAR),
@@ -747,14 +757,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCREMENTAL_SQL = _SHINGLES_CTE + """
-, sigs AS (
-    SELECT doc_id, sh,
-           list_transform(range(0, 16), seed ->
-               list_aggregate(list_transform(sh,
-                   s -> md5(CAST(seed AS VARCHAR) || '|' || s)), 'min')) AS sig
-    FROM sh WHERE len(sh) > 0
-), banded AS (
+_INCREMENTAL_SQL = _SHINGLES_CTE + _SIGS_CTE + """
+, banded AS (
     SELECT doc_id,
            unnest(list_transform(range(0, 4), b -> concat_ws('#',
                CAST(b AS VARCHAR),
