@@ -296,3 +296,94 @@ ORACLES = {
     "multimodal_features": _FEATURES_SQL,
     "multimodal_frame_sample": _FRAMES_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC: change feed → foreachBatch latest-wins merge
+# ---------------------------------------------------------------------------
+
+_CDC_FEED_SCHEMA = (
+    "o_orderkey bigint, o_orderstatus string, o_totalprice double,"
+    " version int, deleted boolean"
+)
+
+
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cdc_upsert_stats``: the update/tombstone batches
+    arrive as a file stream (maxFilesPerTrigger=1 → multiple micro-batches),
+    and each batch is merged into the running snapshot inside
+    ``foreachBatch`` via the same latest-wins operator as the batch query —
+    snapshot versions land under ``v<batch_id>`` so a replayed batch
+    overwrites its own output (exactly-once in effect). Tombstones stay IN
+    the snapshot state (a later lower-version row must not resurrect);
+    the final census filters them, exactly like the batch merge. Output and
+    oracle identical to ``cdc_upsert_stats``: streaming == batch == oracle."""
+    import tempfile
+
+    from platform_etl_drug_disease_spark.operators.cdc import upsert_latest
+    from platform_etl_drug_disease_spark.plans._util import dsum
+
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    base = orders.withColumn("version", F.lit(0)).withColumn(
+        "deleted", F.lit(False)
+    )
+    updates = (
+        orders.where(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        )
+        .withColumn("version", F.lit(1))
+        .withColumn("deleted", F.lit(False))
+    )
+    deletes = (
+        orders.where(F.col("o_orderkey") % 100 == 7)
+        .withColumn("version", F.lit(1))
+        .withColumn("deleted", F.lit(True))
+    )
+
+    feed_dir = tempfile.mkdtemp(prefix="stream_cdc_feed_")
+    snap_dir = tempfile.mkdtemp(prefix="stream_cdc_snap_")
+    # two change sets → ≥2 feed files; any file-to-batch split is correct
+    # because the change keys are disjoint and carry explicit versions.
+    updates.unionByName(deletes).repartition(2).write.mode("overwrite").parquet(
+        feed_dir
+    )
+    base.write.mode("overwrite").parquet(f"{snap_dir}/v_base")
+    state = {"latest": f"{snap_dir}/v_base"}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = spark.read.parquet(state["latest"])
+        merged = upsert_latest(cur, batch_df, ["o_orderkey"], "version")
+        path = f"{snap_dir}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(path)
+        state["latest"] = path
+
+    feed = (
+        spark.readStream.schema(_CDC_FEED_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(feed_dir)
+    )
+    q = (
+        feed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{snap_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = spark.read.parquet(state["latest"]).where(~F.col("deleted"))
+    return final.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+from platform_etl_drug_disease_spark.plans.lakehouse import _CDC_SQL
+
+QUERIES["streaming_cdc_upsert"] = streaming_cdc_upsert
+ORACLES["streaming_cdc_upsert"] = _CDC_SQL

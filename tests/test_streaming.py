@@ -205,3 +205,25 @@ def test_event_stream_normalizes_both_ts_spellings(spark, tmp_path):
         results[unit] = sorted(out.select("event_id", "ts").collect())
     assert results["ns"] == results["us"]
     assert len(results["ns"]) == 2
+
+
+def test_streaming_cdc_upsert_matches_batch(spark):
+    """Streaming merge (multi-batch file feed, foreachBatch latest-wins)
+    converges to exactly the batch CDC census."""
+    from platform_etl_drug_disease_spark.plans.lakehouse import cdc_upsert_stats
+    from platform_etl_drug_disease_spark.plans.streaming_media import (
+        streaming_cdc_upsert,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r.status: (r.n_orders, round(r.total_price, 4))
+        for r in streaming_cdc_upsert(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.status: (r.n_orders, round(r.total_price, 4))
+        for r in cdc_upsert_stats(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert "U" in got and got["U"][0] > 0
