@@ -108,3 +108,36 @@ def test_substring_dedup_plants_are_removed(spark):
     }
     # both copies fully covered [0, 20); unique doc has no spans at all
     assert got == {1: (0, 20), 2: (0, 20)}
+
+
+def test_merge_intervals_matches_reference_model(spark):
+    """Property check vs an in-memory reference merge over randomized span
+    sets (hypothesis): same islands for any input, including duplicates,
+    containment, chains, and touching spans."""
+    from hypothesis import given, settings, strategies as st
+
+    from platform_etl_drug_disease_spark.operators.intervals import merge_intervals
+
+    def ref_merge(spans):
+        out = []
+        for s, e in sorted(spans):
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return [tuple(x) for x in out]
+
+    span = st.tuples(st.integers(0, 50), st.integers(1, 20)).map(
+        lambda t: (t[0], t[0] + t[1])
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(span, min_size=1, max_size=25))
+    def check(spans):
+        df = _spans(spark, [("k", s, e) for s, e in spans])
+        got = sorted(
+            (r.start, r.end) for r in merge_intervals(df, ["k"]).collect()
+        )
+        assert got == ref_merge(spans)
+
+    check()
