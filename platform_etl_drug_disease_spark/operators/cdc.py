@@ -83,3 +83,34 @@ def changes_only_view(
     key_cols = [F.col(k) for k in keys]
     touched = changes.select(*key_cols).distinct()
     return base.join(F.broadcast(touched), list(keys), "left_semi")
+
+
+def scd2_history(
+    feed: DataFrame,
+    keys: Sequence[str],
+    version_col: str = "version",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change feed (every observed
+    version of every key) into interval-stamped history rows — each row
+    valid from its own version until the key's next version, the latest
+    version per key open-ended and flagged current. The companion to
+    :func:`upsert_latest`, which keeps only the winner: SCD2 keeps the full
+    audit trail, which is what lineage/reproducibility audits of a training
+    corpus need (what did this document look like when snapshot N trained?).
+
+    One shuffle, keyed by the dimension key; per-key state is one ``lead``
+    frontier row, so a hot key costs its own version count, never the
+    corpus. If the feed arrives already key-partitioned (the bucketed
+    writers in sources/writers.py), the exchange disappears entirely.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(version_col).asc()
+    )
+    return (
+        feed.withColumn(valid_from, F.col(version_col))
+        .withColumn(valid_to, F.lead(version_col).over(w))
+        .withColumn(current_col, F.col(valid_to).isNull())
+    )

@@ -110,3 +110,35 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     return last if expr is None else expr.otherwise(last)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    ``shard`` in [0, n_shards) and a within-shard ``pos`` (1-based), both
+    pure functions of (salt, id). Reading shards round-robin and each shard
+    in ``pos`` order yields a pseudo-random permutation of the corpus that
+    is identical across runs, engines, cluster sizes, and task retries —
+    which is what makes a training run reproducible without materializing a
+    random() column (partition-seeded RNG, the failure mode this module
+    exists to avoid).
+
+    One shuffle, keyed by shard: ~n/n_shards rows per window partition, so
+    pick n_shards large enough that a shard fits an executor (at 100 TB,
+    thousands of shards — which is also what the downstream trainer wants).
+    The ordering hash is the full md5 while the shard is a 28-bit prefix
+    bucket, so within-shard order is still well-mixed. Pair with
+    ``sources/writers.py:write_sorted_shards`` to land the result as
+    sorted shard files."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w = Window.partitionBy("shard").orderBy(h.asc(), c.asc())
+    return df.withColumn(
+        "shard", md5_bucket(id_col, n_shards, salt)
+    ).withColumn("pos", F.row_number().over(w))

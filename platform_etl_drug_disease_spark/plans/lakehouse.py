@@ -265,11 +265,133 @@ SELECT 'events_value_range',
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history
+# ---------------------------------------------------------------------------
+# The audit-trail counterpart of cdc_upsert_stats: the same deterministic
+# change feed (plus a second-generation update so some keys have THREE
+# versions: %100==3 ⊂ %10==3), run through operators/cdc.py:scd2_history
+# instead of latest-wins. The rollup pins interval arithmetic (sum of
+# closed-row spans) and the current-row flag per status.
+
+
+def scd2_history_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (status, current-flag): history row count, total price, and the
+    summed valid_from→valid_to span of closed rows."""
+    from platform_etl_drug_disease_spark.operators.cdc import scd2_history
+
+    orders = load_table(spark, sf_dir, "orders", _CDC_COLS)
+    v1 = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+    )
+    v2 = orders.where(F.col("o_orderkey") % 100 == 3).select(
+        "o_orderkey",
+        F.lit("V").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(200.0)).alias("o_totalprice"),
+    )
+    feed = (
+        orders.withColumn("version", F.lit(0))
+        .unionByName(v1.withColumn("version", F.lit(1)))
+        .unionByName(v2.withColumn("version", F.lit(2)))
+    )
+    hist = scd2_history(feed, ["o_orderkey"])
+    return hist.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("is_current").cast("int").alias("current"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+        F.sum(F.coalesce(F.col("valid_to") - F.col("valid_from"), F.lit(0)))
+        .cast("bigint")
+        .alias("sum_span"),
+    )
+
+
+_SCD2_SQL = """
+WITH feed AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'U', o_totalprice + 100.0, 1
+    FROM orders WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT o_orderkey, 'V', o_totalprice + 200.0, 2
+    FROM orders WHERE o_orderkey % 100 = 3
+), hist AS (
+    SELECT *,
+           lead(version) OVER (
+               PARTITION BY o_orderkey ORDER BY version) AS valid_to
+    FROM feed
+)
+SELECT o_orderstatus AS status,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS current,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       CAST(SUM(COALESCE(valid_to - version, 0)) AS BIGINT) AS sum_span
+FROM hist GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+# Global pseudo-random permutation of the corpus as (shard, pos) — the
+# layout a reproducible training run reads. The per-shard head ids are part
+# of the output, so the oracle pins the exact permutation, not just the
+# balance; n_sources per shard shows the shuffle interleaves sources.
+
+_SHARDS, _SHUF_SALT = 8, "tr1:"
+
+
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_drug_disease_spark.operators.sampling import training_order
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    ordered = training_order(docs, "doc_id", _SHARDS, _SHUF_SALT)
+    head = F.sort_array(
+        F.collect_list(
+            F.when(F.col("pos") <= 3, F.struct(F.col("pos"), F.col("doc_id")))
+        )
+    )
+    return ordered.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.array_join(
+            F.transform(head, lambda s: s.getField("doc_id").cast("string")), ","
+        ).alias("head_ids"),
+    )
+
+
+_SHUF_SQL = f"""
+WITH o AS (
+    SELECT doc_id, source, n_chars,
+           CAST(('0x' || substr(md5('{_SHUF_SALT}' || CAST(doc_id AS VARCHAR)),
+                                1, 7)) AS BIGINT) % {_SHARDS} AS shard,
+           md5('{_SHUF_SALT}' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+), p AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM o
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       string_agg(CASE WHEN pos <= 3 THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY pos) AS head_ids
+FROM p GROUP BY shard
+"""
+
+
 QUERIES = {
     "cdc_upsert_stats": cdc_upsert_stats,
     "zorder_locality_stats": zorder_locality_stats,
     "reservoir_sample_stats": reservoir_sample_stats,
     "dq_audit": dq_audit,
+    "scd2_history_stats": scd2_history_stats,
+    "training_shard_stats": training_shard_stats,
 }
 
 ORACLES = {
@@ -277,4 +399,6 @@ ORACLES = {
     "zorder_locality_stats": _Z_SQL,
     "reservoir_sample_stats": _RES_SQL,
     "dq_audit": _DQ_SQL,
+    "scd2_history_stats": _SCD2_SQL,
+    "training_shard_stats": _SHUF_SQL,
 }

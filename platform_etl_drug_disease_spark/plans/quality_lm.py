@@ -119,12 +119,62 @@ LIMIT 50
 """
 
 
+def heavy_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent trigram phrases (count ≥ mean frequency + 3) via the
+    count-min-sketch prune + exact verify (operators/sketches.py) — the
+    boilerplate-phrase radar that at 100-TB shingle cardinality cannot be a
+    wholesale ``groupBy(shingle)``. The answer is exact (the sketch only
+    prunes), so the oracle is the plain GROUP BY ... HAVING form.
+
+    Threshold calibration uses an exact distinct count here so the oracle
+    can mirror it bit-for-bit; at corpus scale the calibration pass swaps in
+    ``approx_count_distinct`` (A2) — the threshold is a dial, not a result.
+    """
+    from platform_etl_drug_disease_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    occ = (
+        docs.withColumn("__toks", tx.tokens("text"))
+        .select(
+            F.explode_outer(tx.raw_shingles_from_tokens("__toks")).alias("sh")
+        )
+        .where(F.col("sh").isNotNull())
+        .persist()
+    )
+    thr = occ.agg(
+        (F.floor(F.count(F.lit(1)) / F.countDistinct("sh")) + F.lit(3))
+        .cast("bigint")
+        .alias("thr")
+    )
+    return cms_heavy_hitters(occ, "sh", thr).withColumnRenamed("sh", "shingle")
+
+
+_HEAVY_SQL = _TOKS_CTE + """
+, g AS (
+    SELECT unnest(CASE WHEN len(t) >= 3
+                       THEN list_transform(range(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                       ELSE CAST([] AS VARCHAR[]) END) AS sh
+    FROM toks
+),
+tot AS (SELECT CAST(count(*) // count(DISTINCT sh) + 3 AS BIGINT) AS thr FROM g)
+SELECT sh AS shingle, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g CROSS JOIN tot
+GROUP BY sh, thr
+HAVING count(*) >= thr
+"""
+
+
 QUERIES = {
     "quality_lm_score": quality_lm_score,
     "vocab_zipf_stats": vocab_zipf_stats,
+    "heavy_shingle_stats": heavy_shingle_stats,
 }
 
 ORACLES = {
     "quality_lm_score": _QUALITY_LM_SQL,
     "vocab_zipf_stats": _VOCAB_SQL,
+    "heavy_shingle_stats": _HEAVY_SQL,
 }

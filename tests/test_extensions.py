@@ -4,6 +4,7 @@ similarity search, multimodal plumbing."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators import text as tx
@@ -566,3 +567,75 @@ def test_temperature_mix_flattens_shares(spark):
     for r in rows:
         exp = math.sqrt(n_min * r["n_total"])
         assert abs(r["n_kept"] - exp) <= max(12.0, 0.35 * exp)
+
+
+def test_cms_heavy_hitters_exact_on_planted_skew(spark):
+    """5 hot keys dominate a 2000-key stream: result must equal the plain
+    GROUP BY ... HAVING answer exactly (CMS only prunes — no false
+    negatives by construction, false positives recounted away)."""
+    from platform_etl_drug_disease_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    hot = [Row(k=f"hot{i}") for i in range(5) for _ in range(200)]
+    cold = [Row(k=f"cold{i}") for i in range(2000)]
+    occ = spark.createDataFrame(hot + cold).repartition(7)
+    thr = spark.createDataFrame([Row(thr=150)])
+    got = {(r.k, r.n_occurrences)
+           for r in cms_heavy_hitters(occ, "k", thr, width=256).collect()}
+    assert got == {(f"hot{i}", 200) for i in range(5)}
+
+
+def test_cms_heavy_hitters_threshold_edge_inclusive(spark):
+    from platform_etl_drug_disease_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    occ = spark.createDataFrame(
+        [Row(k="edge")] * 10 + [Row(k="below")] * 9 + [Row(k="lone")]
+    )
+    thr = spark.createDataFrame([Row(thr=10)])
+    got = {(r.k, r.n_occurrences)
+           for r in cms_heavy_hitters(occ, "k", thr, width=64).collect()}
+    assert got == {("edge", 10)}
+
+
+def test_cms_prune_drops_cold_occurrences(spark):
+    """The survivor set the sketch admits must be far smaller than the
+    stream when the threshold is well above the mean bucket load — the
+    property that makes the final exact groupBy cheap at scale."""
+
+    hot = [Row(k="hot") for _ in range(300)]
+    cold = [Row(k=f"cold{i}") for i in range(3000)]
+    occ = spark.createDataFrame(hot + cold)
+    depth, width = 3, 1024
+    rows = occ.select(
+        "k",
+        *[
+            F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(width))
+            .cast("int")
+            .alias(f"_b{i}")
+            for i in range(depth)
+        ],
+    )
+    sketch = (
+        rows.select(
+            F.posexplode(
+                F.array(*[F.col(f"_b{i}") for i in range(depth)])
+            ).alias("_seed", "_bucket")
+        )
+        .groupBy("_seed", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    heavy = sketch.where(F.col("_c") >= 150)
+    surv = rows
+    for i in range(depth):
+        cells_i = heavy.where(F.col("_seed") == i).select(
+            F.col("_bucket").alias(f"_h{i}")
+        )
+        surv = surv.join(
+            F.broadcast(cells_i), surv[f"_b{i}"] == F.col(f"_h{i}"), "left_semi"
+        )
+    n_surv = surv.count()
+    assert n_surv >= 300  # every hot occurrence survives
+    assert n_surv <= 600  # cold stream (3000 rows) overwhelmingly pruned

@@ -256,3 +256,81 @@ def test_dq_audit_fixture_facts(spark):
     assert out["lineitem_fk_orders"] == 0
     assert out["orders_fk_customer"] == 0
     assert out["customer_name_not_null"] == 0
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_intervals_and_current(spark):
+    from platform_etl_drug_disease_spark.operators.cdc import scd2_history
+
+    feed = spark.createDataFrame(
+        [Row(k=1, val="a", version=0), Row(k=1, val="b", version=2),
+         Row(k=1, val="c", version=5), Row(k=2, val="x", version=1)]
+    )
+    hist = {(r.k, r.version): r for r in scd2_history(feed, ["k"]).collect()}
+    # intervals tile the version line per key, latest open-ended + current
+    assert (hist[(1, 0)].valid_from, hist[(1, 0)].valid_to) == (0, 2)
+    assert (hist[(1, 2)].valid_from, hist[(1, 2)].valid_to) == (2, 5)
+    assert hist[(1, 5)].valid_to is None and hist[(1, 5)].is_current
+    assert hist[(2, 1)].valid_to is None and hist[(2, 1)].is_current
+    assert sum(r.is_current for r in hist.values()) == 2
+
+
+def test_scd2_current_rows_equal_upsert_latest(spark):
+    """The two CDC views must agree: SCD2's current slice IS the latest-wins
+    merge (no tombstones)."""
+    from platform_etl_drug_disease_spark.operators.cdc import (
+        scd2_history,
+        upsert_latest,
+    )
+
+    feed = spark.createDataFrame(
+        [Row(k=k, val=f"v{k}.{ver}", version=ver)
+         for k in range(20) for ver in range(k % 4 + 1)]
+    )
+    base = feed.where(F.col("version") == 0)
+    changes = feed.where(F.col("version") > 0)
+    merged = {(r.k, r.val) for r in
+              upsert_latest(base, changes, ["k"], "version").collect()}
+    current = {(r.k, r.val) for r in
+               scd2_history(feed, ["k"]).where("is_current")
+               .select("k", "val").collect()}
+    assert merged == current
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_training_order_is_a_partition_stable_permutation(spark):
+    from platform_etl_drug_disease_spark.operators.sampling import training_order
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = training_order(df, "doc_id", 8, "t:").collect()
+    assert len(out) == 500
+    # (shard, pos) is a bijection; pos is contiguous 1..n within each shard
+    assert len({(r.shard, r.pos) for r in out}) == 500
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # balance: no shard more than 2x the mean (md5 is uniform)
+    assert max(len(v) for v in by_shard.values()) <= 2 * 500 / 8
+    # identical assignment under a different physical partitioning
+    again = training_order(
+        df.repartition(17), "doc_id", 8, "t:"
+    ).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+    # salt changes the permutation
+    other = training_order(df, "doc_id", 8, "u:").collect()
+    assert {(r.doc_id, r.shard) for r in other} != {
+        (r.doc_id, r.shard) for r in out
+    }
