@@ -1,0 +1,90 @@
+"""Iterative link-analysis over edge DataFrames: PageRank.
+
+The reference propagates evidence exactly one hop (neighbours∪self,
+sim.sc:450-464 — re-expressed in plans/graph.py:propagate_scores); PageRank
+is the fixed-point generalization a corpus pipeline wants for web-graph
+quality signals (host/page authority as a training-data quality prior).
+
+Spark-first shape, same philosophy as operators/dedup.py's connected
+components: each iteration is ONE join (ranks ⋈ edges, both keyed by src —
+co-partitioned, so the exchange on the edge side is planned once and
+reused) and ONE groupBy(dst) aggregation. Ranks stay a (node, rank)
+DataFrame; nothing collects to the driver; edges are persisted once and
+re-read per iteration, so the 100-TB cost is n_iters × (one edges-sized
+shuffle). Contributions accumulate in exact DECIMAL so every iteration is
+addition-order-independent — the whole fit value-hash-matches a SQL replay
+(the same determinism contract as operators/similarity.py:kmeans_fit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: decimal type for order-independent contribution sums (precedent:
+#: kmeans_fit's DECIMAL(28,12) centroid means, oracle-proven).
+_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``n_iters`` power iterations of PageRank over a directed edge list.
+
+    Precondition: every node has out-degree ≥ 1 (true for any symmetrized
+    edge set, e.g. plans/graph.py:_sym_edges). Dangling nodes would leak
+    rank mass each round (sum < 1); callers with dangling graphs should add
+    the standard dangling-mass redistribution term before trusting absolute
+    values — relative ranking degrades gracefully.
+
+    Returns (node, rank) with rank a raw double; round at the consumer
+    (plans/_util.dround) before emitting across engines.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # every node appears as src (out-degree ≥ 1 precondition), so the rank
+    # frontier can live keyed by src and reuse the join partitioning.
+    ranks = (
+        deg.crossJoin(F.broadcast(n))
+        .select("src", "deg", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
+        .persist()
+    )
+    for _ in range(n_iters):
+        contribs = (
+            ranks.join(e, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("rank") / F.col("deg")).cast(_DEC))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        prev = ranks
+        ranks = (
+            deg.join(contribs, deg.src == contribs.dst)
+            .crossJoin(F.broadcast(n))
+            .select(
+                "src",
+                "deg",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n")
+                    + F.lit(damping) * F.col("c")
+                ).alias("rank"),
+                "n",
+            )
+            .persist()
+        )
+        # materialize before dropping the parent so lineage stays shallow
+        ranks.count()
+        prev.unpersist()
+    return ranks.select(F.col("src").alias("node"), "rank")

@@ -12,11 +12,11 @@ co-occur on an order form an undirected trade edge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators.arrays import flatten_distinct
-from platform_etl_drug_disease_spark.plans._util import arr_join, dsum
+from platform_etl_drug_disease_spark.plans._util import arr_join, dround, dsum
 from platform_etl_drug_disease_spark.schemas import load_table
 
 
@@ -226,12 +226,62 @@ GROUP BY node
 """
 
 
+def trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trade-graph nodes by 3-iteration PageRank
+    (operators/graph_algos.py) — the fixed-point generalization of the
+    reference's one-hop evidence propagation (sim.sc:450-464 →
+    ``propagate_scores``). The symmetric edge set satisfies the operator's
+    no-dangling precondition; every iteration's contribution sum runs in
+    exact decimal, so the whole fit replays bit-for-bit in SQL below."""
+    from platform_etl_drug_disease_spark.operators.graph_algos import pagerank
+
+    edges = _sym_edges(spark, sf_dir)
+    pr = pagerank(edges, n_iters=3, damping=0.85)
+    out = pr.select("node", dround("rank", 9).alias("rank"))
+    top = out.orderBy(F.col("rank").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("rank").desc(), "node")
+    return top.select(F.row_number().over(w).alias("rk"), "node", "rank")
+
+
+def _pagerank_sql() -> str:
+    """3-iteration replay: same decimal contribution sums, same IEEE rank
+    update, same floor-based rounding (plans/_util.dround semantics)."""
+    step = """
+    SELECT d.src, d.deg,
+           0.15 / (SELECT n FROM nn)
+             + 0.85 * CAST(SUM(CAST(r.rank / r.deg AS DECIMAL(28,12)))
+                           AS DOUBLE) AS rank
+    FROM {ranks} r JOIN edges e ON r.src = e.src
+    JOIN deg d ON d.src = e.dst
+    GROUP BY d.src, d.deg
+    """
+    return _SYM_EDGES_CTE + f"""
+, deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (
+    SELECT count(*) AS n FROM (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+),
+r0 AS (SELECT src, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+r1 AS ({step.format(ranks="r0")}),
+r2 AS ({step.format(ranks="r1")}),
+r3 AS ({step.format(ranks="r2")})
+SELECT CAST(row_number() OVER (ORDER BY rank DESC, node) AS INTEGER) AS rk,
+       node, rank
+FROM (
+    SELECT src AS node, floor(rank * 1e9 + 0.5) / 1e9 AS rank FROM r3
+)
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
     "propagate_scores": propagate_scores,
     "region_descendants": region_descendants,
     "two_hop_reach": two_hop_reach,
+    "trade_pagerank": trade_pagerank,
 }
 
 ORACLES = {
@@ -239,5 +289,6 @@ ORACLES = {
     "propagate_scores": _PROPAGATE_SQL,
     "region_descendants": _DESCENDANTS_SQL,
     "two_hop_reach": _TWO_HOP_SQL,
+    "trade_pagerank": _pagerank_sql(),
     # adjacency_degree_approx: sketch-based, rows-only by design
 }

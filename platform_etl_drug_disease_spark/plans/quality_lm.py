@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators import text as tx
+from platform_etl_drug_disease_spark.plans._util import dround
 from platform_etl_drug_disease_spark.schemas import load_table
 
 _TOKS_CTE = r"""
@@ -167,14 +168,109 @@ HAVING count(*) >= thr
 """
 
 
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 positively-associated bigrams by pointwise mutual information
+    — the word2phrase-style collocation pass a tokenizer-design pipeline
+    runs to decide which token pairs deserve a merged vocabulary entry.
+
+    PMI = ln(p(ab) / (p(a)·p(b))), support-filtered (n_pairs ≥ 5, positive
+    association only). Wordcount-shaped: unigram and bigram counts are two
+    map-side-combining aggregations; the probability join is keyed by token
+    (one row per distinct token/bigram — never per occurrence), so 100-TB
+    cost is two corpus passes plus vocabulary-sized joins. Tie-break on
+    (a, b) text after floor-rounded PMI keeps the cut deterministic."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    toks = docs.withColumn("__toks", tx.tokens("text"))
+    uni = (
+        toks.select(F.explode_outer("__toks").alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_u = uni.agg(F.sum("c").cast("bigint").alias("t"))
+    bigc = (
+        toks.select(
+            F.explode_outer(tx.raw_shingles_from_tokens("__toks", 2)).alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .persist()
+    )
+    tot_b = bigc.agg(F.sum("c_ab").cast("bigint").alias("bt"))
+    cand = (
+        bigc.where(F.col("c_ab") >= 5)
+        .withColumn("a", F.substring_index("g", " ", 1))
+        .withColumn("b", F.substring_index("g", " ", -1))
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    j = (
+        cand.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_b))
+    )
+    praw = F.log(
+        (F.col("c_ab") * F.lit(1.0) / F.col("bt"))
+        / (
+            (F.col("c_a") * F.lit(1.0) / F.col("t"))
+            * (F.col("c_b") * F.lit(1.0) / F.col("t"))
+        )
+    )
+    scored = (
+        j.select("a", "b", F.col("c_ab").alias("n_pairs"), praw.alias("praw"))
+        .where(F.col("praw") > 0)
+        .select("a", "b", "n_pairs", dround("praw", 6).alias("pmi"))
+    )
+    top = scored.orderBy(F.col("pmi").desc(), "a", "b").limit(20)
+    w = Window.orderBy(F.col("pmi").desc(), "a", "b")
+    return top.select(F.row_number().over(w).alias("rk"), "a", "b", "n_pairs", "pmi")
+
+
+_PMI_SQL = _TOKS_CTE + """
+, uni AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+tu AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+bg AS (
+    SELECT unnest(CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)),
+                                i -> t[i] || ' ' || t[i+1])
+                       ELSE CAST([] AS VARCHAR[]) END) AS g
+    FROM toks
+),
+bigc AS (SELECT g, count(*) AS c_ab FROM bg GROUP BY g),
+tb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS bt FROM bigc),
+scored AS (
+    SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b,
+           c_ab AS n_pairs,
+           ln((c_ab * 1.0 / bt) /
+              ((ua.c * 1.0 / t) * (ub.c * 1.0 / t))) AS praw
+    FROM bigc CROSS JOIN tu CROSS JOIN tb
+    JOIN uni ua ON ua.tok = split_part(g, ' ', 1)
+    JOIN uni ub ON ub.tok = split_part(g, ' ', 2)
+    WHERE c_ab >= 5
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, a, b) AS INTEGER) AS rk,
+       a, b, n_pairs, pmi
+FROM (
+    SELECT a, b, n_pairs, floor(praw * 1e6 + 0.5) / 1e6 AS pmi
+    FROM scored WHERE praw > 0
+)
+ORDER BY pmi DESC, a, b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "quality_lm_score": quality_lm_score,
     "vocab_zipf_stats": vocab_zipf_stats,
     "heavy_shingle_stats": heavy_shingle_stats,
+    "pmi_collocations": pmi_collocations,
 }
 
 ORACLES = {
     "quality_lm_score": _QUALITY_LM_SQL,
     "vocab_zipf_stats": _VOCAB_SQL,
     "heavy_shingle_stats": _HEAVY_SQL,
+    "pmi_collocations": _PMI_SQL,
 }

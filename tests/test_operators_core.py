@@ -250,3 +250,34 @@ def test_approx_percentile_close_to_exact(spark):
     for flag, (p25, p50, p75) in exact.items():
         for a, e in zip(approx[flag], (p25, p50, p75)):
             assert abs(a - e) / e < 0.02, (flag, a, e)
+
+
+def test_pagerank_matches_replay_and_conserves_mass(spark):
+    """3-iteration PageRank on a symmetric star+path graph must match a
+    literal replay of the same update, and (no dangling nodes) keep
+    total rank mass at 1."""
+    from pyspark.sql import Row
+
+    from platform_etl_drug_disease_spark.operators.graph_algos import pagerank
+
+    # star 0-{1,2,3} plus path 3-4: symmetrize
+    undirected = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in undirected]
+        + [Row(src=b, dst=a) for a, b in undirected]
+    )
+    got = {r.node: r.rank for r in pagerank(edges, n_iters=3).collect()}
+
+    n, d = 5, 0.85
+    deg = {0: 3, 1: 1, 2: 1, 3: 2, 4: 1}
+    r = {v: 1.0 / n for v in range(n)}
+    adj_in = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0, 4], 4: [3]}
+    for _ in range(3):
+        r = {
+            v: (1 - d) / n + d * sum(r[u] / deg[u] for u in adj_in[v])
+            for v in range(n)
+        }
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    assert got[0] == max(got.values())  # hub dominates
