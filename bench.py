@@ -61,6 +61,11 @@ HEADLINE = [
     "substring_dedup_stats",
     "dq_audit",
     "bpe_merge_pair_stats",
+    "scd2_history_stats",
+    "training_shard_stats",
+    "heavy_shingle_stats",
+    "pmi_collocations",
+    "trade_pagerank",
 ]
 
 

@@ -9,11 +9,12 @@ Spark-first shape, same philosophy as operators/dedup.py's connected
 components: each iteration is ONE join (ranks ⋈ edges, both keyed by src —
 co-partitioned, so the exchange on the edge side is planned once and
 reused) and ONE groupBy(dst) aggregation. Ranks stay a (node, rank)
-DataFrame; nothing collects to the driver; edges are persisted once and
-re-read per iteration, so the 100-TB cost is n_iters × (one edges-sized
-shuffle). Contributions accumulate in exact DECIMAL so every iteration is
-addition-order-independent — the whole fit value-hash-matches a SQL replay
-(the same determinism contract as operators/similarity.py:kmeans_fit).
+DataFrame; nothing collects to the driver; edges and degrees are persisted
+once and re-read per iteration, so the 100-TB cost is n_iters × (one
+edges-sized shuffle). Contributions accumulate in exact DECIMAL so every
+iteration is addition-order-independent — the whole fit value-hash-matches
+a SQL replay (the same determinism contract as
+operators/similarity.py:kmeans_fit).
 """
 
 from __future__ import annotations
@@ -44,20 +45,22 @@ def pagerank(
     Returns (node, rank) with rank a raw double; round at the consumer
     (plans/_util.dround) before emitting across engines.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # every node appears as src (out-degree ≥ 1 precondition), so the rank
-    # frontier can live keyed by src and reuse the join partitioning.
-    ranks = (
-        deg.crossJoin(F.broadcast(n))
-        .select("src", "deg", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
+    # persist edges PRE-PARTITIONED on src: the rank frontier is hash(src)-
+    # partitioned too (it descends from groupBy(src)), so every iteration's
+    # ranks⋈edges join is exchange-free on both sides — the only shuffle per
+    # round is the message-passing groupBy(dst) itself.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
         .persist()
+    )
+    # out-degree ≥ 1 precondition ⇒ every node appears as src, so the degree
+    # table doubles as the node table (no src∪dst distinct shuffle) and the
+    # rank frontier stays keyed by src, reusing the join partitioning.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n = deg.agg(F.count(F.lit(1)).alias("n")).persist()
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "src", "deg", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     for _ in range(n_iters):
         contribs = (
@@ -69,7 +72,12 @@ def pagerank(
                 .alias("c")
             )
         )
-        prev = ranks
+        # no per-round materialization: each rank frontier feeds exactly one
+        # consumer (the next round), so the chained plan executes as one job
+        # over the persisted edge/degree tables. Past ~5 rounds the lineage
+        # depth warrants a localCheckpoint every few iterations (precedent:
+        # operators/dedup.py connected components); at propagation depths
+        # like 3 the chained plan is the cheaper shape.
         ranks = (
             deg.join(contribs, deg.src == contribs.dst)
             .crossJoin(F.broadcast(n))
@@ -80,11 +88,6 @@ def pagerank(
                     (F.lit(1.0) - F.lit(damping)) / F.col("n")
                     + F.lit(damping) * F.col("c")
                 ).alias("rank"),
-                "n",
             )
-            .persist()
         )
-        # materialize before dropping the parent so lineage stays shallow
-        ranks.count()
-        prev.unpersist()
     return ranks.select(F.col("src").alias("node"), "rank")

@@ -181,11 +181,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a, b) text after floor-rounded PMI keeps the cut deterministic."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     toks = docs.withColumn("__toks", tx.tokens("text"))
+    # uni fans out three ways (total, a-side, b-side) — persist the
+    # vocabulary-sized count table so the corpus tokenization runs once.
     uni = (
         toks.select(F.explode_outer("__toks").alias("tok"))
         .where(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     tot_u = uni.agg(F.sum("c").cast("bigint").alias("t"))
     bigc = (

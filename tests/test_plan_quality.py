@@ -161,3 +161,35 @@ def test_cdc_upsert_merge_is_single_window_pass(spark):
     assert "Window" in plan
     assert "Union" in plan
     assert "Join" not in plan
+
+
+def test_pagerank_iterations_are_equi_joins(spark):
+    """Each power iteration must be a rank⋈edges equi-join + one hash
+    aggregate — never a nested loop; the node-count total is the only
+    (1-row, broadcast) cross product."""
+    from platform_etl_drug_disease_spark.plans.graph import trade_pagerank
+
+    plan = explain_string(trade_pagerank(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 without a global sort
+
+
+def test_heavy_hitters_prune_is_broadcast_semi_joins(spark):
+    """The heavy-cell prune must reach the occurrence stream as broadcast
+    semi-joins (map-side, no shuffle of raw occurrences before the prune)."""
+    from platform_etl_drug_disease_spark.plans.quality_lm import heavy_shingle_stats
+
+    plan = explain_string(heavy_shingle_stats(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, "heavy-cell sets must broadcast"
+    assert plan.count("LeftSemi") >= 3, "one semi-join prune per sketch row"
+
+
+def test_training_order_single_shard_shuffle(spark):
+    """The (shard, pos) window and the per-shard rollup share the shard
+    partitioning — the whole query is one data shuffle (scan-side exchanges
+    excluded by construction: documents is a single parquet scan)."""
+    from platform_etl_drug_disease_spark.plans.lakehouse import training_shard_stats
+
+    plan = explain_string(training_shard_stats(spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "Join" not in plan
