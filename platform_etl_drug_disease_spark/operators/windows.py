@@ -69,3 +69,41 @@ def running_agg(
     )
     fn = getattr(F, agg)
     return df.withColumn(out, fn(F.col(value)).over(w))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    value: str,
+    window_rows: int = 5,
+    out: str = "z",
+) -> DataFrame:
+    """Trailing-window anomaly score: each row's deviation from the mean of
+    its previous ``window_rows`` rows, in units of that window's sample
+    standard deviation — the streaming-shaped outlier detector (the frame
+    never includes the current row, so the score is a true one-step-ahead
+    residual and an incremental run over appended data scores new rows
+    identically).
+
+    Null unless the trailing frame is full (exactly ``window_rows`` prior
+    non-null values) and has positive variance. Frame sums accumulate in
+    exact DECIMAL — decimal(18,6) values and their decimal(37,12) squares
+    are exactly representable in both Spark and DuckDB — so mean/variance
+    and the score are bit-deterministic across engines and partitionings
+    (same contract as plans/_util.dsum). One shuffle: the window's
+    partitionBy; state per key is the ``window_rows`` frame."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(-window_rows, -1)
+    )
+    dv = F.col(value).cast("decimal(18,6)")
+    n = F.count(value).over(w)
+    s = F.sum(dv).over(w).cast("double")
+    ss = F.sum(dv * dv).over(w).cast("double")
+    var = (ss - s * s / n) / (n - F.lit(1))
+    z = (F.col(value) - s / n) / F.sqrt(var)
+    return df.withColumn(
+        out, F.when((n == window_rows) & (var > 0), z)
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators.joins import asof_join, band_join_bucketed
-from platform_etl_drug_disease_spark.plans._util import dsum
+from platform_etl_drug_disease_spark.plans._util import dround, dsum
 from platform_etl_drug_disease_spark.schemas import load_table
 
 
@@ -277,6 +277,52 @@ GROUP BY event_type
 """
 
 
+def value_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type anomaly census from a trailing-window z-score
+    (operators/windows.py:rolling_zscore, frame = previous 5 events of the
+    same user): rows scored, rows beyond |z| > 2, and the worst score.
+    The one-step-ahead residual form of time-series outlier detection —
+    exactly-decimal frame moments keep it engine-deterministic."""
+    from platform_etl_drug_disease_spark.operators.windows import rolling_zscore
+
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    scored = rolling_zscore(
+        ev, ["user_id"], ["ts", "event_id"], "value", window_rows=5
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("z").alias("n_scored"),
+        F.count(F.when(F.abs("z") > 2, 1)).alias("n_anomalies"),
+        dround(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )
+
+
+_ANOMALY_SQL = """
+WITH w AS (
+    SELECT event_type, value,
+           count(value) OVER fr AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER fr AS DOUBLE) AS s,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+                OVER fr AS DOUBLE) AS ss
+    FROM events
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+), z AS (
+    SELECT event_type,
+           CASE WHEN n = 5 AND (ss - s * s / n) / (n - 1) > 0
+                THEN (value - s / n) / sqrt((ss - s * s / n) / (n - 1))
+           END AS z
+    FROM w
+)
+SELECT event_type,
+       CAST(count(z) AS BIGINT) AS n_scored,
+       CAST(count(CASE WHEN abs(z) > 2 THEN 1 END) AS BIGINT) AS n_anomalies,
+       floor(max(abs(z)) * 1e6 + 0.5) / 1e6 AS max_abs_z
+FROM z GROUP BY event_type
+"""
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -287,6 +333,7 @@ QUERIES = {
     "sliding_windows": sliding_windows,
     "user_sessions": user_sessions,
     "daily_event_type_pivot": daily_event_type_pivot,
+    "value_anomaly_stats": value_anomaly_stats,
 }
 
 ORACLES = {
@@ -299,4 +346,5 @@ ORACLES = {
     "sliding_windows": _SLIDING_SQL,
     "user_sessions": _SESSIONS_SQL,
     "daily_event_type_pivot": _DAILY_PIVOT_SQL,
+    "value_anomaly_stats": _ANOMALY_SQL,
 }

@@ -385,6 +385,49 @@ FROM p GROUP BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental aggregate-view maintenance
+# ---------------------------------------------------------------------------
+# The rollup-without-recompute pass: history's partial-aggregate state plus
+# two out-of-order daily batches, folded with operators/incremental.py.
+# The oracle is the WHOLE-INPUT aggregate — the merge being indistinguishable
+# from a full recompute IS the correctness property of incremental view
+# maintenance. Batches are carved deterministically from orders by key
+# residue (history %10∈[0,8), batches 8 and 9).
+
+
+def incremental_rollup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_drug_disease_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+        readout,
+    )
+
+    keys, sums = ["o_custkey"], {"total_price": "o_totalprice"}
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    hist = orders.where(F.col("o_orderkey") % 10 < 8)
+    b1 = orders.where(F.col("o_orderkey") % 10 == 8)
+    b2 = orders.where(F.col("o_orderkey") % 10 == 9)
+    state = merge_states(
+        # merge order scrambled on purpose: the state is a commutative
+        # monoid, so late/out-of-order batch arrival changes nothing.
+        [agg_state(b2, keys, sums), agg_state(hist, keys, sums),
+         agg_state(b1, keys, sums)],
+        keys,
+        sums,
+    )
+    return readout(state, keys, sums, count_as="n_orders")
+
+
+_INCR_SQL = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "cdc_upsert_stats": cdc_upsert_stats,
     "zorder_locality_stats": zorder_locality_stats,
@@ -392,6 +435,7 @@ QUERIES = {
     "dq_audit": dq_audit,
     "scd2_history_stats": scd2_history_stats,
     "training_shard_stats": training_shard_stats,
+    "incremental_rollup_stats": incremental_rollup_stats,
 }
 
 ORACLES = {
@@ -401,4 +445,5 @@ ORACLES = {
     "dq_audit": _DQ_SQL,
     "scd2_history_stats": _SCD2_SQL,
     "training_shard_stats": _SHUF_SQL,
+    "incremental_rollup_stats": _INCR_SQL,
 }

@@ -334,3 +334,49 @@ def test_training_order_is_a_partition_stable_permutation(spark):
     assert {(r.doc_id, r.shard) for r in other} != {
         (r.doc_id, r.shard) for r in out
     }
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate-view maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_agg_state_merge_equals_full_recompute_any_tree(spark):
+    """state(h)⊕state(b1)⊕state(b2) == agg(h∪b1∪b2), under every merge
+    tree and order — the monoid property that makes out-of-order batch
+    landing safe."""
+    import itertools
+
+    from platform_etl_drug_disease_spark.operators.incremental import (
+        agg_state,
+        merge_states,
+        readout,
+    )
+
+    rows = [Row(k=i % 7, v=float(i) * 1.25 + 0.01) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    parts = [
+        df.where(F.col("v") % 3 < 1),
+        df.where((F.col("v") % 3 >= 1) & (F.col("v") % 3 < 2)),
+        df.where(F.col("v") % 3 >= 2),
+    ]
+    keys, sums = ["k"], {"v_sum": "v"}
+    full = {
+        (r.k): (r.n_rows, r.v_sum)
+        for r in readout(agg_state(df, keys, sums), keys, sums).collect()
+    }
+    for perm in itertools.permutations(range(3)):
+        merged = merge_states([agg_state(parts[i], keys, sums) for i in perm],
+                              keys, sums)
+        got = {
+            (r.k): (r.n_rows, r.v_sum)
+            for r in readout(merged, keys, sums).collect()
+        }
+        assert got == full, perm
+    # nested tree: (s0 ⊕ s1) ⊕ s2
+    s01 = merge_states([agg_state(parts[0], keys, sums),
+                        agg_state(parts[1], keys, sums)], keys, sums)
+    nested = merge_states([s01, agg_state(parts[2], keys, sums)], keys, sums)
+    got = {(r.k): (r.n_rows, r.v_sum)
+           for r in readout(nested, keys, sums).collect()}
+    assert got == full

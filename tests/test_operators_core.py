@@ -281,3 +281,30 @@ def test_pagerank_matches_replay_and_conserves_mass(spark):
         assert got[v] == pytest.approx(r[v], abs=1e-9), v
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert got[0] == max(got.values())  # hub dominates
+
+
+def test_rolling_zscore_known_values_and_guards(spark):
+    from pyspark.sql import Row
+
+    from platform_etl_drug_disease_spark.operators.windows import rolling_zscore
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+    df = spark.createDataFrame(
+        [Row(k="a", i=i, v=v) for i, v in enumerate(vals)]
+        + [Row(k="b", i=i, v=7.0) for i in range(7)]  # zero-variance group
+    )
+    out = {(r.k, r.i): r.z
+           for r in rolling_zscore(df, ["k"], ["i"], "v", 5).collect()}
+    # first 5 rows of each key: incomplete trailing frame -> null
+    for i in range(5):
+        assert out[("a", i)] is None and out[("b", i)] is None
+    # frame [1..5]: mean 3, sample var 2.5 -> z = (100-3)/sqrt(2.5)
+    assert out[("a", 5)] == pytest.approx(97.0 / 2.5**0.5, rel=1e-12)
+    # full frame but zero variance -> null, not inf
+    assert out[("b", 5)] is None and out[("b", 6)] is None
+    # one-step-ahead property: appending rows never changes earlier scores
+    shorter = {(r.k, r.i): r.z
+               for r in rolling_zscore(df.where("i < 6 or k = 'a'"),
+                                       ["k"], ["i"], "v", 5).collect()}
+    for key, z in shorter.items():
+        assert (z is None and out[key] is None) or z == out[key]
