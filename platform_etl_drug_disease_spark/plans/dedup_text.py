@@ -28,7 +28,7 @@ from platform_etl_drug_disease_spark.operators.dedup import (
     minhash_seeds,
     simhash64,
 )
-from platform_etl_drug_disease_spark.plans._util import arr_join
+from platform_etl_drug_disease_spark.plans._util import arr_join, dround
 from platform_etl_drug_disease_spark.schemas import (
     ensure_compute_partitions,
     load_table,
@@ -1094,3 +1094,68 @@ SELECT rank, pair, pair_count FROM ranked WHERE rank <= {_BPE_TOP_K}
 
 QUERIES["bpe_merge_pair_stats"] = bpe_merge_pair_stats
 ORACLES["bpe_merge_pair_stats"] = _BPE_SQL
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (operators/bpe.py): induce a 20-merge table from
+    the corpus pair counts, segment the distinct-word dictionary with the
+    Arrow-batched Pandas UDF, join pieces back to word occurrences, and
+    report per-source compression: word count, piece count, pieces/word,
+    distinct piece vocabulary.
+
+    Rows-only by design: the greedy merge loop is not SQL-expressible; the
+    segmentation semantics are pinned by tests/test_extensions.py (known
+    merges → known pieces, concatenation invariant, dictionary-path ≡
+    per-occurrence path). The 20-row merge list is collected driver-side
+    deliberately — it is the tokenizer artifact, config-sized by definition.
+    """
+    from platform_etl_drug_disease_spark.operators.bpe import segment_dictionary
+
+    docs = load_table(spark, sf_dir, "documents", ["source", "text"])
+    occ = (
+        docs.withColumn("__toks", tx.tokens("text"))
+        .select("source", F.explode_outer("__toks").alias("word"))
+        .where(F.col("word").isNotNull() & (F.col("word") != ""))
+        .persist()
+    )
+    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pair_idx = F.when(
+        F.length("word") >= 2, F.sequence(F.lit(1), F.length("word") - 1)
+    )
+    top_pairs = (
+        vocab.select("freq", F.explode_outer(pair_idx).alias("i"), "word")
+        .where(F.col("i").isNotNull())
+        .select(F.substring(F.col("word"), F.col("i"), 2).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(20)
+    )
+    merges = [r.pair for r in top_pairs.collect()]
+    dictseg = segment_dictionary(vocab.select("word"), merges).persist()
+    joined = occ.join(dictseg.select("word", "n_pieces"), "word")
+    base = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+    )
+    piece_vocab = (
+        occ.select("source", "word")
+        .distinct()
+        .join(dictseg.select("word", "pieces"), "word")
+        .select("source", F.explode("pieces").alias("piece"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_distinct_pieces"))
+    )
+    return base.join(piece_vocab, "source").select(
+        "source",
+        "n_words",
+        "n_pieces",
+        "n_distinct_pieces",
+        dround(F.col("n_pieces") / F.col("n_words"), 6).alias("pieces_per_word"),
+    )
+
+
+QUERIES["bpe_encode_stats"] = bpe_encode_stats
+# bpe_encode_stats: rows-only by design (greedy merge loop is not
+# SQL-expressible); semantics pinned by unit tests instead.

@@ -639,3 +639,44 @@ def test_cms_prune_drops_cold_occurrences(spark):
     n_surv = surv.count()
     assert n_surv >= 300  # every hot occurrence survives
     assert n_surv <= 600  # cold stream (3000 rows) overwhelmingly pruned
+
+
+def test_bpe_segment_word_greedy_semantics():
+    from platform_etl_drug_disease_spark.operators.bpe import segment_word
+
+    ranks = {"ab": 0, "bc": 1}
+    # 'ab' outranks 'bc': greedy takes it, leaving 'c' unmerged
+    assert segment_word("abc", ranks) == ["ab", "c"]
+    # non-overlapping left-to-right merge of the chosen pair
+    assert segment_word("aaa", {"aa": 0}) == ["aa", "a"]
+    assert segment_word("abab", {"ab": 0}) == ["ab", "ab"]
+    # cascading merges of merged pieces
+    r2 = {"ab": 0, "cd": 1, "abcd": 2}
+    assert segment_word("abcd", r2) == ["abcd"]
+    # no applicable merge -> characters
+    assert segment_word("xyz", ranks) == ["x", "y", "z"]
+    assert segment_word("", ranks) == []
+
+
+def test_bpe_dictionary_path_equals_direct_and_concats(spark):
+    """Segmenting the distinct-word dictionary and joining back must equal
+    segmenting every occurrence directly, and pieces must concatenate back
+    to the word (lossless)."""
+    from platform_etl_drug_disease_spark.operators.bpe import (
+        segment_dictionary,
+        segment_word,
+    )
+
+    words = ["banana", "bandana", "cabana", "banana", "nanan", "b"]
+    merges = ["an", "ba", "na", "anan"]
+    df = spark.createDataFrame([Row(word=w) for w in set(words)])
+    seg = {
+        r.word: (list(r.pieces), r.n_pieces)
+        for r in segment_dictionary(df, merges).collect()
+    }
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in set(words):
+        pieces, n = seg[w]
+        assert pieces == segment_word(w, ranks), w
+        assert "".join(pieces) == w, w
+        assert n == len(pieces)
