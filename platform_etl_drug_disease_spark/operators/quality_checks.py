@@ -83,3 +83,39 @@ def audit(checks: Sequence[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def key_skew_audit(df: DataFrame, key: str) -> DataFrame:
+    """Join-key skew diagnosis: the pre-flight check that decides whether a
+    planned join/groupBy on ``key`` needs salting (operators/joins.py:
+    salted_join) or AQE skew splitting before it runs at corpus scale.
+
+    One map-side-combining groupBy(key) then one tiny aggregate over the
+    per-key counts (key-cardinality rows, never the input). Reports row and
+    key counts, the hottest key and its count, the max/mean skew factor,
+    and how much of the table the top key owns — the two ratios that
+    predict a straggler task. Hottest-key count ties break toward the
+    lexicographically-largest key string (max_by struct ordering; mirrored
+    as ORDER BY c DESC, k DESC in the SQL oracle)."""
+    counts = (
+        df.where(F.col(key).isNotNull())
+        .groupBy(F.col(key).cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    order = F.struct(F.col("c").alias("c"), F.col("k").alias("k"))
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.max_by("k", order).alias("hottest_key"),
+    ).select(
+        F.lit(key).alias("key"),
+        "n_rows",
+        "n_keys",
+        "hottest_key",
+        "max_key_rows",
+        (F.col("max_key_rows") * F.col("n_keys") * F.lit(1.0) / F.col("n_rows"))
+        .alias("skew_factor"),
+        (F.col("max_key_rows") * F.lit(1.0) / F.col("n_rows"))
+        .alias("top_key_share"),
+    )

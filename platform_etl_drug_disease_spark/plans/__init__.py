@@ -40,7 +40,10 @@ _DRIVER_WINDOW = [
     "customer_order_left",
     "customers_with_open_orders",
     "symmetric_trade_edges",
-    "order_value_buckets",
+    # U2 (unionByName) moved with its exercising query: scd2_history_stats
+    # builds its feed with unionByName; order_value_buckets (same id) is now
+    # a tail entry still verified by tools/oracle_check.py.
+    "scd2_history_stats",
     "segment_set_algebra",
     "user_sessions",
     "hof_acctbal_pipeline",

@@ -1,15 +1,20 @@
-"""Lakehouse-maintenance catalog: CDC latest-wins upsert, Z-order layout
-locality, and fixed-size per-stratum reservoir sampling.
+"""Lakehouse-maintenance catalog: CDC latest-wins upsert, SCD Type-2
+history, incremental aggregate-view maintenance, Z-order layout locality,
+fixed-size per-stratum reservoir sampling, deterministic training-order
+sharding, data-quality and join-key-skew audits.
 
 These are the passes that keep a 100-TB corpus servable once it stops being
 append-only: merge recrawls/deletes without a full rebuild
-(operators/cdc.py), cluster files so multi-dimensional predicates skip most
-of them (operators/layout.py), and draw stable fixed-size per-domain
-evaluation samples (operators/sampling.py:group_reservoir). The reference
-pipeline rebuilds from whole-release dumps every run
-(platformDataBackendDrugDiseaseSimilarity.sc reads full parquet dumps,
-sim.sc:318-339); this module is the incremental replacement for that
-pattern.
+(operators/cdc.py — and keep the audit trail, scd2_history), maintain
+rollups at batch cost (operators/incremental.py), cluster files so
+multi-dimensional predicates skip most of them (operators/layout.py), draw
+stable fixed-size per-domain evaluation samples
+(operators/sampling.py:group_reservoir), lay out a reproducible training
+permutation (training_order), and gate releases on constraint/skew audits
+(operators/quality_checks.py). The reference pipeline rebuilds from
+whole-release dumps every run (platformDataBackendDrugDiseaseSimilarity.sc
+reads full parquet dumps, sim.sc:318-339); this module is the incremental
+replacement for that pattern.
 
 Every query is pure integer/decimal/bit arithmetic mirrored exactly in its
 DuckDB oracle — bit-for-bit value-hash checkable.
@@ -428,6 +433,63 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# join-key skew audit
+# ---------------------------------------------------------------------------
+# The pre-flight diagnostic for every planned join/groupBy key: max/mean
+# skew factor + top-key share predict straggler tasks before a 100-TB
+# shuffle runs. event_type (5 values over 100k rows) is the deliberately
+# pathological row; the TPC-H keys are the healthy baselines.
+
+
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_drug_disease_spark.operators.quality_checks import (
+        key_skew_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey"])
+    events = load_table(spark, sf_dir, "events", ["event_type"])
+    audits = [
+        key_skew_audit(li.select("l_partkey"), "l_partkey"),
+        key_skew_audit(li.select("l_suppkey"), "l_suppkey"),
+        key_skew_audit(orders, "o_custkey"),
+        key_skew_audit(events, "event_type"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def _skew_block(key: str, table: str) -> str:
+    return f"""
+SELECT '{key}' AS key, n_rows, n_keys, hottest_key, max_key_rows,
+       max_key_rows * n_keys * 1.0 / n_rows AS skew_factor,
+       max_key_rows * 1.0 / n_rows AS top_key_share
+FROM (
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           (SELECT k FROM (
+                SELECT CAST({key} AS VARCHAR) AS k, count(*) AS c
+                FROM {table} WHERE {key} IS NOT NULL GROUP BY 1)
+            ORDER BY c DESC, k DESC LIMIT 1) AS hottest_key
+    FROM (SELECT CAST({key} AS VARCHAR) AS k, count(*) AS c
+          FROM {table} WHERE {key} IS NOT NULL GROUP BY 1)
+)"""
+
+
+_SKEW_SQL = " UNION ALL ".join(
+    [
+        _skew_block("l_partkey", "lineitem"),
+        _skew_block("l_suppkey", "lineitem"),
+        _skew_block("o_custkey", "orders"),
+        _skew_block("event_type", "events"),
+    ]
+)
+
+
 QUERIES = {
     "cdc_upsert_stats": cdc_upsert_stats,
     "zorder_locality_stats": zorder_locality_stats,
@@ -436,6 +498,7 @@ QUERIES = {
     "scd2_history_stats": scd2_history_stats,
     "training_shard_stats": training_shard_stats,
     "incremental_rollup_stats": incremental_rollup_stats,
+    "join_skew_audit": join_skew_audit,
 }
 
 ORACLES = {
@@ -446,4 +509,5 @@ ORACLES = {
     "scd2_history_stats": _SCD2_SQL,
     "training_shard_stats": _SHUF_SQL,
     "incremental_rollup_stats": _INCR_SQL,
+    "join_skew_audit": _SKEW_SQL,
 }

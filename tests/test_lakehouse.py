@@ -380,3 +380,23 @@ def test_agg_state_merge_equals_full_recompute_any_tree(spark):
     got = {(r.k): (r.n_rows, r.v_sum)
            for r in readout(nested, keys, sums).collect()}
     assert got == full
+
+
+def test_key_skew_audit_flags_planted_hot_key(spark):
+    from platform_etl_drug_disease_spark.operators.quality_checks import (
+        key_skew_audit,
+    )
+
+    rows = [Row(k="hot") for _ in range(900)] + [
+        Row(k=f"u{i}") for i in range(100)
+    ] + [Row(k=None)] * 7
+    df = spark.createDataFrame(rows)
+    r = key_skew_audit(df, "k").collect()[0]
+    assert (r.n_rows, r.n_keys) == (1000, 101)  # nulls excluded
+    assert r.hottest_key == "hot" and r.max_key_rows == 900
+    assert r.top_key_share == pytest.approx(0.9)
+    assert r.skew_factor == pytest.approx(900 * 101 / 1000)
+    # uniform data: skew factor ~1
+    uni = spark.createDataFrame([Row(k=f"u{i % 50}") for i in range(500)])
+    ru = key_skew_audit(uni, "k").collect()[0]
+    assert ru.skew_factor == pytest.approx(1.0)
