@@ -66,6 +66,10 @@ HEADLINE = [
     "heavy_shingle_stats",
     "pmi_collocations",
     "trade_pagerank",
+    "incremental_rollup_stats",
+    "value_anomaly_stats",
+    "join_skew_audit",
+    "bpe_encode_stats",
 ]
 
 
