@@ -27,6 +27,7 @@ from platform_etl_drug_disease_spark.operators.multimodal import (
 )
 from platform_etl_drug_disease_spark.plans._util import dsum
 from platform_etl_drug_disease_spark.plans.events_time import (
+    _ANOMALY_SQL as _ANOMALY_BATCH_SQL,
     _HOURLY_SQL,
     _SESSIONS_SQL,
 )
@@ -387,3 +388,29 @@ from platform_etl_drug_disease_spark.plans.lakehouse import _CDC_SQL
 
 QUERIES["streaming_cdc_upsert"] = streaming_cdc_upsert
 ORACLES["streaming_cdc_upsert"] = _CDC_SQL
+
+
+def streaming_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming twin of the batch ``value_anomaly_stats``:
+    per-user trailing-frame z-scores via applyInPandasWithState
+    (streaming/windows.py:rolling_zscore_stream), rolled up per event type.
+    Same oracle as the batch query — the decimal-exact parity contract
+    makes stream == batch == DuckDB bit-for-bit."""
+    from platform_etl_drug_disease_spark.plans._util import dround
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        rolling_zscore_stream,
+    )
+
+    stream = _event_stream(spark, sf_dir)
+    scored = run_to_memory_sink(
+        rolling_zscore_stream(stream), "cat_stream_zscore", output_mode="append"
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("z").alias("n_scored"),
+        F.count(F.when(F.abs("z") > 2, 1)).alias("n_anomalies"),
+        dround(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )
+
+
+QUERIES["streaming_value_anomaly"] = streaming_value_anomaly
+ORACLES["streaming_value_anomaly"] = _ANOMALY_BATCH_SQL

@@ -208,3 +208,97 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+ZSCORE_OUT_SCHEMA = "event_id bigint, event_type string, z double"
+_ZSCORE_STATE_SCHEMA = "frame array<string>"
+#: null-value marker inside the trailing frame (array<string> state keeps
+#: exact decimal text; "" marks a row whose value was null).
+_Z_NULL = ""
+
+
+def _zscore_from_frame(frame: list[str], value, window_rows: int):
+    """Score one value against its trailing frame, mirroring the batch
+    operators/windows.py:rolling_zscore arithmetic BIT-FOR-BIT: values are
+    quantized to decimal(18,6) (HALF_UP, same as Spark's double→decimal
+    cast), summed exactly, converted once to double, then the identical
+    IEEE expression tree. Returns None unless the frame has exactly
+    ``window_rows`` non-null entries and positive variance."""
+    import math
+    from decimal import Decimal
+
+    if value is None or (isinstance(value, float) and math.isnan(value)):
+        return None
+    vals = [Decimal(f) for f in frame if f != _Z_NULL]
+    n = len(vals)
+    if n != window_rows:
+        return None
+    s = float(sum(vals))
+    ss = float(sum(v * v for v in vals))
+    var = (ss - s * s / n) / (n - 1)
+    if not var > 0:
+        return None
+    return (float(value) - s / n) / math.sqrt(var)
+
+
+def quantize6(value) -> str:
+    """Spark-compatible decimal(18,6) text of a double (HALF_UP on the
+    exact binary expansion — what CAST(double AS DECIMAL(18,6)) does)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if value is None or (isinstance(value, float) and math.isnan(value)):
+        return _Z_NULL
+    return str(Decimal(float(value)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def rolling_zscore_stream(stream: DataFrame, window_rows: int = 5) -> DataFrame:
+    """Streaming twin of operators/windows.py:rolling_zscore: per-user
+    one-step-ahead z-scores via applyInPandasWithState. State per key is the
+    trailing ``window_rows`` values as exact decimal text — a few dozen
+    bytes, checkpointed and sharded by the grouping key like every stateful
+    op here.
+
+    Parity contract (asserted in tests/test_streaming.py): given per-key
+    event-time-ordered arrival — AvailableNow over time-ordered files, or
+    any source whose per-key disorder never spans the trailing frame — the
+    emitted scores equal the batch operator's bit-for-bit, because both
+    sides quantize to decimal(18,6), sum exactly, and evaluate the same
+    IEEE expression. Rows inside a micro-batch are explicitly re-sorted by
+    (ts, event_id); cross-batch reordering is the source contract's job
+    (at scale: watermark-delayed emission upstream)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        frame: list[str] = list(state.get[0]) if state.exists else []
+        if not chunks:
+            state.update((frame,))
+            yield pd.DataFrame(
+                {"event_id": [], "event_type": [], "z": []}
+            ).astype({"event_id": "int64", "event_type": "object", "z": "float64"})
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        out_id, out_type, out_z = [], [], []
+        for r in rows.itertuples(index=False):
+            v = r.value
+            out_id.append(int(r.event_id))
+            out_type.append(r.event_type)
+            out_z.append(_zscore_from_frame(frame, v, window_rows))
+            frame.append(quantize6(v))
+            if len(frame) > window_rows:
+                frame = frame[-window_rows:]
+        state.update((frame,))
+        yield pd.DataFrame(
+            {"event_id": out_id, "event_type": out_type, "z": out_z}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=_ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -227,3 +227,43 @@ def test_streaming_cdc_upsert_matches_batch(spark):
     }
     assert got == want
     assert "U" in got and got["U"][0] > 0
+
+
+def test_streaming_zscore_equals_batch_per_event(spark):
+    """The stateful streaming z-score must equal the batch window operator
+    row-for-row (bit-for-bit doubles) — the decimal-exact parity contract
+    of streaming/windows.py:rolling_zscore_stream."""
+    from platform_etl_drug_disease_spark.operators.windows import rolling_zscore
+    from platform_etl_drug_disease_spark.plans.streaming_media import (
+        _event_stream,
+    )
+    from platform_etl_drug_disease_spark.schemas import load_table
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        rolling_zscore_stream,
+        run_to_memory_sink,
+    )
+    from tests.conftest import SF_SMOKE
+
+    sf = SF_SMOKE
+    got = {
+        r.event_id: r.z
+        for r in run_to_memory_sink(
+            rolling_zscore_stream(_event_stream(spark, sf)),
+            "t_stream_zscore",
+            output_mode="append",
+        ).collect()
+    }
+    ev = load_table(
+        spark, sf, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    want = {
+        r.event_id: r.z
+        for r in rolling_zscore(
+            ev, ["user_id"], ["ts", "event_id"], "value", 5
+        ).collect()
+    }
+    assert set(got) == set(want)
+    diffs = [k for k in want if got[k] != want[k]
+             and not (got[k] is None and want[k] is None)]
+    assert not diffs, f"{len(diffs)} mismatched events, e.g. {diffs[:3]}"
+    assert any(z is not None for z in want.values())
