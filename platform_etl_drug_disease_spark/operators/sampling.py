@@ -142,3 +142,45 @@ def training_order(
     return df.withColumn(
         "shard", md5_bucket(id_col, n_shards, salt)
     ).withColumn("pos", F.row_number().over(w))
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    epochs: dict[str, float],
+    strata_col: str,
+    default_epochs: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Fractional-epoch repetition: emit each row ``floor(e)`` or
+    ``ceil(e)`` times so a stratum's expected multiplicity is exactly its
+    epoch count ``e`` — the UP-sampling half of corpus mixing
+    (stratified_sample is the down-sampling half; a training mix like
+    "wikipedia × 2.7" needs both). The extra copy is a deterministic
+    md5-bucket draw on (stratum, id), so reruns, engines, and incremental
+    extensions repeat exactly the same rows; each copy carries
+    ``epoch_idx`` (0-based) so downstream shuffling can interleave epochs
+    (operators/sampling.py:training_order on (id, epoch_idx)).
+
+    Map-side only: a per-row ``explode(sequence(0, n_copies-1))`` — no
+    shuffle, no RNG state; at 100 TB the row blowup stays inside the scan
+    stage exactly like subspace_rows' fan-out."""
+    import math
+
+    key = F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string"))
+    b = md5_bucket(key, BUCKETS, salt)
+    n_copies = None
+    for name, e in epochs.items():
+        base, frac = int(math.floor(e)), e - math.floor(e)
+        n = F.lit(base) + (b < F.lit(int(round(frac * BUCKETS)))).cast("int")
+        cond = F.col(strata_col) == name
+        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+    dbase = int(math.floor(default_epochs))
+    dfrac = default_epochs - dbase
+    dn = F.lit(dbase) + (b < F.lit(int(round(dfrac * BUCKETS)))).cast("int")
+    n_copies = dn if n_copies is None else n_copies.otherwise(dn)
+    return df.withColumn("__n_copies", n_copies).where(
+        F.col("__n_copies") > 0
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)).alias("epoch_idx")
+    ).drop("__n_copies")

@@ -1159,3 +1159,67 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["bpe_encode_stats"] = bpe_encode_stats
 # bpe_encode_stats: rows-only by design (greedy merge loop is not
 # SQL-expressible); semantics pinned by unit tests instead.
+
+
+_EPOCHS = {"src0": 2.5, "src1": 0.4, "src2": 3.0}
+_EPOCH_SALT = "ep1:"
+
+
+def corpus_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch mixing audit (operators/sampling.py:epoch_upsample):
+    src0 × 2.5, src1 × 0.4, src2 × 3.0, everything else × 1 — per source,
+    the emitted row count, surviving distinct docs, repeated chars and the
+    realized multiplicity. The oracle replays the identical md5 draw, so
+    the exact copy-set (not just the expectation) is pinned."""
+    from platform_etl_drug_disease_spark.operators.sampling import epoch_upsample
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    up = epoch_upsample(docs, "doc_id", _EPOCHS, "source", 1.0, _EPOCH_SALT)
+    return up.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max("epoch_idx").cast("int").alias("max_epoch_idx"),
+        dround(
+            F.count(F.lit(1)) * F.lit(1.0) / F.countDistinct("doc_id"), 6
+        ).alias("multiplicity"),
+    )
+
+
+def _epoch_case() -> str:
+    import math
+
+    arms = []
+    for name, e in _EPOCHS.items():
+        base, frac = int(math.floor(e)), e - math.floor(e)
+        arms.append(
+            f"WHEN '{name}' THEN {base} + "
+            f"CASE WHEN b < {int(round(frac * 10000))} THEN 1 ELSE 0 END"
+        )
+    return "CASE source " + " ".join(arms) + " ELSE 1 END"
+
+
+_EPOCH_SQL = f"""
+WITH d AS (
+    SELECT doc_id, source, n_chars,
+           CAST(('0x' || substr(md5('{_EPOCH_SALT}' || source || '|' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 7))
+                AS BIGINT) % 10000 AS b
+    FROM documents
+), c AS (
+    SELECT doc_id, source, n_chars, {_epoch_case()} AS n FROM d
+), e AS (
+    SELECT doc_id, source, n_chars, unnest(range(0, n)) AS epoch_idx
+    FROM c WHERE n > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(max(epoch_idx) AS INTEGER) AS max_epoch_idx,
+       floor(count(*) * 1.0 / count(DISTINCT doc_id) * 1e6 + 0.5) / 1e6
+           AS multiplicity
+FROM e GROUP BY source
+"""
+
+QUERIES["corpus_epoch_stats"] = corpus_epoch_stats
+ORACLES["corpus_epoch_stats"] = _EPOCH_SQL

@@ -680,3 +680,40 @@ def test_bpe_dictionary_path_equals_direct_and_concats(spark):
         assert pieces == segment_word(w, ranks), w
         assert "".join(pieces) == w, w
         assert n == len(pieces)
+
+
+def test_epoch_upsample_multiplicity_and_determinism(spark):
+    from platform_etl_drug_disease_spark.operators.sampling import epoch_upsample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, src=f"s{i % 3}") for i in range(600)]
+    )
+    up = epoch_upsample(df, "doc_id", {"s0": 2.5, "s1": 0.4}, "src", 1.0, "t:")
+    rows = up.collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    # s2 (default 1.0): exactly one copy each, epoch_idx 0
+    assert len(by_src["s2"]) == 200
+    assert all(r.epoch_idx == 0 for r in by_src["s2"])
+    # s0 (2.5): every doc 2 or 3 copies, realized multiplicity near 2.5
+    c0: dict[int, int] = {}
+    for r in by_src["s0"]:
+        c0[r.doc_id] = c0.get(r.doc_id, 0) + 1
+    assert set(c0.values()) <= {2, 3}
+    assert 2.3 <= sum(c0.values()) / len(c0) <= 2.7
+    # copies of one doc carry distinct contiguous epoch_idx
+    some = [r.epoch_idx for r in by_src["s0"] if r.doc_id == by_src["s0"][0].doc_id]
+    assert sorted(some) == list(range(len(some)))
+    # s1 (0.4): subset kept once, fraction near 0.4, never duplicated
+    c1: dict[int, int] = {}
+    for r in by_src["s1"]:
+        c1[r.doc_id] = c1.get(r.doc_id, 0) + 1
+    assert set(c1.values()) == {1}
+    assert 0.25 <= len(c1) / 200 <= 0.55
+    # deterministic under repartitioning
+    again = {(r.doc_id, r.src, r.epoch_idx)
+             for r in epoch_upsample(df.repartition(13), "doc_id",
+                                     {"s0": 2.5, "s1": 0.4}, "src", 1.0,
+                                     "t:").collect()}
+    assert again == {(r.doc_id, r.src, r.epoch_idx) for r in rows}
