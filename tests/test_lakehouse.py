@@ -400,3 +400,41 @@ def test_key_skew_audit_flags_planted_hot_key(spark):
     uni = spark.createDataFrame([Row(k=f"u{i % 50}") for i in range(500)])
     ru = key_skew_audit(uni, "k").collect()[0]
     assert ru.skew_factor == pytest.approx(1.0)
+
+
+def test_scd2_history_tiles_random_feeds(spark):
+    """Property (hypothesis): for any change feed, per-key intervals tile
+    the version line exactly — consecutive valid_from/valid_to chain, one
+    open current row per key, row count preserved."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from platform_etl_drug_disease_spark.operators.cdc import scd2_history
+
+    feed_strategy = st.dictionaries(
+        st.integers(0, 5),
+        st.sets(st.integers(0, 20), min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(feed_strategy)
+    def check(feed):
+        rows = [Row(k=k, version=v) for k, vs in feed.items() for v in vs]
+        hist = scd2_history(
+            spark.createDataFrame(rows, "k int, version int"), ["k"]
+        ).collect()
+        assert len(hist) == len(rows)
+        by_key: dict[int, list] = {}
+        for r in hist:
+            by_key.setdefault(r.k, []).append(r)
+        for k, rs in by_key.items():
+            rs.sort(key=lambda r: r.valid_from)
+            versions = sorted(feed[k])
+            assert [r.valid_from for r in rs] == versions
+            for a, b in zip(rs, rs[1:]):
+                assert a.valid_to == b.valid_from and not a.is_current
+            assert rs[-1].valid_to is None and rs[-1].is_current
+
+    check()

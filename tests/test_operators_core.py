@@ -308,3 +308,60 @@ def test_rolling_zscore_known_values_and_guards(spark):
                                        ["k"], ["i"], "v", 5).collect()}
     for key, z in shorter.items():
         assert (z is None and out[key] is None) or z == out[key]
+
+
+def test_rolling_zscore_matches_python_model_on_random_series(spark):
+    """Property (hypothesis): the Spark operator equals a literal Python
+    model — decimal-quantized frame sums, same IEEE expression — on random
+    series with nulls, across several keys in one DataFrame."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    from platform_etl_drug_disease_spark.operators.windows import rolling_zscore
+
+    def model(series, win=4):
+        out = []
+        for i, v in enumerate(series):
+            frame = series[max(0, i - win):i]
+            vals = [Decimal(float(x)).quantize(Decimal("0.000001"),
+                                               ROUND_HALF_UP)
+                    for x in frame if x is not None]
+            if v is None or len(frame) < win or len(vals) != win:
+                out.append(None)
+                continue
+            s, ss = float(sum(vals)), float(sum(x * x for x in vals))
+            var = (ss - s * s / win) / (win - 1)
+            out.append((float(v) - s / win) / math.sqrt(var) if var > 0 else None)
+        return out
+
+    vals = st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False))
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(st.lists(vals, min_size=1, max_size=12),
+                    min_size=1, max_size=3))
+    def check(series_per_key):
+        rows = [
+            Row(k=str(ki), i=i, v=v)
+            for ki, series in enumerate(series_per_key)
+            for i, v in enumerate(series)
+        ]
+        got = {
+            (r.k, r.i): r.z
+            for r in rolling_zscore(
+                spark.createDataFrame(rows, "k string, i int, v double"),
+                ["k"], ["i"], "v", 4,
+            ).collect()
+        }
+        for ki, series in enumerate(series_per_key):
+            want = model(series)
+            for i, w in enumerate(want):
+                g = got[(str(ki), i)]
+                assert (g is None and w is None) or g == pytest.approx(
+                    w, rel=1e-12
+                ), (ki, i, g, w)
+
+    check()
