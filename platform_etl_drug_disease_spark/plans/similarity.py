@@ -24,6 +24,7 @@ from platform_etl_drug_disease_spark.operators.similarity import (
     knn_lsh,
     semantic_dedup,
 )
+from platform_etl_drug_disease_spark.plans._util import dround
 from platform_etl_drug_disease_spark.schemas import (
     ensure_compute_partitions,
     load_table,
@@ -761,6 +762,70 @@ _KMEANS_SQL = _kmeans_sql()
 _IVF_KMEANS_SQL = _ivf_kmeans_sql()
 
 
+
+def embedding_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: per-dimension mean of a
+    reference snapshot vs a current snapshot (deterministic halves of the
+    fixture by vec_id parity; in production, two corpus releases), with the
+    absolute mean shift — the data-quality alarm that catches a silently
+    retrained/renormalized encoder before 100 TB of vectors get indexed
+    against the wrong geometry.
+
+    One pass per snapshot: posexplode → groupBy(dim) with exact-decimal
+    means (the kmeans update's arithmetic, so the oracle replays it
+    bit-for-bit). Wire volume is dims × partitions, independent of n."""
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"]).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+
+    def dim_means(df, out):
+        return (
+            df.select(F.posexplode("v").alias("i", "x"))
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(out)
+            )
+        )
+
+    ref = dim_means(emb.where(F.col("vec_id") % 2 == 0), "mean_ref")
+    cur = dim_means(emb.where(F.col("vec_id") % 2 == 1), "mean_cur")
+    return (
+        ref.join(cur, "i")
+        .select(
+            (F.col("i") + 1).cast("int").alias("dim"),
+            dround(F.col("mean_ref") + F.lit(1.0), 9).alias("mean_ref_p1"),
+            dround(F.col("mean_cur") + F.lit(1.0), 9).alias("mean_cur_p1"),
+            dround(F.abs(F.col("mean_cur") - F.col("mean_ref")), 9).alias(
+                "abs_drift"
+            ),
+        )
+    )
+
+
+_DRIFT_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+    SELECT vec_id, r.i AS i, v[r.i] AS x
+    FROM e CROSS JOIN range(1, {_DIM} + 1) r(i)
+),
+ref AS (
+    SELECT i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+    FROM x WHERE vec_id % 2 = 0 GROUP BY i
+),
+cur AS (
+    SELECT i, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+    FROM x WHERE vec_id % 2 = 1 GROUP BY i
+)
+SELECT CAST(ref.i AS INTEGER) AS dim,
+       floor((ref.m + 1.0) * 1e9 + 0.5) / 1e9 AS mean_ref_p1,
+       floor((cur.m + 1.0) * 1e9 + 0.5) / 1e9 AS mean_cur_p1,
+       floor(abs(cur.m - ref.m) * 1e9 + 0.5) / 1e9 AS abs_drift
+FROM ref JOIN cur USING (i)
+"""
+
 QUERIES = {
     "kmeans_cells": kmeans_cells,
     "knn_cosine_ivf_kmeans": knn_cosine_ivf_kmeans,
@@ -771,6 +836,7 @@ QUERIES = {
     "knn_cosine_ivf": knn_cosine_ivf,
     "embedding_quantize_stats": embedding_quantize_stats,
     "knn_pq_adc": knn_pq_adc,
+    "embedding_drift_stats": embedding_drift_stats,
 }
 
 ORACLES = {
@@ -783,4 +849,5 @@ ORACLES = {
     "knn_cosine_ivf": _IVF_SQL,
     "embedding_quantize_stats": _QUANT_SQL,
     "knn_pq_adc": _PQ_SQL,
+    "embedding_drift_stats": _DRIFT_SQL,
 }
