@@ -826,6 +826,45 @@ SELECT CAST(ref.i AS INTEGER) AS dim,
 FROM ref JOIN cur USING (i)
 """
 
+
+def knn_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation AS a distributed query: per query vector, the
+    IVF index's recall@5 against the exact ranking and the reciprocal rank
+    of the true nearest neighbour — the metrics an index-tuning sweep
+    (nlist/nprobe) reads before promoting an index build. Pure composition
+    of the two oracle-proven rankers, so the metric itself is value-hash
+    checkable (the oracle replays both rankers and the same join)."""
+    bf = knn_cosine_bruteforce(spark, sf_dir).select("q_id", "c_id", "rank")
+    ivf = knn_cosine_ivf(spark, sf_dir).select(
+        "q_id", "c_id", F.col("rank").alias("i_rank")
+    )
+    joined = bf.join(ivf, ["q_id", "c_id"], "left")
+    return joined.groupBy("q_id").agg(
+        F.count("i_rank").alias("n_hits"),
+        (F.count("i_rank") / F.lit(5.0)).alias("recall_at_5"),
+        F.max(
+            F.when(
+                F.col("rank") == 1,
+                F.coalesce(F.lit(1.0) / F.col("i_rank"), F.lit(0.0)),
+            )
+        ).alias("true_nn_reciprocal_rank"),
+    )
+
+
+_EVAL_SQL = f"""
+WITH bf AS (SELECT * FROM ({_KNN_SQL})),
+ivf AS (SELECT * FROM ({_IVF_SQL})),
+j AS (
+    SELECT bf.q_id, bf.rank, ivf.rank AS i_rank
+    FROM bf LEFT JOIN ivf ON bf.q_id = ivf.q_id AND bf.c_id = ivf.c_id
+)
+SELECT q_id, CAST(count(i_rank) AS BIGINT) AS n_hits,
+       count(i_rank) / 5.0 AS recall_at_5,
+       max(CASE WHEN rank = 1
+                THEN COALESCE(1.0 / i_rank, 0.0) END) AS true_nn_reciprocal_rank
+FROM j GROUP BY q_id
+"""
+
 QUERIES = {
     "kmeans_cells": kmeans_cells,
     "knn_cosine_ivf_kmeans": knn_cosine_ivf_kmeans,
@@ -837,6 +876,7 @@ QUERIES = {
     "embedding_quantize_stats": embedding_quantize_stats,
     "knn_pq_adc": knn_pq_adc,
     "embedding_drift_stats": embedding_drift_stats,
+    "knn_eval_metrics": knn_eval_metrics,
 }
 
 ORACLES = {
@@ -850,4 +890,5 @@ ORACLES = {
     "embedding_quantize_stats": _QUANT_SQL,
     "knn_pq_adc": _PQ_SQL,
     "embedding_drift_stats": _DRIFT_SQL,
+    "knn_eval_metrics": _EVAL_SQL,
 }
