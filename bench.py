@@ -70,6 +70,10 @@ HEADLINE = [
     "value_anomaly_stats",
     "join_skew_audit",
     "bpe_encode_stats",
+    "corpus_epoch_stats",
+    "streaming_value_anomaly",
+    "embedding_drift_stats",
+    "knn_eval_metrics",
 ]
 
 
