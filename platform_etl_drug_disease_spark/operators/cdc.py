@@ -114,3 +114,48 @@ def scd2_history(
         .withColumn(valid_to, F.lead(version_col).over(w))
         .withColumn(current_col, F.col(valid_to).isNull())
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    status_col: str = "diff_status",
+) -> DataFrame:
+    """Row-level diff of two snapshot versions: full-outer join on the key
+    with a content-hash compare of ``compare_cols`` → one row per key seen
+    in either snapshot, tagged added / removed / changed / unchanged, with
+    the new side's columns (old side's for removed rows).
+
+    The release-review twin of :func:`upsert_latest`: the merge applies a
+    change feed; the diff RECOVERS one from two materialized versions —
+    what you audit before promoting a recrawl, or feed into
+    scd2_history/incremental maintenance when the producer ships whole
+    snapshots instead of deltas. One shuffle (the join); with both sides
+    landed by the bucketed writer on the key it is exchange-free, and at
+    lakehouse scale the join prunes to partitions whose min/max stats
+    differ."""
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col(c) for c in keys]
+        payload = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                          for c in compare_cols]
+            )
+        )
+        renamed = [F.col(c).alias(f"{tag}_{c}") for c in compare_cols]
+        return df.select(*cols, payload.alias(f"__h_{tag}"), *renamed)
+
+    j = hashed(old, "old").join(hashed(new, "new"), list(keys), "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_cols = [
+        F.coalesce(F.col(f"new_{c}"), F.col(f"old_{c}")).alias(c)
+        for c in compare_cols
+    ]
+    return j.select(*[F.col(k) for k in keys], status.alias(status_col), *out_cols)

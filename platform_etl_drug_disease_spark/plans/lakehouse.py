@@ -490,6 +490,70 @@ _SKEW_SQL = " UNION ALL ".join(
 )
 
 
+
+# ---------------------------------------------------------------------------
+# snapshot diff (table_changes between two materialized versions)
+# ---------------------------------------------------------------------------
+# The release-review view: old = the orders snapshot; new = the same CDC
+# mutation as cdc_upsert_stats (update %10==3, delete %100==7) plus planted
+# inserts (negated keys for %10==2 — guaranteed absent from old). The diff
+# must recover exactly those sets. The oracle compares values directly
+# (IS DISTINCT FROM) — equivalent to the operator's same-engine row hash.
+
+
+def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from platform_etl_drug_disease_spark.operators.cdc import table_diff
+
+    orders = load_table(spark, sf_dir, "orders", _CDC_COLS)
+    updated = orders.where(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+    )
+    kept = orders.where(
+        (F.col("o_orderkey") % 10 != 3) & (F.col("o_orderkey") % 100 != 7)
+    )
+    inserted = orders.where(F.col("o_orderkey") % 10 == 2).select(
+        (-F.col("o_orderkey") - 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    new = kept.unionByName(updated).unionByName(inserted)
+    diff = table_diff(
+        orders, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return diff.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+_DIFF_SQL = """
+WITH new AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 10 != 3 AND o_orderkey % 100 != 7
+    UNION ALL
+    SELECT o_orderkey, 'U', o_totalprice + 100.0 FROM orders
+    WHERE o_orderkey % 10 = 3
+    UNION ALL
+    SELECT -o_orderkey - 1, 'N', o_totalprice FROM orders
+    WHERE o_orderkey % 10 = 2
+), j AS (
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice
+    FROM orders o FULL OUTER JOIN new n USING (o_orderkey)
+)
+SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM j GROUP BY diff_status
+"""
+
 QUERIES = {
     "cdc_upsert_stats": cdc_upsert_stats,
     "zorder_locality_stats": zorder_locality_stats,
@@ -499,6 +563,7 @@ QUERIES = {
     "training_shard_stats": training_shard_stats,
     "incremental_rollup_stats": incremental_rollup_stats,
     "join_skew_audit": join_skew_audit,
+    "snapshot_diff_stats": snapshot_diff_stats,
 }
 
 ORACLES = {
@@ -510,4 +575,5 @@ ORACLES = {
     "training_shard_stats": _SHUF_SQL,
     "incremental_rollup_stats": _INCR_SQL,
     "join_skew_audit": _SKEW_SQL,
+    "snapshot_diff_stats": _DIFF_SQL,
 }

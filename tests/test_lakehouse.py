@@ -438,3 +438,32 @@ def test_scd2_history_tiles_random_feeds(spark):
             assert rs[-1].valid_to is None and rs[-1].is_current
 
     check()
+
+
+def test_table_diff_classifies_all_statuses(spark):
+    from platform_etl_drug_disease_spark.operators.cdc import table_diff
+
+    schema = "k int, a string, b double"
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0), (4, None, None)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 1.0),          # unchanged
+         (2, "y", 2.5),          # changed (value)
+         (4, None, None),        # unchanged (null payload)
+         (5, "w", 5.0)],         # added; k=3 removed
+        schema,
+    )
+    got = {r.k: (r.diff_status, r.a, r.b)
+           for r in table_diff(old, new, ["k"], ["a", "b"]).collect()}
+    assert got[1][0] == "unchanged"
+    assert got[2] == ("changed", "y", 2.5)      # new side wins for changed
+    assert got[3] == ("removed", "z", 3.0)      # old side kept for removed
+    assert got[4][0] == "unchanged"
+    assert got[5] == ("added", "w", 5.0)
+    # null vs value must be 'changed', not 'unchanged'
+    old2 = spark.createDataFrame([(1, None, 1.0)], schema)
+    new2 = spark.createDataFrame([(1, "", 1.0)], schema)
+    r = table_diff(old2, new2, ["k"], ["a", "b"]).collect()[0]
+    assert r.diff_status == "changed"
