@@ -323,6 +323,130 @@ FROM z GROUP BY event_type
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ORDERED funnel (view → click → purchase): a click counts only
+    if some view of the same user precedes it, a purchase only if a
+    qualifying click precedes it. Emits one row per stage with the user
+    count and the conversion rate from the previous stage.
+
+    Scale shape: ONE shuffle total. All three stages come from running
+    conditional counts over a single ``(user_id, ts, event_id)`` window —
+    consecutive window expressions share the partition spec, so Spark plans
+    one Exchange + one Sort; the per-user groupBy that follows reuses the
+    same hash partitioning (no second Exchange), and the final stage rollup
+    is a 150-group aggregate. No per-stage self-joins — the classic
+    funnel-as-3-joins shape shuffles the event table three times and
+    explodes on users with many events; the running-flag form scans once.
+    Ordering ties are pinned by event_id so both engines sort identically.
+    """
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior_views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w)
+    flagged = ev.withColumn(
+        "q_click",
+        (F.col("event_type") == "click") & (prior_views > 0),
+    )
+    prior_q_clicks = F.sum(F.col("q_click").cast("int")).over(w)
+    flagged = flagged.withColumn(
+        "q_purchase",
+        (F.col("event_type") == "purchase") & (prior_q_clicks > 0),
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "view").alias("r_view"),
+        F.max("q_click").alias("r_click"),
+        F.max("q_purchase").alias("r_purchase"),
+    )
+    totals = per_user.agg(
+        F.count(F.when(F.col("r_view"), 1)).alias("n_view"),
+        F.count(F.when(F.col("r_click"), 1)).alias("n_click"),
+        F.count(F.when(F.col("r_purchase"), 1)).alias("n_purchase"),
+    )
+    stages = totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("view").alias("stage_name"),
+                    F.col("n_view").alias("users"),
+                    F.col("n_view").alias("prev_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("click").alias("stage_name"),
+                    F.col("n_click").alias("users"),
+                    F.col("n_view").alias("prev_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"),
+                    F.lit("purchase").alias("stage_name"),
+                    F.col("n_purchase").alias("users"),
+                    F.col("n_click").alias("prev_users"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        "s.stage",
+        "s.stage_name",
+        "s.users",
+        dround(
+            F.col("s.users") / F.nullif(F.col("s.prev_users").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conversion"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), f1 AS (
+    SELECT *,
+           (event_type = 'click' AND
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER fr > 0)
+               AS q_click
+    FROM ev
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), f2 AS (
+    SELECT *,
+           (event_type = 'purchase' AND
+            SUM(CASE WHEN q_click THEN 1 ELSE 0 END) OVER fr > 0) AS q_purchase
+    FROM f1
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), per_user AS (
+    SELECT user_id,
+           max(event_type = 'view') AS r_view,
+           max(q_click) AS r_click,
+           max(q_purchase) AS r_purchase
+    FROM f2 GROUP BY user_id
+), totals AS (
+    SELECT CAST(count(CASE WHEN r_view THEN 1 END) AS BIGINT) AS n_view,
+           CAST(count(CASE WHEN r_click THEN 1 END) AS BIGINT) AS n_click,
+           CAST(count(CASE WHEN r_purchase THEN 1 END) AS BIGINT) AS n_purchase
+    FROM per_user
+)
+SELECT stage, stage_name, users,
+       floor(users / nullif(CAST(prev_users AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6
+           AS conversion
+FROM (
+    SELECT 1 AS stage, 'view' AS stage_name, n_view AS users,
+           n_view AS prev_users FROM totals
+    UNION ALL
+    SELECT 2, 'click', n_click, n_view FROM totals
+    UNION ALL
+    SELECT 3, 'purchase', n_purchase, n_click FROM totals
+)
+"""
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -334,6 +458,7 @@ QUERIES = {
     "user_sessions": user_sessions,
     "daily_event_type_pivot": daily_event_type_pivot,
     "value_anomaly_stats": value_anomaly_stats,
+    "funnel_conversion": funnel_conversion,
 }
 
 ORACLES = {
@@ -347,4 +472,5 @@ ORACLES = {
     "user_sessions": _SESSIONS_SQL,
     "daily_event_type_pivot": _DAILY_PIVOT_SQL,
     "value_anomaly_stats": _ANOMALY_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
 }

@@ -275,6 +275,113 @@ LIMIT 20
 """
 
 
+def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-supplier graph (suppliers sharing an order
+    form an edge) using DEGREE-ORDERED ORIENTATION — the standard
+    distributed-triangle trick (Cohen 2009; Suri & Vassilvitskii WWW'11):
+    orient every undirected edge from its lower-(degree, id) endpoint to the
+    higher one, enumerate wedges only around ORIENTED out-neighbourhoods,
+    and close them with one more equi-join.
+
+    Why this survives 100 TB: the naive wedge join fans out as Σ deg(v)² —
+    a single hub supplier with 10⁶ neighbours emits 10¹² wedges. After
+    orientation every node's out-degree is O(√|E|) regardless of its raw
+    degree (a node can only point to neighbours of even-higher degree), so
+    the wedge join is bounded by Σ outdeg(v)² ≤ |E|^1.5 — the provably
+    optimal join-based bound. The degree table is |V|-sized → broadcast;
+    per-order pair generation is bounded by order width (≤7 lineitems).
+    Each triangle is counted exactly once (its vertices appear in
+    (deg, id)-sorted order).
+    """
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    order_supp = li.distinct()
+    pair = (
+        order_supp.alias("a")
+        .join(order_supp.alias("b"), "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    ).persist()  # consumed by deg (both endpoints), orientation, n_edges
+    deg = (
+        pair.select(F.col("u").alias("node"))
+        .unionAll(pair.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pair.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    ).persist()  # consumed 3× (wedge sides + closing semi-join)
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src")
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, ["a", "c"], "left_semi")
+    return (
+        pair.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            oriented.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .agg(F.max("od").alias("max_out_degree"))
+        )
+        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
+_TRIANGLE_SQL = """
+WITH order_supp AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pair AS (
+    SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+    FROM order_supp a JOIN order_supp b USING (l_orderkey)
+    WHERE a.l_suppkey < b.l_suppkey
+), deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM pair UNION ALL SELECT v FROM pair
+    ) GROUP BY node
+), oriented AS (
+    SELECT CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.u ELSE p.v END AS src,
+           CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.v ELSE p.u END AS dst
+    FROM pair p
+    JOIN deg du ON du.node = p.u
+    JOIN deg dv ON dv.node = p.v
+), wedges AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM oriented e1 JOIN oriented e2 ON e1.dst = e2.src
+), tri AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedges w WHERE EXISTS (
+        SELECT 1 FROM oriented o WHERE o.src = w.a AND o.dst = w.c
+    )
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pair) AS n_edges,
+       (SELECT CAST(max(od) AS BIGINT) FROM (
+            SELECT count(*) AS od FROM oriented GROUP BY src
+        )) AS max_out_degree,
+       n_triangles
+FROM tri
+"""
+
+
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
@@ -282,6 +389,7 @@ QUERIES = {
     "region_descendants": region_descendants,
     "two_hop_reach": two_hop_reach,
     "trade_pagerank": trade_pagerank,
+    "supplier_triangles": supplier_triangles,
 }
 
 ORACLES = {
@@ -290,5 +398,6 @@ ORACLES = {
     "region_descendants": _DESCENDANTS_SQL,
     "two_hop_reach": _TWO_HOP_SQL,
     "trade_pagerank": _pagerank_sql(),
+    "supplier_triangles": _TRIANGLE_SQL,
     # adjacency_degree_approx: sketch-based, rows-only by design
 }

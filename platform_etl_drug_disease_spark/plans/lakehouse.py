@@ -504,7 +504,10 @@ _SKEW_SQL = " UNION ALL ".join(
 def snapshot_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from platform_etl_drug_disease_spark.operators.cdc import table_diff
 
-    orders = load_table(spark, sf_dir, "orders", _CDC_COLS)
+    # old snapshot + three mutation branches + the diff's old side all read
+    # this projection — persist it once instead of re-scanning the snapshot
+    # 4× (at 100 TB the snapshot scan IS the cost of the diff).
+    orders = load_table(spark, sf_dir, "orders", _CDC_COLS).persist()
     updated = orders.where(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey",
         F.lit("U").alias("o_orderstatus"),
