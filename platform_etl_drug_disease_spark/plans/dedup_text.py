@@ -1223,3 +1223,139 @@ FROM e GROUP BY source
 
 QUERIES["corpus_epoch_stats"] = corpus_epoch_stats
 ORACLES["corpus_epoch_stats"] = _EPOCH_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus-level source overlap: exact inter-source shingle Jaccard + the
+# bounded-state KMV (k-minimum-values) estimate that replaces it at scale
+# ---------------------------------------------------------------------------
+# The curation question "how much of source B is already in source A?" needs
+# the Jaccard similarity of the SOURCES' shingle sets, not per-document
+# pairs. Exact |A∩B| requires joining the distinct-(source, shingle) table
+# with itself on the shingle — fan-out per shingle is bounded by
+# (#sources choose 2), never by corpus size, so it is safe while sources
+# stay in the hundreds. The KMV synopsis (Bar-Yossef et al. 2002) is the
+# 100-TB path: each source is summarized by its k smallest shingle hashes
+# (k·#sources state, one top-k-per-group pass), and Jaccard is estimated as
+# the fraction of the union's KMV that lands in A∩B. Both paths are emitted
+# side by side; md5 hashes sort identically in Spark and DuckDB, so even the
+# ESTIMATE is value-hash reproducible in the oracle.
+
+_KMV_K = 128
+
+
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    sh = tx.with_shingles(docs, "text", 3)
+    src_sh = (
+        sh.select("source", F.explode("sh").alias("shingle")).distinct().persist()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        src_sh.alias("a")
+        .join(src_sh.alias("b"), "shingle")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_intersect"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("h"))
+    )
+    kmv = (
+        src_sh.select("source", F.md5("shingle").alias("h"))
+        .withColumn("rn", rn)
+        .where(F.col("rn") <= _KMV_K)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+    sa = sizes.join(kmv, "source").select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a"),
+        F.col("kmv").alias("kmv_a"),
+    )
+    sb = sizes.join(kmv, "source").select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b"),
+        F.col("kmv").alias("kmv_b"),
+    )
+    pairs = (
+        sa.crossJoin(sb)
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .withColumn("n_intersect", F.coalesce("n_intersect", F.lit(0)))
+    )
+    u_kmv = F.slice(
+        F.array_sort(F.array_union(F.col("kmv_a"), F.col("kmv_b"))), 1, _KMV_K
+    )
+    in_both = F.array_intersect(F.col("kmv_a"), F.col("kmv_b"))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        "n_intersect",
+        dround(
+            F.col("n_intersect")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).cast("double"),
+            6,
+        ).alias("jaccard_exact"),
+        dround(
+            F.size(F.array_intersect(u_kmv, in_both))
+            / F.size(u_kmv).cast("double"),
+            6,
+        ).alias("jaccard_kmv"),
+    )
+
+
+_SOURCE_OVERLAP_SQL = r"""
+WITH toks AS (
+    SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), shing AS (
+    SELECT source,
+           CASE WHEN len(t) >= 3
+                THEN list_distinct(list_transform(range(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                ELSE CAST([] AS VARCHAR[]) END AS sh
+    FROM toks
+), src_sh AS (
+    SELECT DISTINCT source, unnest(sh) AS shingle FROM shing
+), sizes AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM src_sh GROUP BY source
+), inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_intersect
+    FROM src_sh a JOIN src_sh b USING (shingle)
+    WHERE a.source < b.source
+    GROUP BY 1, 2
+), kmv AS (
+    SELECT source, list_sort(list(h)) AS kmv FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM (SELECT source, md5(shingle) AS h FROM src_sh)
+    ) WHERE rn <= 128 GROUP BY source
+), pairs AS (
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n AS n_a, sb.n AS n_b,
+           COALESCE(i.n_intersect, 0) AS n_intersect,
+           ka.kmv AS kmv_a, kb.kmv AS kmv_b
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    JOIN kmv ka ON ka.source = sa.source
+    JOIN kmv kb ON kb.source = sb.source
+    LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+), est AS (
+    SELECT *,
+           list_sort(list_distinct(list_concat(kmv_a, kmv_b)))[1:128] AS u_kmv
+    FROM pairs
+)
+SELECT source_a, source_b, n_a, n_b, n_intersect,
+       floor(n_intersect / CAST(n_a + n_b - n_intersect AS DOUBLE) * 1e6 + 0.5)
+           / 1e6 AS jaccard_exact,
+       floor(len(list_intersect(u_kmv, list_intersect(kmv_a, kmv_b)))
+             / CAST(len(u_kmv) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS jaccard_kmv
+FROM est
+"""
+
+QUERIES["source_overlap_jaccard"] = source_overlap_jaccard
+ORACLES["source_overlap_jaccard"] = _SOURCE_OVERLAP_SQL

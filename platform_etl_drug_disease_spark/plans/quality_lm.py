@@ -277,3 +277,69 @@ ORACLES = {
     "heavy_shingle_stats": _HEAVY_SQL,
     "pmi_collocations": _PMI_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# language-mix divergence: per-source KL vs the corpus language distribution
+# ---------------------------------------------------------------------------
+
+
+def lang_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix audit: Shannon entropy of each source's
+    language distribution and KL(source ‖ corpus) — the drift score
+    curation uses to flag sources whose language mix departs from the
+    corpus target (a spike here is how a crawl that silently switched
+    language shows up before it poisons the mix).
+
+    Scale shape: one (source, lang) count aggregation over the corpus —
+    map-side combinable, state = |sources|×|langs| — then every ratio and
+    log runs on that tiny post-agg table (windows over it are per-source,
+    never corpus-wide). KL terms with p_source = 0 contribute 0 (the sum
+    skips absent langs); the corpus marginal is never 0 for a lang a source
+    actually has, so the divergence is always finite.
+    """
+    docs = load_table(spark, sf_dir, "documents", ["lang", "source"])
+    sl = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ws = Window.partitionBy("source")
+    wl = Window.partitionBy("lang")
+    enriched = (
+        sl.withColumn("n_s", F.sum("c").over(ws))
+        .withColumn("c_l", F.sum("c").over(wl))
+        .withColumn("n", F.sum("c").over(Window.partitionBy()))
+    )
+    p_s = F.col("c") / F.col("n_s").cast("double")
+    p_g = F.col("c_l") / F.col("n").cast("double")
+    return (
+        enriched.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.round(-F.sum(p_s * F.log(p_s)), 6).alias("lang_entropy"),
+            F.round(F.sum(p_s * F.log(p_s / p_g)), 6).alias("kl_vs_corpus"),
+        )
+    )
+
+
+_LANG_MIX_SQL = """
+WITH sl AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+), e AS (
+    SELECT source, lang, c,
+           SUM(c) OVER (PARTITION BY source) AS n_s,
+           SUM(c) OVER (PARTITION BY lang) AS c_l,
+           SUM(c) OVER () AS n
+    FROM sl
+)
+SELECT source,
+       CAST(MAX(n_s) AS BIGINT) AS n_docs,
+       round(-SUM((c / CAST(n_s AS DOUBLE)) * ln(c / CAST(n_s AS DOUBLE))), 6)
+           AS lang_entropy,
+       round(SUM((c / CAST(n_s AS DOUBLE))
+                 * ln((c / CAST(n_s AS DOUBLE)) / (c_l / CAST(n AS DOUBLE)))), 6)
+           AS kl_vs_corpus
+FROM e GROUP BY source
+"""
+
+
+QUERIES["lang_mix_divergence"] = lang_mix_divergence
+ORACLES["lang_mix_divergence"] = _LANG_MIX_SQL

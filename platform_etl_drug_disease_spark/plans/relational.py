@@ -608,6 +608,80 @@ FROM m
 """
 
 
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped closed-form OLS (y = extendedprice regressed on x = quantity,
+    per return flag): slope, intercept, R² from the same exact-integer
+    moment accumulation as ``price_quantity_corr`` — the distributed-ML
+    primitive for per-stratum trend fits (quality-vs-length, price-vs-size).
+
+    Scale shape: ONE map-side-combinable aggregation — five decimal moment
+    sums per group; no second pass, no collect, state O(groups). Every
+    closed-form expression is a ratio of exact integers, so both engines do
+    the identical int→double rounding once and divide — bit-stable. R² is
+    (num/denx)·(num/deny) rather than num²/(denx·deny): the factored form
+    avoids squaring a ~1e19 integer past decimal(38)/int128 range at big sf.
+    """
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+    d = "decimal(38,0)"
+    xi = F.round(F.col("l_quantity")).cast(d)
+    yi = F.round(F.col("l_extendedprice") * 100).cast(d)
+    g = (
+        li.select("l_returnflag", xi.alias("x"), yi.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast(d).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    inum = (F.col("sy") * F.col("sx2") - F.col("sx") * F.col("sxy")).cast("double")
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_items"),
+        dround(num / denx / F.lit(100.0), 6).alias("slope_price_per_qty"),
+        dround(inum / denx / F.lit(100.0), 4).alias("intercept_price"),
+        dround((num / denx) * (num / deny), 6).alias("r2"),
+    )
+
+
+_REGR_SQL = """
+WITH m AS (
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(CAST(round(l_quantity) AS HUGEINT)) AS sx,
+           SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy,
+           SUM(CAST(round(l_quantity) AS HUGEINT)
+               * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+           SUM(CAST(round(l_quantity) AS HUGEINT)
+               * CAST(round(l_quantity) AS HUGEINT)) AS sx2,
+           SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+               * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sy2
+    FROM lineitem GROUP BY 1
+), r AS (
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_items,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+           CAST(n * sx2 - sx * sx AS DOUBLE) AS denx,
+           CAST(n * sy2 - sy * sy AS DOUBLE) AS deny,
+           CAST(sy * sx2 - sx * sxy AS DOUBLE) AS inum
+    FROM m
+)
+SELECT l_returnflag, n_items,
+       floor(num / denx / 100.0 * 1e6 + 0.5) / 1e6 AS slope_price_per_qty,
+       floor(inum / denx / 100.0 * 1e4 + 0.5) / 1e4 AS intercept_price,
+       floor((num / denx) * (num / deny) * 1e6 + 0.5) / 1e6 AS r2
+FROM r
+"""
+
+
 def price_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (t-digest-style sketch) per return flag — the
     bounded-state scale path for quantiles (the exact sorted-array form is
@@ -658,6 +732,7 @@ QUERIES = {
     "flagship_harmonic_topk": flagship_harmonic_topk,
     "quantity_unpivot": quantity_unpivot,
     "price_quantity_corr": price_quantity_corr,
+    "price_quantity_regression": price_quantity_regression,
     "price_tdigest_quantiles": price_tdigest_quantiles,
     "segment_acctbal_zscore": segment_acctbal_zscore,
     "pricing_summary": pricing_summary,
@@ -683,6 +758,7 @@ ORACLES = {
     "flagship_harmonic_topk": _FLAGSHIP_SQL,
     "quantity_unpivot": _UNPIVOT_SQL,
     "price_quantity_corr": _CORR_SQL,
+    "price_quantity_regression": _REGR_SQL,
     "segment_acctbal_zscore": _ZSCORE_SQL,
     "pricing_summary": _PRICING_SQL,
     "revenue_by_nation": _REVENUE_NATION_SQL,
