@@ -892,3 +892,78 @@ ORACLES = {
     "embedding_drift_stats": _DRIFT_SQL,
     "knn_eval_metrics": _EVAL_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# embedding-space benchmark decontamination: corpus vs broadcast probe set
+# ---------------------------------------------------------------------------
+
+_DECON_TAU = 0.30
+
+
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors whose cosine to ANY
+    benchmark probe (vec_id < 20 stands in for the eval set) reaches
+    ``_DECON_TAU``; report per-label corpus size, flagged count, and the
+    worst observed similarity. The embedding-space complement of the n-gram
+    ``decontaminate_stats`` — it catches paraphrased benchmark leakage that
+    shares no shingle with the probe text.
+
+    Scale shape: ZERO corpus shuffles. Eval benchmarks are small, so the
+    probe set is collected into ONE broadcast row (an array of unit
+    vectors); every corpus partition scans once, computing max-cosine as a
+    JVM HOF fold over that array — corpus×probes work but embarrassingly
+    parallel map work, no candidate join, no repartition. The final
+    aggregate is |labels| groups. (For probe sets too big to broadcast,
+    route through the IVF cell join instead — same verify arithmetic.)
+    Per-probe dots are rounded to 1e-6 BEFORE the max so the max is taken
+    over identical values in both engines.
+    """
+    from platform_etl_drug_disease_spark.operators.similarity import (
+        dot,
+        with_unit_vec,
+    )
+
+    emb = _load_emb(spark, sf_dir).persist()  # probes + corpus branches
+    unit = with_unit_vec(
+        emb.select("vec_id", "label", as_double("embedding").alias("v")),
+        "v",
+        "nv",
+    )
+    probes = (
+        unit.where(F.col("vec_id") < 20)
+        .agg(F.collect_list("nv").alias("probes"))
+    )
+    corpus = unit.where(F.col("vec_id") >= 20).crossJoin(F.broadcast(probes))
+    max_cos = F.array_max(
+        F.transform(F.col("probes"), lambda p: F.round(dot(F.col("nv"), p), 6))
+    )
+    scored = corpus.select("label", max_cos.alias("max_cos"))
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.count(F.when(F.col("max_cos") >= _DECON_TAU, 1)).alias("n_flagged"),
+        F.max("max_cos").alias("max_cosine"),
+    )
+
+
+_DECON_SQL = f"""
+WITH {_UNIT_CTES},
+p AS (SELECT list(nv) AS probes FROM n WHERE vec_id < 20),
+scored AS (
+    SELECT label,
+           list_max(list_transform(probes,
+               pr -> round(list_reduce(list_transform(range(1, {_DIM} + 1),
+                               i -> nv[i] * pr[i]), (x, y) -> x + y), 6)))
+               AS max_cos
+    FROM n CROSS JOIN p
+    WHERE vec_id >= 20
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_corpus,
+       CAST(count(CASE WHEN max_cos >= {_DECON_TAU} THEN 1 END) AS BIGINT)
+           AS n_flagged,
+       max(max_cos) AS max_cosine
+FROM scored GROUP BY label
+"""
+
+QUERIES["embedding_decontaminate"] = embedding_decontaminate
+ORACLES["embedding_decontaminate"] = _DECON_SQL
