@@ -91,3 +91,64 @@ def pagerank(
             )
         )
     return ranks.select(F.col("src").alias("node"), "rank")
+
+
+def orient_by_degree(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Orient each undirected edge (given once as ``u < v`` pairs) from its
+    lower-(degree, id) endpoint to the higher one → columns (src, dst).
+
+    This is the degree-ordering trick (Cohen 2009; Suri & Vassilvitskii
+    WWW'11) that makes neighbourhood-join algorithms hub-safe: after
+    orientation every node's OUT-degree is O(√|E|) no matter its raw degree,
+    so wedge/intersection joins are bounded by |E|^1.5 instead of Σdeg².
+    The degree table is |V|-sized and broadcast. Input must be deduplicated;
+    callers persist ``pairs`` if they also consume it elsewhere."""
+    deg = (
+        pairs.select(F.col(u).alias("node"))
+        .unionAll(pairs.select(F.col(v).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias(u), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias(v), F.col("deg").alias("deg_v"))
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col(u) < F.col(v))
+    )
+    return (
+        pairs.join(F.broadcast(du), u)
+        .join(F.broadcast(dv), v)
+        .select(
+            F.when(lower_first, F.col(u)).otherwise(F.col(v)).alias("src"),
+            F.when(lower_first, F.col(v)).otherwise(F.col(u)).alias("dst"),
+        )
+    )
+
+
+def triangle_stats(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Exact triangle count of an undirected graph (edges given once as
+    ``u < v`` pairs): one row (n_edges, max_out_degree, n_triangles).
+    Wedges are enumerated around oriented out-neighbourhoods (see
+    :func:`orient_by_degree`) and closed with a semi-join, so each triangle
+    is counted exactly once and hub nodes cannot blow up the join."""
+    pairs = pairs.persist()
+    oriented = orient_by_degree(pairs, u, v).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, ["a", "c"], "left_semi")
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(
+            oriented.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .agg(F.max("od").alias("max_out_degree"))
+        )
+        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )

@@ -107,3 +107,43 @@ def rolling_zscore(
     return df.withColumn(
         out, F.when((n == window_rows) & (var > 0), z)
     )
+
+
+def funnel_flags(
+    df: DataFrame,
+    user_col: str,
+    order_by: list[str | Column],
+    steps: list[tuple[str, Column]],
+) -> DataFrame:
+    """Strict ordered-funnel evaluation: one row per ``user_col`` with a
+    boolean ``reached_<step>`` per funnel stage. A stage-i event qualifies
+    only if a qualifying stage-(i-1) event of the same user strictly
+    precedes it in ``order_by`` order (include a unique tiebreaker column
+    for determinism).
+
+    All stages are running conditional counts over ONE window spec, so any
+    number of stages costs a single user-keyed Exchange + Sort; the closing
+    per-user groupBy reuses that partitioning. The per-stage-self-join
+    formulation shuffles the event table once per stage and explodes on
+    power users — this form scans once regardless of funnel depth.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df
+    flags: list[str] = []
+    for i, (name, pred) in enumerate(steps):
+        q = pred if i == 0 else (
+            pred & (F.sum(F.col(flags[-1]).cast("int")).over(w) > 0)
+        )
+        col = f"__q_{name}"
+        out = out.withColumn(col, q)
+        flags.append(col)
+    return out.groupBy(user_col).agg(
+        *[
+            F.max(c).alias(f"reached_{n}")
+            for c, (n, _) in zip(flags, steps)
+        ]
+    )

@@ -339,33 +339,25 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes on users with many events; the running-flag form scans once.
     Ordering ties are pinned by event_id so both engines sort identically.
     """
+    from platform_etl_drug_disease_spark.operators.windows import funnel_flags
+
     ev = load_table(
         spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
     ).where(F.col("event_type").isin("view", "click", "purchase"))
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prior_views = F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).over(w)
-    flagged = ev.withColumn(
-        "q_click",
-        (F.col("event_type") == "click") & (prior_views > 0),
-    )
-    prior_q_clicks = F.sum(F.col("q_click").cast("int")).over(w)
-    flagged = flagged.withColumn(
-        "q_purchase",
-        (F.col("event_type") == "purchase") & (prior_q_clicks > 0),
-    )
-    per_user = flagged.groupBy("user_id").agg(
-        F.max(F.col("event_type") == "view").alias("r_view"),
-        F.max("q_click").alias("r_click"),
-        F.max("q_purchase").alias("r_purchase"),
+    per_user = funnel_flags(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
     )
     totals = per_user.agg(
-        F.count(F.when(F.col("r_view"), 1)).alias("n_view"),
-        F.count(F.when(F.col("r_click"), 1)).alias("n_click"),
-        F.count(F.when(F.col("r_purchase"), 1)).alias("n_purchase"),
+        F.count(F.when(F.col("reached_view"), 1)).alias("n_view"),
+        F.count(F.when(F.col("reached_click"), 1)).alias("n_click"),
+        F.count(F.when(F.col("reached_purchase"), 1)).alias("n_purchase"),
     )
     stages = totals.select(
         F.explode(

@@ -303,48 +303,12 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
         .distinct()
-    ).persist()  # consumed by deg (both endpoints), orientation, n_edges
-    deg = (
-        pair.select(F.col("u").alias("node"))
-        .unionAll(pair.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
     )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
-        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    from platform_etl_drug_disease_spark.operators.graph_algos import (
+        triangle_stats,
     )
-    oriented = (
-        pair.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    ).persist()  # consumed 3× (wedge sides + closing semi-join)
-    wedges = (
-        oriented.alias("e1")
-        .join(
-            oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src")
-        )
-        .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
-        )
-    )
-    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    triangles = wedges.join(closing, ["a", "c"], "left_semi")
-    return (
-        pair.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(
-            oriented.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("od"))
-            .agg(F.max("od").alias("max_out_degree"))
-        )
-        .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
-    )
+
+    return triangle_stats(pair)
 
 
 _TRIANGLE_SQL = """

@@ -1,0 +1,163 @@
+"""Planted-data tests for the analytics operators added with the funnel /
+triangle / regression / overlap / divergence catalog queries."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ev(uid, seq):
+    """seq: list of event types; timestamps follow list order."""
+    return [
+        Row(user_id=uid, ts=float(i), event_id=uid * 100 + i, event_type=t)
+        for i, t in enumerate(seq)
+    ]
+
+
+def test_funnel_flags_strict_ordering(spark):
+    from platform_etl_drug_disease_spark.operators.windows import funnel_flags
+
+    rows = (
+        _ev(1, ["view", "click", "purchase"])  # full funnel
+        + _ev(2, ["click", "view"])  # click BEFORE view → click not reached
+        + _ev(3, ["view", "purchase"])  # no click → purchase not reached
+        + _ev(4, ["purchase", "click", "view"])  # fully reversed → view only
+        + _ev(5, ["view", "purchase", "click", "purchase"])  # 2nd purchase ok
+    )
+    df = spark.createDataFrame(rows)
+    out = funnel_flags(
+        df,
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    got = {
+        r["user_id"]: (r["reached_view"], r["reached_click"], r["reached_purchase"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (True, True, True),
+        2: (True, False, False),
+        3: (True, False, False),
+        4: (True, False, False),
+        5: (True, True, True),
+    }
+
+
+def test_triangle_stats_known_graphs(spark):
+    from platform_etl_drug_disease_spark.operators.graph_algos import (
+        triangle_stats,
+    )
+
+    # K4 on {1,2,3,4} (4 triangles) minus edge (3,4) → exactly 2 triangles,
+    # plus a disjoint star 10-{11,12,13} (0 triangles).
+    k4_minus = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    df = spark.createDataFrame(k4_minus + star, ["u", "v"])
+    row = triangle_stats(df).collect()[0]
+    assert row["n_edges"] == 8
+    assert row["n_triangles"] == 2
+    # orientation bounds out-degree: the star hub has raw degree 3 but
+    # out-degree 0 (leaves have lower degree and point AT it).
+    assert row["max_out_degree"] <= 3
+
+
+def test_triangle_stats_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from platform_etl_drug_disease_spark.operators.graph_algos import (
+        triangle_stats,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(20))
+    pairs = sorted(
+        {(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3}
+    )
+    adj = set(pairs)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    df = spark.createDataFrame(pairs, ["u", "v"])
+    assert triangle_stats(df).collect()[0]["n_triangles"] == expected
+
+
+def test_regression_matches_numpy(spark):
+    import numpy as np
+
+    from platform_etl_drug_disease_spark.plans.relational import (
+        price_quantity_regression,
+    )
+
+    out = {r["l_returnflag"]: r for r in price_quantity_regression(spark, SF_SMOKE).collect()}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = np.round(grp["l_quantity"].to_numpy())
+        y = np.round(grp["l_extendedprice"].to_numpy() * 100) / 100
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(out[flag]["slope_price_per_qty"] - slope) < 1e-3
+        assert abs(out[flag]["intercept_price"] - intercept) < 1e-1
+        assert abs(out[flag]["r2"] - r * r) < 1e-4
+        assert out[flag]["n_items"] == len(grp)
+
+
+def test_source_overlap_kmv_tracks_exact(spark):
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        source_overlap_jaccard,
+    )
+
+    rows = source_overlap_jaccard(spark, SF_SMOKE).collect()
+    assert rows, "expected at least one source pair"
+    for r in rows:
+        assert 0.0 <= r["jaccard_exact"] <= 1.0
+        assert 0.0 <= r["jaccard_kmv"] <= 1.0
+        # KMV with k=128 on these set sizes: loose but honest error bound
+        assert abs(r["jaccard_kmv"] - r["jaccard_exact"]) <= 0.25
+
+
+def test_lang_mix_divergence_information_bounds(spark):
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        lang_mix_divergence,
+    )
+
+    rows = lang_mix_divergence(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # entropy of a ≤5-language mix ∈ [0, ln 5]; KL(P‖Q) ≥ 0 always
+        assert -1e-9 <= r["lang_entropy"] <= math.log(5) + 1e-9
+        assert r["kl_vs_corpus"] >= -1e-9
+
+
+def test_embedding_decontaminate_planted_probe_copy(spark):
+    from platform_etl_drug_disease_spark.plans.similarity import (
+        _DECON_TAU,
+        embedding_decontaminate,
+    )
+
+    rows = embedding_decontaminate(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_flagged"] <= r["n_corpus"]
+        assert r["max_cosine"] <= 1.0 + 1e-9
+    # threshold actually bites somewhere at this sf
+    assert any(r["n_flagged"] > 0 for r in rows)
+    assert all(
+        (r["n_flagged"] > 0) == (r["max_cosine"] >= _DECON_TAU) or r["n_flagged"] > 0
+        for r in rows
+    )
