@@ -184,3 +184,43 @@ def epoch_upsample(
     ).select(
         "*", F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)).alias("epoch_idx")
     ).drop("__n_copies")
+
+
+def weighted_group_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    strata_col: str,
+    k: int,
+    salt: str = "",
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per stratum —
+    the A-Res scheme (Efraimidis & Spirakis 2006): each row gets key
+    u^(1/w) for u ~ Uniform(0,1]; the k largest keys per stratum are an
+    exact weighted sample. Here u is a pure function of md5(salt, id), so
+    the sample is reproducible across runs, engines, and partitionings —
+    same property as :func:`group_reservoir`, with inclusion probability
+    proportional to ``weight_col``.
+
+    Keys are compared as ln(u)/w (monotone in u^(1/w), numerically safer
+    than the pow form near u→1) with the id as tiebreaker. Rows with
+    weight <= 0 or null are excluded — they have inclusion probability 0.
+    One window shuffle; per-stratum state is the k-row frontier."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # 13 hex chars = 52 bits → exact double; +1 keeps u in (0, 1] so ln(u)
+    # is finite.
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 13), 16, 10)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**52) + 1.0)
+    key = F.log(u) / wcol.cast("double")
+    w = Window.partitionBy(strata_col).orderBy(F.col(key_out).desc(), c.asc())
+    return (
+        df.where(wcol.isNotNull() & (wcol > 0))
+        .withColumn(key_out, key)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

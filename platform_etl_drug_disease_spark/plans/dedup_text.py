@@ -1359,3 +1359,50 @@ FROM est
 
 QUERIES["source_overlap_jaccard"] = source_overlap_jaccard
 ORACLES["source_overlap_jaccard"] = _SOURCE_OVERLAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# importance-weighted corpus sampling (A-Res weighted reservoir)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample, 5 docs per source, via the deterministic
+    A-Res weighted reservoir (operators/sampling.weighted_group_sample) —
+    the curation op for "sample training docs proportional to token count
+    (or quality weight), reproducibly". Inclusion is ∝ n_chars; the sample
+    is a pure function of (salt, doc_id), so re-runs, engine changes, and
+    corpus repartitioning cannot move it. One window shuffle, k-row state
+    per source."""
+    from platform_etl_drug_disease_spark.operators.sampling import (
+        weighted_group_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = weighted_group_sample(
+        docs, "doc_id", "n_chars", "source", k=5, salt="ws1"
+    )
+    return out.select(
+        "doc_id", "source", "n_chars", dround(-F.col("sample_key"), 6).alias("neg_key")
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           ln((CAST(('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) + 1.0) / (4503599627370496.0 + 1.0))
+               / CAST(n_chars AS DOUBLE) AS k
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+              AS rk
+    FROM keyed
+)
+SELECT doc_id, source, n_chars,
+       floor(-k * 1e6 + 0.5) / 1e6 AS neg_key
+FROM ranked WHERE rk <= 5
+"""
+
+QUERIES["weighted_sample_stats"] = weighted_sample_stats
+ORACLES["weighted_sample_stats"] = _WEIGHTED_SAMPLE_SQL

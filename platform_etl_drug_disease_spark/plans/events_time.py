@@ -439,6 +439,80 @@ FROM (
 """
 
 
+def order_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over orders: customers are cohorted by the
+    month of their FIRST order; each later month they order again counts
+    them active at that month offset. Emits (cohort_month, month_offset,
+    n_active, retention-vs-cohort-size) for offsets ≤ 12.
+
+    Scale shape: the cohort month comes from a min-window over the
+    customer-keyed Exchange, and the following (customer, offset) dedup
+    aggregate REUSES that partitioning (its clustering contains the window
+    key, so Catalyst plans no second Exchange for it) — the fact table
+    shuffles once. Everything after is cohort×offset-sized. The
+    self-join formulation (orders ⋈ first-orders) shuffles twice and
+    carries the fact table through both; this form carries it once."""
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    om = F.date_trunc("month", F.col("o_orderdate"))
+    w = Window.partitionBy("o_custkey")
+    df = (
+        orders.select("o_custkey", om.alias("om"))
+        .withColumn("cohort_month", F.min("om").over(w))
+        .withColumn(
+            "month_offset",
+            F.months_between(F.col("om"), F.col("cohort_month")).cast("int"),
+        )
+        .where(F.col("month_offset") <= 12)
+    )
+    active = df.groupBy("o_custkey", "cohort_month", "month_offset").agg(
+        F.lit(1).alias("_one")
+    )
+    # cohort×offset-sized — persist so the sizes branch doesn't re-run the
+    # fact-table window/dedup subtree a second time.
+    counts = active.groupBy("cohort_month", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    ).persist()
+    sizes = counts.where(F.col("month_offset") == 0).select(
+        "cohort_month", F.col("n_active").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_month").select(
+        # string month: raw timestamps land as ns-vs-us dtypes in the
+        # driver's pandas canonicalizer and hash-mismatch on equal values
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        "month_offset",
+        "n_active",
+        dround(F.col("n_active") / F.col("cohort_size").cast("double"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+_COHORT_SQL = """
+WITH df AS (
+    SELECT o_custkey,
+           date_trunc('month', o_orderdate) AS om,
+           min(date_trunc('month', o_orderdate))
+               OVER (PARTITION BY o_custkey) AS cohort_month
+    FROM orders
+), offs AS (
+    SELECT DISTINCT o_custkey, cohort_month,
+           CAST(datediff('month', cohort_month, om) AS INTEGER) AS month_offset
+    FROM df
+    WHERE datediff('month', cohort_month, om) <= 12
+), counts AS (
+    SELECT cohort_month, month_offset, CAST(count(*) AS BIGINT) AS n_active
+    FROM offs GROUP BY 1, 2
+), sizes AS (
+    SELECT cohort_month, n_active AS cohort_size FROM counts
+    WHERE month_offset = 0
+)
+SELECT strftime(c.cohort_month, '%Y-%m') AS cohort, c.month_offset, c.n_active,
+       floor(c.n_active / CAST(s.cohort_size AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS retention
+FROM counts c JOIN sizes s USING (cohort_month)
+"""
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -451,6 +525,7 @@ QUERIES = {
     "daily_event_type_pivot": daily_event_type_pivot,
     "value_anomaly_stats": value_anomaly_stats,
     "funnel_conversion": funnel_conversion,
+    "order_cohort_retention": order_cohort_retention,
 }
 
 ORACLES = {
@@ -465,4 +540,5 @@ ORACLES = {
     "daily_event_type_pivot": _DAILY_PIVOT_SQL,
     "value_anomaly_stats": _ANOMALY_SQL,
     "funnel_conversion": _FUNNEL_SQL,
+    "order_cohort_retention": _COHORT_SQL,
 }
