@@ -74,6 +74,15 @@ HEADLINE = [
     "streaming_value_anomaly",
     "embedding_drift_stats",
     "knn_eval_metrics",
+    "funnel_conversion",
+    "supplier_triangles",
+    "price_quantity_regression",
+    "source_overlap_jaccard",
+    "lang_mix_divergence",
+    "embedding_decontaminate",
+    "order_cohort_retention",
+    "weighted_sample_stats",
+    "snapshot_diff_stats",
 ]
 
 

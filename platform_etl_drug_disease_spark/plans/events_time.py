@@ -513,6 +513,101 @@ FROM counts c JOIN sizes s USING (cohort_month)
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for every
+    (prev_type → next_type) pair of consecutive events of the same user,
+    the transition count and probability. The path-analysis primitive
+    behind "what do users do after an error?".
+
+    Scale shape: one user-keyed window (lag) — the same single Exchange as
+    sessionization — then a |types|² aggregate; transition probabilities
+    divide exact counts inside the tiny post-agg table (per-prev totals via
+    a second aggregation broadcast back, never a corpus-wide window)."""
+    ev = load_table(spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type", 1).over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).persist()  # |types|²-sized; consumed by totals + the final join
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("n_prev"))
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        dround(F.col("n") / F.col("n_prev").cast("double"), 6).alias("p"),
+    )
+
+
+_TRANSITION_SQL = """
+WITH pairs AS (
+    SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+           event_type AS next_type
+    FROM events
+), counts AS (
+    SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), totals AS (
+    SELECT prev_type, SUM(n) AS n_prev FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       floor(c.n / CAST(t.n_prev AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p
+FROM counts c JOIN totals t USING (prev_type)
+"""
+
+
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED mean of the value signal: each reading is
+    weighted by how long it was current (seconds until the next event of
+    that user) — the correct average for irregularly sampled series, where
+    the plain mean over-weights bursts. Last reading of a user carries no
+    interval and is excluded.
+
+    One user-keyed window (lead) + per-user aggregate on the SAME key —
+    the aggregate reuses the window's Exchange. Weighted sums accumulate as
+    exact decimals (value·seconds), so the division is the only float op."""
+    ev = load_table(spark, sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond integers on BOTH engines — unix_timestamp() truncates to
+    # seconds while DuckDB epoch() keeps the fraction, which skews weights.
+    dt = (
+        F.unix_micros(F.lead("ts", 1).over(w)) - F.unix_micros("ts")
+    ).alias("dt")
+    rows = ev.select("user_id", "value", dt).where(F.col("dt").isNotNull())
+    d = "decimal(38,0)"
+    v6 = F.round(F.col("value") * 1e6).cast(d)  # value in 1e-6 units, exact
+    num = F.sum(v6 * F.col("dt").cast(d))
+    den = F.sum(F.col("dt").cast(d))
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        dround(
+            num.cast("double") / den.cast("double") / F.lit(1e6),
+            6,
+        ).alias("time_weighted_value"),
+    )
+
+
+_TW_VALUE_SQL = """
+WITH rows_ AS (
+    SELECT user_id, value,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       floor(CAST(SUM(CAST(round(value * 1e6) AS HUGEINT) * CAST(dt AS HUGEINT))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(dt AS HUGEINT)) AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+           AS time_weighted_value
+FROM rows_ WHERE dt IS NOT NULL
+GROUP BY user_id
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -526,6 +621,8 @@ QUERIES = {
     "value_anomaly_stats": value_anomaly_stats,
     "funnel_conversion": funnel_conversion,
     "order_cohort_retention": order_cohort_retention,
+    "event_transition_matrix": event_transition_matrix,
+    "time_weighted_value": time_weighted_value,
 }
 
 ORACLES = {
@@ -541,4 +638,6 @@ ORACLES = {
     "value_anomaly_stats": _ANOMALY_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "order_cohort_retention": _COHORT_SQL,
+    "event_transition_matrix": _TRANSITION_SQL,
+    "time_weighted_value": _TW_VALUE_SQL,
 }
