@@ -557,8 +557,49 @@ SELECT diff_status, CAST(count(*) AS BIGINT) AS n_rows,
 FROM j GROUP BY diff_status
 """
 
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct-user cube: per-DAY HLL sketches of user_id
+    are built ONCE, then week and all-time unique-user estimates come from
+    merging sketches (``hll_union_agg``) — the fact table is scanned once
+    no matter how many rollup levels are served. This is the pre-aggregated
+    sketch-table pattern that makes COUNT(DISTINCT) cubes feasible at
+    100 TB: daily sketch rows are a few KB each, and any ad-hoc date range
+    is a sketch merge, not a rescan.
+
+    Sketch estimates are engine-specific (Apache DataSketches HLL) → no SQL
+    oracle (rows-only driver check, like ``adjacency_degree_approx``);
+    accuracy vs exact distinct counts is asserted in
+    tests/test_analytics.py. Day/week/total row counts are deterministic."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "user_id"])
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .persist()  # consumed by all three rollup levels
+    )
+    day_rows = daily.select(
+        F.lit("day").alias("level"),
+        F.date_format("day", "yyyy-MM-dd").alias("period"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    weekly = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+    week_rows = weekly.select(
+        F.lit("week").alias("level"),
+        F.date_format("week", "yyyy-MM-dd").alias("period"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    total_rows = daily.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("all").alias("level"),
+        F.lit("all").alias("period"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return day_rows.unionByName(week_rows).unionByName(total_rows)
+
+
 QUERIES = {
     "cdc_upsert_stats": cdc_upsert_stats,
+    "hll_user_rollup": hll_user_rollup,
     "zorder_locality_stats": zorder_locality_stats,
     "reservoir_sample_stats": reservoir_sample_stats,
     "dq_audit": dq_audit,

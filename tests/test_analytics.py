@@ -161,3 +161,32 @@ def test_embedding_decontaminate_planted_probe_copy(spark):
         (r["n_flagged"] > 0) == (r["max_cosine"] >= _DECON_TAU) or r["n_flagged"] > 0
         for r in rows
     )
+
+
+def test_hll_rollup_accuracy_and_consistency(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from platform_etl_drug_disease_spark.plans.lakehouse import hll_user_rollup
+
+    rows = hll_user_rollup(spark, SF_SMOKE).collect()
+    by_level = {}
+    for r in rows:
+        by_level.setdefault(r["level"], {})[r["period"]] = r["est_users"]
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    exact_total = ev.select("user_id").distinct().count()
+    est_total = by_level["all"]["all"]
+    assert abs(est_total - exact_total) / exact_total < 0.05
+    exact_daily = {
+        r["period"]: r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("period")
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(by_level["day"]) == set(exact_daily)
+    for p, est in by_level["day"].items():
+        assert abs(est - exact_daily[p]) / max(exact_daily[p], 1) < 0.1
+    # merged week estimates can never fall below their largest member day
+    # (HLL union is monotone)
+    assert max(by_level["week"].values()) >= max(by_level["day"].values()) * 0.95
