@@ -1245,10 +1245,23 @@ _KMV_K = 128
 
 
 def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"])
+    # partition-follows-compute: the shingling map stage must not run on
+    # however few splits the file layout gives (1 partition = 1 core; the
+    # sf≈1 probe measured 173 s single-split vs seconds spread).
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]),
+        "doc_id",
+    )
     sh = tx.with_shingles(docs, "text", 3)
+    # explode_outer + null filter, not plain explode: InferFiltersFromGenerate
+    # would sink a size(sh) > 0 constraint below the repartition exchange and
+    # re-run shingling on the unsplit scan core (the ec1e5e0 pathology —
+    # measured 22 s → 2 s here). Null rows are short docs with no shingles.
     src_sh = (
-        sh.select("source", F.explode("sh").alias("shingle")).distinct().persist()
+        sh.select("source", F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+        .persist()
     )
     sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (

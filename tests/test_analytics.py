@@ -190,3 +190,27 @@ def test_hll_rollup_accuracy_and_consistency(spark):
     # merged week estimates can never fall below their largest member day
     # (HLL union is monotone)
     assert max(by_level["week"].values()) >= max(by_level["day"].values()) * 0.95
+
+
+def test_overlap_and_triangle_plans_stay_scale_safe(spark):
+    """Regression pins for the two sf≈1 fixes (PERF.md round-2
+    continuation): no shingle recomputation sunk into a Filter below the
+    overlap query's exchange, and the triangle graph support-thresholded
+    before orientation (the raw co-supplier graph is near-complete)."""
+    from platform_etl_drug_disease_spark.plan_lint import filter_conditions
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        source_overlap_jaccard,
+    )
+    from platform_etl_drug_disease_spark.plans.graph import supplier_triangles
+
+    for cond in filter_conditions(source_overlap_jaccard(spark, SF_SMOKE)):
+        assert "array_distinct" not in cond, cond
+        assert "transform(sequence" not in cond, cond
+
+    plan = (
+        supplier_triangles(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "support" in plan and ">= 5" in plan
