@@ -152,3 +152,56 @@ def triangle_stats(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         )
         .crossJoin(triangles.agg(F.count(F.lit(1)).alias("n_triangles")))
     )
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int,
+    n_rounds: int,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """``n_rounds`` of synchronous k-core peeling over an undirected graph
+    (edges given once as u < v pairs): each round drops every node whose
+    CURRENT degree is below k, plus its incident edges. With enough rounds
+    this converges to the exact k-core; a fixed round count keeps the whole
+    computation a static DAG that an external engine can replay CTE-for-CTE
+    (same fixed-round contract as :func:`pagerank`).
+
+    Returns one row per round: (round, n_nodes, n_edges) of the surviving
+    subgraph — equal consecutive rows mean the peeling converged (the
+    exact k-core was reached). Each round is one degree aggregation + two
+    anti-joins; the frontier shrinks monotonically, so per-round cost
+    falls. Rounds-to-converge is bounded by the peeling depth (degeneracy
+    ordering length), small on real graphs."""
+    e = pairs.select(F.col(u).alias("u"), F.col(v).alias("v")).persist()
+    stats = []
+    for r in range(1, n_rounds + 1):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        bad = deg.where(F.col("deg") < k).select("node")
+        new_e = (
+            e.join(bad.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .persist()
+        )
+        nodes_after = (
+            new_e.select(F.col("u").alias("node"))
+            .unionAll(new_e.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        stats.append(
+            nodes_after.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+                new_e.agg(F.count(F.lit(1)).alias("n_edges"))
+            ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        )
+        e = new_e
+    out = stats[0]
+    for st in stats[1:]:
+        out = out.unionByName(st)
+    return out

@@ -275,6 +275,37 @@ LIMIT 20
 """
 
 
+def _co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-supplier edges (u < v, ≥5 shared orders) —
+    shared by the triangle and k-core queries; see supplier_triangles for
+    why the threshold is mandatory on a co-occurrence graph."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    order_supp = li.distinct()
+    return (
+        order_supp.alias("a")
+        .join(order_supp.alias("b"), "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= 5)
+        .select("u", "v")
+    )
+
+
+_PAIR_CTE = """
+order_supp AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), pair AS (
+    SELECT a.l_suppkey AS u, b.l_suppkey AS v
+    FROM order_supp a JOIN order_supp b USING (l_orderkey)
+    WHERE a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2 HAVING count(*) >= 5
+)
+"""
+
+
 def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-supplier graph (suppliers sharing an order
     form an edge) using DEGREE-ORDERED ORIENTATION — the standard
@@ -300,35 +331,15 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each triangle is counted exactly once (its vertices appear in
     (deg, id)-sorted order).
     """
-    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    order_supp = li.distinct()
-    pair = (
-        order_supp.alias("a")
-        .join(order_supp.alias("b"), "l_orderkey")
-        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
-        .groupBy(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= 5)
-        .select("u", "v")
-    )
     from platform_etl_drug_disease_spark.operators.graph_algos import (
         triangle_stats,
     )
 
-    return triangle_stats(pair)
+    return triangle_stats(_co_supplier_pairs(spark, sf_dir))
 
 
-_TRIANGLE_SQL = """
-WITH order_supp AS (
-    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-), pair AS (
-    SELECT a.l_suppkey AS u, b.l_suppkey AS v
-    FROM order_supp a JOIN order_supp b USING (l_orderkey)
-    WHERE a.l_suppkey < b.l_suppkey
-    GROUP BY 1, 2 HAVING count(*) >= 5
-), deg AS (
+_TRIANGLE_SQL = "WITH " + _PAIR_CTE + """
+, deg AS (
     SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
         SELECT u AS node FROM pair UNION ALL SELECT v FROM pair
     ) GROUP BY node
@@ -356,6 +367,58 @@ FROM tri
 """
 
 
+
+_KCORE_K, _KCORE_ROUNDS = 60, 4
+
+
+def supplier_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous k-core peeling (k=60, 4 rounds) of the support-
+    thresholded co-supplier graph — the cohesive-subgraph extractor used to
+    find the stable recurring-partner core. One row per round with the
+    surviving (nodes, edges); equal consecutive rows = converged to the
+    exact 60-core. Fixed rounds keep the whole job a static DAG the oracle
+    replays CTE-for-CTE (same contract as trade_pagerank)."""
+    from platform_etl_drug_disease_spark.operators.graph_algos import kcore_peel
+
+    return kcore_peel(
+        _co_supplier_pairs(spark, sf_dir), k=_KCORE_K, n_rounds=_KCORE_ROUNDS
+    )
+
+
+def _kcore_sql() -> str:
+    # every per-round CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and
+    # a 4-round chain of NOT EXISTS over inlined predecessors re-expands the
+    # whole peeling history per reference — measured as a >100 s hang at
+    # sf0.01 vs instant when materialized.
+    rounds = []
+    prev = "pair"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+d{r} AS MATERIALIZED (
+    SELECT node, count(*) AS deg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}
+    ) GROUP BY node
+),
+bad{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg < {_KCORE_K}),
+e{r} AS MATERIALIZED (
+    SELECT u, v FROM {prev} e
+    WHERE NOT EXISTS (SELECT 1 FROM bad{r} b WHERE b.node = e.u)
+      AND NOT EXISTS (SELECT 1 FROM bad{r} b WHERE b.node = e.v)
+),
+s{r} AS (
+    SELECT {r} AS round,
+           (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (
+                SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+            )) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges
+)""")
+        prev = f"e{r}"
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return "WITH " + _PAIR_CTE + "," + ",".join(rounds) + "\n" + unions
+
+
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
@@ -364,6 +427,7 @@ QUERIES = {
     "two_hop_reach": two_hop_reach,
     "trade_pagerank": trade_pagerank,
     "supplier_triangles": supplier_triangles,
+    "supplier_kcore": supplier_kcore,
 }
 
 ORACLES = {
@@ -373,5 +437,6 @@ ORACLES = {
     "two_hop_reach": _TWO_HOP_SQL,
     "trade_pagerank": _pagerank_sql(),
     "supplier_triangles": _TRIANGLE_SQL,
+    "supplier_kcore": _kcore_sql(),
     # adjacency_degree_approx: sketch-based, rows-only by design
 }

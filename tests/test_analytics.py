@@ -214,3 +214,22 @@ def test_overlap_and_triangle_plans_stay_scale_safe(spark):
         .toString()
     )
     assert "support" in plan and ">= 5" in plan
+
+
+def test_kcore_peel_planted_clique_and_tail(spark):
+    import itertools
+
+    from platform_etl_drug_disease_spark.operators.graph_algos import kcore_peel
+
+    # K5 on {0..4} (3-core) plus a pendant chain 4-10-11-12 that peeling
+    # must strip: all chain nodes have degree < 3 in round 1.
+    k5 = list(itertools.combinations(range(5), 2))
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(k5 + chain, ["u", "v"])
+    rows = {r["round"]: r for r in kcore_peel(df, k=3, n_rounds=3).collect()}
+    assert rows[1]["n_nodes"] == 5 and rows[1]["n_edges"] == 10
+    # converged: later rounds repeat
+    assert rows[2]["n_nodes"] == 5 and rows[3]["n_edges"] == 10
+    # higher k than any degree → everything peels to empty
+    empty = {r["round"]: r for r in kcore_peel(df, k=10, n_rounds=2).collect()}
+    assert empty[2]["n_nodes"] == 0 and empty[2]["n_edges"] == 0
