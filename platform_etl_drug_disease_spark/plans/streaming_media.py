@@ -414,3 +414,75 @@ def streaming_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_value_anomaly"] = streaming_value_anomaly
 ORACLES["streaming_value_anomaly"] = _ANOMALY_BATCH_SQL
+
+
+def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming twin of the batch ``funnel_conversion``: per-user
+    monotone funnel flags via applyInPandasWithState
+    (streaming/windows.py:funnel_flags_stream), rolled up to the same
+    3-stage output. Flags are monotone, so max() over every batch's
+    emissions recovers the final per-user verdict. Same oracle as batch —
+    stream == batch == DuckDB."""
+    from platform_etl_drug_disease_spark.plans._util import dround
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        funnel_flags_stream,
+    )
+
+    stream = _event_stream(spark, sf_dir).where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    flags = run_to_memory_sink(
+        funnel_flags_stream(stream), "cat_stream_funnel", output_mode="append"
+    )
+    per_user = flags.groupBy("user_id").agg(
+        F.max("reached_view").alias("r_view"),
+        F.max("reached_click").alias("r_click"),
+        F.max("reached_purchase").alias("r_purchase"),
+    )
+    totals = per_user.agg(
+        F.count(F.when(F.col("r_view"), 1)).alias("n_view"),
+        F.count(F.when(F.col("r_click"), 1)).alias("n_click"),
+        F.count(F.when(F.col("r_purchase"), 1)).alias("n_purchase"),
+    )
+    stages = totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("view").alias("stage_name"),
+                    F.col("n_view").alias("users"),
+                    F.col("n_view").alias("prev_users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("click").alias("stage_name"),
+                    F.col("n_click").alias("users"),
+                    F.col("n_view").alias("prev_users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"),
+                    F.lit("purchase").alias("stage_name"),
+                    F.col("n_purchase").alias("users"),
+                    F.col("n_click").alias("prev_users"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        "s.stage",
+        "s.stage_name",
+        "s.users",
+        dround(
+            F.col("s.users")
+            / F.nullif(F.col("s.prev_users").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conversion"),
+    )
+
+
+from platform_etl_drug_disease_spark.plans.events_time import (  # noqa: E402
+    _FUNNEL_SQL as _FUNNEL_BATCH_SQL,
+)
+
+QUERIES["streaming_funnel_conversion"] = streaming_funnel_conversion
+ORACLES["streaming_funnel_conversion"] = _FUNNEL_BATCH_SQL

@@ -302,3 +302,72 @@ def rolling_zscore_stream(stream: DataFrame, window_rows: int = 5) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUT_SCHEMA = (
+    "user_id bigint, reached_view boolean, reached_click boolean, "
+    "reached_purchase boolean"
+)
+
+
+def funnel_flags_stream(stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators/windows.py:funnel_flags for the
+    view→click→purchase funnel: per-user state is three monotone booleans,
+    updated by replaying each micro-batch's rows in (ts, event_id) order —
+    a click qualifies only if a view was seen STRICTLY earlier, a purchase
+    only after a qualifying click, exactly the batch window semantics.
+
+    After every batch the user's CURRENT flags are emitted (append mode);
+    because the flags are monotone (never revert), the reader recovers the
+    final per-user verdict with a plain max() aggregate over all emissions
+    — no latest-wins bookkeeping needed. Same per-key ordered-arrival
+    contract as rolling_zscore_stream; state is 3 booleans per user."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            r_view, r_click, r_purchase = state.get
+        else:
+            r_view = r_click = r_purchase = False
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((r_view, r_click, r_purchase))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "reached_view": pd.Series([], dtype="bool"),
+                    "reached_click": pd.Series([], dtype="bool"),
+                    "reached_purchase": pd.Series([], dtype="bool"),
+                }
+            )
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for r in rows.itertuples(index=False):
+            t = r.event_type
+            if t == "view":
+                r_view = True
+            elif t == "click":
+                if r_view:
+                    r_click = True
+            elif t == "purchase":
+                if r_click:
+                    r_purchase = True
+        state.update((r_view, r_click, r_purchase))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "reached_view": [r_view],
+                "reached_click": [r_click],
+                "reached_purchase": [r_purchase],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType="v boolean, c boolean, p boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -267,3 +267,78 @@ def test_streaming_zscore_equals_batch_per_event(spark):
              and not (got[k] is None and want[k] is None)]
     assert not diffs, f"{len(diffs)} mismatched events, e.g. {diffs[:3]}"
     assert any(z is not None for z in want.values())
+
+
+def test_streaming_funnel_equals_batch_per_user(spark, tmp_path):
+    """Streaming funnel flags must equal the batch funnel_flags verdicts
+    per user, with state carried across micro-batches (maxFilesPerTrigger
+    forces several) and monotone-flag recovery via max().
+
+    The funnel parity contract requires per-key TIME-ORDERED arrival; the
+    file source admits files by modification time, so this fixture pins
+    each file's mtime to its event order (the shared events_dir fixture
+    leaves all mtimes equal → arbitrary batch order)."""
+    import os
+    import time as _time
+
+    from platform_etl_drug_disease_spark.operators.windows import funnel_flags
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        funnel_flags_stream,
+    )
+
+    d = tmp_path / "funnelstream"
+    d.mkdir()
+    base = _time.time() - 1000
+    for i, (eid, ts, uid, etype, val) in enumerate(EVENTS):
+        f = d / f"part-{i}.json"
+        f.write_text(
+            json.dumps(
+                {
+                    "event_id": eid,
+                    "ts": ts.replace("T", " "),
+                    "user_id": uid,
+                    "event_type": etype,
+                    "value": val,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+        os.utime(f, (base + i * 10, base + i * 10))
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=2)
+    got_rows = run_to_memory_sink(
+        funnel_flags_stream(stream), "t_stream_funnel", output_mode="append"
+    )
+    got = {
+        r["user_id"]: (r["v"], r["c"], r["p"])
+        for r in got_rows.groupBy("user_id")
+        .agg(
+            F.max("reached_view").alias("v"),
+            F.max("reached_click").alias("c"),
+            F.max("reached_purchase").alias("p"),
+        )
+        .collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(eid, ts.replace("T", " "), uid, etype) for eid, ts, uid, etype, _ in EVENTS],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = {
+        r["user_id"]: (
+            r["reached_view"],
+            r["reached_click"],
+            r["reached_purchase"],
+        )
+        for r in funnel_flags(
+            batch_df,
+            "user_id",
+            ["ts", "event_id"],
+            [
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+        ).collect()
+    }
+    assert got == want
