@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators import text as tx
 from platform_etl_drug_disease_spark.plans._util import dround
-from platform_etl_drug_disease_spark.schemas import load_table
+from platform_etl_drug_disease_spark.schemas import (
+    ensure_compute_partitions,
+    load_table,
+)
 
 _TOKS_CTE = r"""
 WITH toks AS (
@@ -343,3 +346,88 @@ FROM e GROUP BY source
 
 QUERIES["lang_mix_divergence"] = lang_mix_divergence
 ORACLES["lang_mix_divergence"] = _LANG_MIX_SQL
+
+
+def quality_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized quality statistics: clip each document's
+    quality score at the source's 5th/95th percentile, then compare the raw
+    and winsorized means — the robust-mean step curation applies before
+    thresholding on a per-source quality signal (a handful of spam or
+    truncated docs should not move a source's score budget).
+
+    Scale shape: percentile bounds come from ONE per-source percent_rank
+    window (per-stratum sort, spillable); the bounds table is |sources|
+    rows → broadcast back, and the means are decimal-exact sums. For
+    strata too large to sort, the bounded-state path is approx_percentile
+    (see price_tdigest_quantiles) with identical downstream clipping."""
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]),
+        "doc_id",
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        tx.quality_score("text").alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    bounds = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("pr") >= 0.05, F.col("q"))).alias("lo"),
+        F.max(F.when(F.col("pr") <= 0.95, F.col("q"))).alias("hi"),
+    )
+    clipped = ranked.join(F.broadcast(bounds), "source").withColumn(
+        "qw", F.least(F.greatest(F.col("q"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dround(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_raw"),
+        dround(
+            F.sum(F.col("qw").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_winsor"),
+        dround(F.max("lo"), 6).alias("p05"),
+        dround(F.max("hi"), 6).alias("p95"),
+    )
+
+
+_WINSOR_SQL = r"""
+WITH tq AS (
+    SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), scored AS (
+    SELECT doc_id, source,
+           round(0.4 * least(len(t) / 64.0, 1.0)
+               + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+               + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','of','and','to','in','is','it','for'], x)))
+                     * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6) AS q
+    FROM tq
+), ranked AS (
+    SELECT *, percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+    FROM scored
+), bounds AS (
+    SELECT source,
+           min(CASE WHEN pr >= 0.05 THEN q END) AS lo,
+           max(CASE WHEN pr <= 0.95 THEN q END) AS hi
+    FROM ranked GROUP BY source
+)
+SELECT r.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(CAST(SUM(CAST(r.q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             * 1e6 + 0.5) / 1e6 AS mean_raw,
+       floor(CAST(SUM(CAST(least(greatest(r.q, b.lo), b.hi) AS DECIMAL(18,6)))
+                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS mean_winsor,
+       floor(max(b.lo) * 1e6 + 0.5) / 1e6 AS p05,
+       floor(max(b.hi) * 1e6 + 0.5) / 1e6 AS p95
+FROM ranked r JOIN bounds b USING (source)
+GROUP BY r.source
+"""
+
+
+QUERIES["quality_winsor_stats"] = quality_winsor_stats
+ORACLES["quality_winsor_stats"] = _WINSOR_SQL
