@@ -114,6 +114,7 @@ def funnel_flags(
     user_col: str,
     order_by: list[str | Column],
     steps: list[tuple[str, Column]],
+    time_col: str | None = None,
 ) -> DataFrame:
     """Strict ordered-funnel evaluation: one row per ``user_col`` with a
     boolean ``reached_<step>`` per funnel stage. A stage-i event qualifies
@@ -141,9 +142,13 @@ def funnel_flags(
         col = f"__q_{name}"
         out = out.withColumn(col, q)
         flags.append(col)
-    return out.groupBy(user_col).agg(
-        *[
-            F.max(c).alias(f"reached_{n}")
+    aggs = [
+        F.max(c).alias(f"reached_{n}") for c, (n, _) in zip(flags, steps)
+    ]
+    if time_col is not None:
+        # first QUALIFYING event per stage — the input to time-to-convert
+        aggs += [
+            F.min(F.when(F.col(c), F.col(time_col))).alias(f"first_{n}_at")
             for c, (n, _) in zip(flags, steps)
         ]
-    )
+    return out.groupBy(user_col).agg(*aggs)

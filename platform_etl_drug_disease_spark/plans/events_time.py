@@ -608,6 +608,99 @@ GROUP BY user_id
 
 
 
+
+def funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert through the strict funnel: among users whose
+    purchase QUALIFIED (view → click → purchase in order), the latency
+    from first view to first qualifying purchase. One row: converter
+    count, mean (microsecond-exact decimal sum), min/max, and the exact
+    median by sorted-array indexing (no interpolation — engine-identical).
+
+    Scale note: per-user reduction happens first, so the latency table is
+    one row per converter. The median's single collect_list group is the
+    exact-order-statistic form (same contract as price_quantiles_per_flag);
+    for converter populations too large for one group's state, swap in
+    approx_percentile (t-digest) — the surrounding plan is unchanged."""
+    from platform_etl_drug_disease_spark.operators.windows import funnel_flags
+
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    per_user = funnel_flags(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+        time_col="ts",
+    )
+    lat = per_user.where(F.col("reached_purchase")).select(
+        (
+            F.unix_micros("first_purchase_at") - F.unix_micros("first_view_at")
+        ).alias("us")
+    )
+    hours = F.lit(3600.0 * 1e6)
+    arr = F.sort_array(F.collect_list("us"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        dround(
+            F.sum(F.col("us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / hours,
+            6,
+        ).alias("mean_hours"),
+        dround(F.min("us") / hours, 6).alias("min_hours"),
+        dround(F.max("us") / hours, 6).alias("max_hours"),
+        dround(
+            F.element_at(arr, ((F.size(arr) + 1) / 2).cast("int")) / hours, 6
+        ).alias("median_hours"),
+    )
+
+
+_FUNNEL_LATENCY_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), f1 AS (
+    SELECT *,
+           (event_type = 'click' AND
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER fr > 0)
+               AS q_click
+    FROM ev
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), f2 AS (
+    SELECT *,
+           (event_type = 'purchase' AND
+            SUM(CASE WHEN q_click THEN 1 ELSE 0 END) OVER fr > 0) AS q_purchase
+    FROM f1
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), per_user AS (
+    SELECT user_id,
+           max(q_purchase) AS r_purchase,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS first_view_at,
+           min(CASE WHEN q_purchase THEN ts END) AS first_purchase_at
+    FROM f2 GROUP BY user_id
+), lat AS (
+    SELECT epoch_us(first_purchase_at) - epoch_us(first_view_at) AS us
+    FROM per_user WHERE r_purchase
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converters,
+       floor(CAST(SUM(CAST(us AS HUGEINT)) AS DOUBLE) / count(*)
+             / (3600.0 * 1e6) * 1e6 + 0.5) / 1e6 AS mean_hours,
+       floor(min(us) / (3600.0 * 1e6) * 1e6 + 0.5) / 1e6 AS min_hours,
+       floor(max(us) / (3600.0 * 1e6) * 1e6 + 0.5) / 1e6 AS max_hours,
+       floor(list_sort(list(us))[CAST(floor((count(*) + 1) / 2) AS BIGINT)]
+             / (3600.0 * 1e6) * 1e6 + 0.5) / 1e6 AS median_hours
+FROM lat
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -623,6 +716,7 @@ QUERIES = {
     "order_cohort_retention": order_cohort_retention,
     "event_transition_matrix": event_transition_matrix,
     "time_weighted_value": time_weighted_value,
+    "funnel_latency_stats": funnel_latency_stats,
 }
 
 ORACLES = {
@@ -640,4 +734,5 @@ ORACLES = {
     "order_cohort_retention": _COHORT_SQL,
     "event_transition_matrix": _TRANSITION_SQL,
     "time_weighted_value": _TW_VALUE_SQL,
+    "funnel_latency_stats": _FUNNEL_LATENCY_SQL,
 }

@@ -233,3 +233,31 @@ def test_kcore_peel_planted_clique_and_tail(spark):
     # higher k than any degree → everything peels to empty
     empty = {r["round"]: r for r in kcore_peel(df, k=10, n_rounds=2).collect()}
     assert empty[2]["n_nodes"] == 0 and empty[2]["n_edges"] == 0
+
+
+def test_funnel_flags_first_reach_times(spark):
+    from platform_etl_drug_disease_spark.operators.windows import funnel_flags
+
+    rows = (
+        _ev(1, ["view", "click", "purchase"])
+        + _ev(2, ["purchase", "view", "click", "purchase"])  # 2nd purchase qualifies
+    )
+    df = spark.createDataFrame(rows)
+    out = {
+        r["user_id"]: r
+        for r in funnel_flags(
+            df,
+            "user_id",
+            ["ts", "event_id"],
+            [
+                ("view", F.col("event_type") == "view"),
+                ("click", F.col("event_type") == "click"),
+                ("purchase", F.col("event_type") == "purchase"),
+            ],
+            time_col="ts",
+        ).collect()
+    }
+    # user 1: first qualifying purchase at ts=2 (third event)
+    assert out[1]["first_view_at"] == 0.0 and out[1]["first_purchase_at"] == 2.0
+    # user 2: the ts=0 purchase does NOT qualify; the ts=3 one does
+    assert out[2]["first_purchase_at"] == 3.0 and out[2]["reached_purchase"]
