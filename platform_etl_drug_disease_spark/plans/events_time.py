@@ -701,6 +701,69 @@ FROM lat
 
 
 
+
+def value_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user drift range of the value signal: the running sum of
+    deviations from the GLOBAL mean, tracked per user in event order; the
+    spread max(R)-min(R) is the CUSUM-style drift statistic (a user whose
+    values sit persistently above/below the corpus mean accumulates a wide
+    range; noise cancels). Everything stays EXACT integer arithmetic until
+    one final division: deviations are computed as n·v − S (value scaled
+    1e-6, n and S the global count/sum), so the running sums are exact
+    decimals in both engines.
+
+    One broadcast of the 1-row global total + one user-keyed window; the
+    per-user aggregate reuses the window partitioning."""
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    )
+    d = "decimal(38,0)"
+    v6 = F.round(F.col("value") * 1e6).cast(d)
+    rows = ev.select("user_id", "ts", "event_id", v6.alias("v6"))
+    totals = rows.agg(
+        F.count(F.lit(1)).cast(d).alias("n"), F.sum("v6").alias("s6")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.col("n") * F.col("v6") - F.col("s6")).over(w)
+    scored = rows.crossJoin(F.broadcast(totals)).withColumn("run", run)
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(
+            (F.max("run") - F.min("run")).cast("double")
+            / (F.max("n").cast("double") * 1e6),
+            6,
+        ).alias("drift_range"),
+    )
+
+
+_DRIFT_RANGE_SQL = """
+WITH rows_ AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 1e6) AS HUGEINT) AS v6
+    FROM events
+), totals AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n, SUM(v6) AS s6 FROM rows_
+), scored AS (
+    SELECT user_id,
+           SUM(n * v6 - s6) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+           n
+    FROM rows_ CROSS JOIN totals
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       floor(CAST(max(run) - min(run) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * 1e6) * 1e6 + 0.5) / 1e6
+           AS drift_range
+FROM scored GROUP BY user_id
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -717,6 +780,7 @@ QUERIES = {
     "event_transition_matrix": event_transition_matrix,
     "time_weighted_value": time_weighted_value,
     "funnel_latency_stats": funnel_latency_stats,
+    "value_drift_stats": value_drift_stats,
 }
 
 ORACLES = {
@@ -735,4 +799,5 @@ ORACLES = {
     "event_transition_matrix": _TRANSITION_SQL,
     "time_weighted_value": _TW_VALUE_SQL,
     "funnel_latency_stats": _FUNNEL_LATENCY_SQL,
+    "value_drift_stats": _DRIFT_RANGE_SQL,
 }

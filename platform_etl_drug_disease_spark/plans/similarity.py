@@ -967,3 +967,105 @@ FROM scored GROUP BY label
 
 QUERIES["embedding_decontaminate"] = embedding_decontaminate
 ORACLES["embedding_decontaminate"] = _DECON_SQL
+
+# ---------------------------------------------------------------------------
+# nearest-centroid classifier evaluation (label centroids → confusion matrix)
+# ---------------------------------------------------------------------------
+
+
+def centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier evaluated in-place: per-label
+    centroids from exact-decimal per-dimension means, every vector assigned
+    to its max-cosine centroid (ties → smaller label), reported as the
+    confusion matrix (label, pred_label, n). The quick label-quality /
+    separability audit for an embedding table.
+
+    Scale shape: centroid fit is one posexplode + (label, dim) aggregate —
+    wire volume labels×dims×partitions, independent of n. Assignment is
+    ZERO-shuffle: the |labels| centroids collapse into one broadcast array
+    row and the argmax runs as a JVM fold per vector (struct max over
+    (rounded cosine, −label) — deterministic in both engines). The
+    confusion rollup is a |labels|² aggregate."""
+    from platform_etl_drug_disease_spark.operators.similarity import (
+        with_unit_vec,
+        dot,
+    )
+
+    emb = _load_emb(spark, sf_dir).persist()
+    base = emb.select("vec_id", "label", as_double("embedding").alias("v"))
+    cent = (
+        base.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("i"), F.col("m")))
+                ),
+                lambda s: s["m"],
+            ).alias("cv")
+        )
+    )
+    centn = with_unit_vec(cent, "cv", "cnv").select(
+        F.col("label").alias("cent_label"), "cnv"
+    )
+    cent_row = centn.agg(
+        F.collect_list(F.struct("cent_label", "cnv")).alias("cents")
+    )
+    vecs = with_unit_vec(base, "v", "nv").select("vec_id", "label", "nv")
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(dot(F.col("nv"), c["cnv"]), 6).alias("cos"),
+                (-c["cent_label"]).alias("negl"),
+                c["cent_label"].alias("pl"),
+            ),
+        )
+    )
+    assigned = vecs.crossJoin(F.broadcast(cent_row)).select(
+        "label", best["pl"].alias("pred_label")
+    )
+    return assigned.groupBy("label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_CENTROID_EVAL_SQL = f"""
+WITH {_UNIT_CTES},
+dm AS (
+    SELECT label, i, CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE)
+                     / count(*) AS m
+    FROM e, range(1, {_DIM} + 1) AS r(i)
+    GROUP BY label, i
+),
+cent AS (
+    SELECT label AS cent_label, list(m ORDER BY i) AS cv FROM dm GROUP BY label
+),
+centn AS (
+    SELECT cent_label,
+           list_transform(v, x -> x / nullif({_NORM}, 0.0)) AS cnv
+    FROM (SELECT cent_label, cv AS v FROM cent)
+),
+cents AS (SELECT list(struct_pack(cent_label := cent_label, cnv := cnv)) AS cs
+          FROM centn),
+assigned AS (
+    SELECT n.label,
+           list_max(list_transform(cs, c -> struct_pack(
+               cos := {_NDOT.format(a="n.nv", b="c.cnv")},
+               negl := -c.cent_label,
+               pl := c.cent_label))).pl AS pred_label
+    FROM n CROSS JOIN cents
+)
+SELECT label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM assigned GROUP BY label, pred_label
+"""
+
+QUERIES["centroid_classifier_eval"] = centroid_classifier_eval
+ORACLES["centroid_classifier_eval"] = _CENTROID_EVAL_SQL
