@@ -83,6 +83,15 @@ HEADLINE = [
     "order_cohort_retention",
     "weighted_sample_stats",
     "snapshot_diff_stats",
+    "supplier_kcore",
+    "streaming_funnel_conversion",
+    "quality_winsor_stats",
+    "event_transition_matrix",
+    "time_weighted_value",
+    "hll_user_rollup",
+    "funnel_latency_stats",
+    "value_drift_stats",
+    "centroid_classifier_eval",
 ]
 
 

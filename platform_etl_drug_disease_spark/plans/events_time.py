@@ -764,6 +764,80 @@ FROM scored GROUP BY user_id
 
 
 
+
+def seasonal_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: each (type, hour) cell
+    gets its event count, mean value, and a z-score of the hour's mean
+    against the type's overall distribution — the baseline table used to
+    judge "is 3am traffic abnormal for clicks?". All moments are exact
+    integer sums (value scaled 1e-6); the only floats are the final
+    divisions and one sqrt, identical in both engines.
+
+    One map-side-combinable aggregate over the fact table; the z-scores are
+    computed on the 120-row profile with a broadcast of the 5-row per-type
+    moment table."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    d = "decimal(38,0)"
+    v6 = F.round(F.col("value") * 1e6).cast(d)
+    cells = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour"),
+            v6.alias("v6"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).cast(d).alias("n"),
+            F.sum("v6").alias("s"),
+            F.sum(F.col("v6") * F.col("v6")).alias("ss"),
+        )
+    ).persist()  # 120 rows; consumed by the per-type rollup and the join
+    types = cells.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts_"), F.sum("ss").alias("tss")
+    )
+    j = cells.join(F.broadcast(types), "event_type")
+    mean_h = F.col("s").cast("double") / F.col("n").cast("double") / 1e6
+    mean_t = F.col("ts_").cast("double") / F.col("tn").cast("double") / 1e6
+    var_t = (
+        (F.col("tn") * F.col("tss") - F.col("ts_") * F.col("ts_")).cast("double")
+        / (F.col("tn") * F.col("tn")).cast("double")
+        / 1e12
+    )
+    return j.select(
+        "event_type",
+        "hour",
+        F.col("n").cast("bigint").alias("n_events"),
+        dround(mean_h, 6).alias("mean_value"),
+        dround((mean_h - mean_t) / F.sqrt(var_t), 6).alias("z_vs_type"),
+    )
+
+
+_SEASONAL_SQL = """
+WITH cells AS (
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour,
+           CAST(count(*) AS HUGEINT) AS n,
+           SUM(CAST(round(value * 1e6) AS HUGEINT)) AS s,
+           SUM(CAST(round(value * 1e6) AS HUGEINT)
+               * CAST(round(value * 1e6) AS HUGEINT)) AS ss
+    FROM events GROUP BY 1, 2
+), types AS (
+    SELECT event_type, SUM(n) AS tn, SUM(s) AS ts_, SUM(ss) AS tss
+    FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.hour,
+       CAST(c.n AS BIGINT) AS n_events,
+       floor(CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+           AS mean_value,
+       floor((CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE) / 1e6
+              - CAST(t.ts_ AS DOUBLE) / CAST(t.tn AS DOUBLE) / 1e6)
+             / sqrt(CAST(t.tn * t.tss - t.ts_ * t.ts_ AS DOUBLE)
+                    / CAST(t.tn * t.tn AS DOUBLE) / 1e12)
+             * 1e6 + 0.5) / 1e6 AS z_vs_type
+FROM cells c JOIN types t USING (event_type)
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -781,6 +855,7 @@ QUERIES = {
     "time_weighted_value": time_weighted_value,
     "funnel_latency_stats": funnel_latency_stats,
     "value_drift_stats": value_drift_stats,
+    "seasonal_hour_profile": seasonal_hour_profile,
 }
 
 ORACLES = {
@@ -800,4 +875,5 @@ ORACLES = {
     "time_weighted_value": _TW_VALUE_SQL,
     "funnel_latency_stats": _FUNNEL_LATENCY_SQL,
     "value_drift_stats": _DRIFT_RANGE_SQL,
+    "seasonal_hour_profile": _SEASONAL_SQL,
 }
