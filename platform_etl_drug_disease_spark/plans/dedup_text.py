@@ -1419,3 +1419,104 @@ FROM ranked WHERE rk <= 5
 
 QUERIES["weighted_sample_stats"] = weighted_sample_stats
 ORACLES["weighted_sample_stats"] = _WEIGHTED_SAMPLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# spelling-variant detection: deletion-neighborhood blocking + exact verify
+# ---------------------------------------------------------------------------
+
+
+def word_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 word pairs in the corpus vocabulary via FastSS
+    deletion-neighborhood blocking (Bocek et al. 2007): each word's key set
+    is itself plus every single-character deletion; two words at distance 1
+    MUST share a key, so candidates come from an equi-join on keys — never
+    the O(|V|²) cross join — and the native ``levenshtein`` verifies
+    exactly. Candidate volume is Σ|w| per word (linear in vocabulary text),
+    the right shape for million-word vocabularies at 100 TB.
+
+    The fixture vocabulary is a clean 31-word list with no natural typos,
+    so deterministic typos are PLANTED (3rd character dropped from every
+    word of length ≥ 5, tagged df=0) — the same planted-ground-truth
+    pattern as ``embedding_near_dup``; the oracle reproduces the plant."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    words = (
+        docs.select(F.explode_outer(tx.tokens("text")).alias("w"))
+        .where(F.col("w").isNotNull() & (F.length("w") > 0))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    ).persist()  # consumed by plant + union + final annotation joins
+    planted = (
+        words.where(F.length("w") >= 5)
+        .select(
+            F.concat(
+                F.substring("w", 1, 2), F.expr("substring(w, 4, length(w))")
+            ).alias("w")
+        )
+        .distinct()
+        .join(words, "w", "left_anti")  # don't re-add real words
+        .select("w", F.lit(0).alias("df"))
+    )
+    vocab = words.unionByName(planted).persist()
+    keys = vocab.select(
+        "w",
+        F.explode(
+            F.concat(
+                F.array(F.col("w")),
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> "
+                    "concat(substring(w, 1, i-1), substring(w, i+1, length(w))))"
+                ),
+            )
+        ).alias("k"),
+    ).distinct()
+    cand = (
+        keys.alias("a")
+        .join(keys.alias("b"), "k")
+        .where(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("word_a"), F.col("b.w").alias("word_b"))
+        .distinct()
+    )
+    verified = cand.where(F.levenshtein("word_a", "word_b") == 1)
+    da = vocab.select(F.col("w").alias("word_a"), F.col("df").alias("df_a"))
+    db = vocab.select(F.col("w").alias("word_b"), F.col("df").alias("df_b"))
+    return verified.join(da, "word_a").join(db, "word_b").select(
+        "word_a", "word_b", "df_a", "df_b"
+    )
+
+
+_TYPO_SQL = r"""
+WITH toks2 AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+    FROM documents
+), words AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS df FROM toks2
+    WHERE len(w) > 0 GROUP BY w
+), planted AS (
+    SELECT p.w, CAST(0 AS BIGINT) AS df FROM (
+        SELECT DISTINCT substr(w, 1, 2) || substr(w, 4) AS w
+        FROM words WHERE len(w) >= 5
+    ) p WHERE NOT EXISTS (SELECT 1 FROM words x WHERE x.w = p.w)
+), vocab AS (
+    SELECT * FROM words UNION ALL SELECT * FROM planted
+), keys_ AS (
+    SELECT DISTINCT w, k FROM (
+        SELECT w, unnest(list_concat([w],
+            list_transform(range(1, len(w) + 1),
+                i -> substr(w, 1, i - 1) || substr(w, i + 1)))) AS k
+        FROM vocab
+    )
+), cand AS (
+    SELECT DISTINCT a.w AS word_a, b.w AS word_b
+    FROM keys_ a JOIN keys_ b USING (k)
+    WHERE a.w < b.w
+)
+SELECT c.word_a, c.word_b, va.df AS df_a, vb.df AS df_b
+FROM cand c
+JOIN vocab va ON va.w = c.word_a
+JOIN vocab vb ON vb.w = c.word_b
+WHERE levenshtein(c.word_a, c.word_b) = 1
+"""
+
+QUERIES["word_typo_pairs"] = word_typo_pairs
+ORACLES["word_typo_pairs"] = _TYPO_SQL
