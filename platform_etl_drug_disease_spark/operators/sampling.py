@@ -224,3 +224,53 @@ def weighted_group_sample(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def apportion_quota(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str | Column,
+    total: int,
+    out: str = "quota",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split an integer budget
+    of ``total`` units across strata proportionally to ``weight_col``, with
+    the quotas GUARANTEED to sum to exactly ``total`` — the exact-budget
+    allocator behind "sample N documents across sources ∝ token mass"
+    (floor-only quotas under-shoot; naive rounding over/under-shoots).
+
+    Each stratum gets floor(share·total); the leftover units go to the
+    strata with the largest fractional remainders (ties → stratum order).
+    Weights must be integral (token/char counts): the whole apportionment
+    is then exact integer div/mod — no decimal-division rounding to drift
+    between engines. All windows run on the |strata|-row aggregate."""
+    from pyspark.sql import Window
+
+    d = "decimal(38,0)"
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    agg = df.groupBy(strata_col).agg(F.sum(wcol.cast(d)).alias("_w"))
+    tot = agg.agg(F.sum("_w").alias("_tw"))
+    j = agg.crossJoin(F.broadcast(tot))
+    # exact rational apportionment: num = w·total over denominator tw;
+    # base = num div tw and rem = num mod tw are exact integer ops
+    num = F.col("_w") * F.lit(total)
+    rem = num % F.col("_tw")
+    base = ((num - rem) / F.col("_tw")).cast("bigint")  # exact division
+    ranked = j.select(
+        F.col(strata_col),
+        F.col("_w"),
+        base.alias("_base"),
+        rem.alias("_rem"),
+        (F.lit(total) - F.sum(base).over(Window.partitionBy())).alias("_left"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy().orderBy(F.col("_rem").desc(), F.col(strata_col))
+    )
+    return (
+        ranked.withColumn("_rk", rk)
+        .select(
+            strata_col,
+            (F.col("_base") + F.when(F.col("_rk") <= F.col("_left"), 1).otherwise(0))
+            .alias(out),
+        )
+    )

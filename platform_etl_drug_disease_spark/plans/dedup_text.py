@@ -1520,3 +1520,44 @@ WHERE levenshtein(c.word_a, c.word_b) = 1
 
 QUERIES["word_typo_pairs"] = word_typo_pairs
 ORACLES["word_typo_pairs"] = _TYPO_SQL
+
+
+def source_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget corpus quotas: allocate a 100,000-document budget across
+    sources proportional to their character mass, by largest-remainder
+    apportionment (operators/sampling.apportion_quota). Floor-only shares
+    under-shoot and naive rounding misses the budget; this guarantees
+    Σquota = budget exactly — the allocator that precedes per-source
+    sampling in a mixing recipe. Pure integer div/mod → bit-exact oracle."""
+    from platform_etl_drug_disease_spark.operators.sampling import (
+        apportion_quota,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", ["source", "n_chars"])
+    return apportion_quota(docs, "source", "n_chars", total=100_000)
+
+
+_QUOTA_SQL = """
+WITH agg AS (
+    SELECT source, SUM(CAST(n_chars AS HUGEINT)) AS w
+    FROM documents GROUP BY source
+), tot AS (SELECT SUM(w) AS tw FROM agg),
+j AS (
+    SELECT source, w, tw,
+           (w * 100000) // tw AS base,
+           (w * 100000) % tw AS rem
+    FROM agg CROSS JOIN tot
+), ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY rem DESC, source) AS rk,
+           100000 - SUM(base) OVER () AS leftover
+    FROM j
+)
+SELECT source,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS quota
+FROM ranked
+"""
+
+QUERIES["source_quota_allocation"] = source_quota_allocation
+ORACLES["source_quota_allocation"] = _QUOTA_SQL

@@ -261,3 +261,25 @@ def test_funnel_flags_first_reach_times(spark):
     assert out[1]["first_view_at"] == 0.0 and out[1]["first_purchase_at"] == 2.0
     # user 2: the ts=0 purchase does NOT qualify; the ts=3 one does
     assert out[2]["first_purchase_at"] == 3.0 and out[2]["reached_purchase"]
+
+
+def test_apportion_quota_exact_budget_properties(spark):
+    from platform_etl_drug_disease_spark.operators.sampling import (
+        apportion_quota,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], ["s", "w"]
+    )
+    # 100 over three equal strata: floor gives 33 each; the 1 leftover goes
+    # to the smallest stratum name on the remainder tie
+    got = {r["s"]: r["quota"] for r in apportion_quota(df, "s", "w", 100).collect()}
+    assert sum(got.values()) == 100
+    assert got == {"a": 34, "b": 33, "c": 33}
+    # skewed weights still hit the budget exactly and order by mass
+    df2 = spark.createDataFrame(
+        [("x", 999_999), ("y", 2), ("z", 1)], ["s", "w"]
+    )
+    got2 = {r["s"]: r["quota"] for r in apportion_quota(df2, "s", "w", 7).collect()}
+    assert sum(got2.values()) == 7
+    assert got2["x"] >= 6 and got2["y"] >= got2["z"]
