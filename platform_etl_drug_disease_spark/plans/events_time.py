@@ -838,6 +838,84 @@ FROM cells c JOIN types t USING (event_type)
 
 
 
+
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-journey patterns: sessionize (30-min gap), render each
+    session's first 10 event types as an ordered path string, count
+    identical journeys corpus-wide. The sequence-mining primitive behind
+    "what do typical sessions look like?".
+
+    Scale shape: session ids come from the standard lag+cumsum window (one
+    user-keyed shuffle, reused by the per-session aggregation since the
+    session key starts with user_id); paths are built by sorting the
+    per-session struct array (collect_list order is NOT deterministic —
+    sort_array over (ts, event_id, type) structs is, in both engines).
+    Top-20 via orderBy+limit = TakeOrdered, no global sort materialization."""
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    marked = ev.withColumn(
+        "is_start", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        marked.groupBy("user_id", "session_no")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        lambda st: st["event_type"],
+                    ),
+                    1,
+                    10,
+                ),
+            ).alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return counts.orderBy(F.col("n_sessions").desc(), "path").limit(20)
+
+
+_SESSION_PATHS_SQL = """
+WITH gaps AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM gaps
+), paths AS (
+    SELECT user_id, session_no,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:10], '>')
+               AS path
+    FROM sess GROUP BY user_id, session_no
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -856,6 +934,7 @@ QUERIES = {
     "funnel_latency_stats": funnel_latency_stats,
     "value_drift_stats": value_drift_stats,
     "seasonal_hour_profile": seasonal_hour_profile,
+    "top_session_paths": top_session_paths,
 }
 
 ORACLES = {
@@ -876,4 +955,5 @@ ORACLES = {
     "funnel_latency_stats": _FUNNEL_LATENCY_SQL,
     "value_drift_stats": _DRIFT_RANGE_SQL,
     "seasonal_hour_profile": _SEASONAL_SQL,
+    "top_session_paths": _SESSION_PATHS_SQL,
 }
