@@ -916,6 +916,88 @@ LIMIT 20
 
 
 
+
+def hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonality strength per event type: the Pearson correlation
+    of the hourly count series with itself 24 hours earlier (lag-24
+    autocorrelation). Near 1 → strong daily rhythm; near 0 → arrivals are
+    memoryless at the day scale.
+
+    Hourly counts are INTEGERS, so the whole ACF runs on exact integer
+    moments (same closed form as price_quantity_corr): one fact aggregate
+    to the (type, hour) series, a per-type lag window over that tiny
+    series, one moment aggregate. No floats until the final ratio."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "event_type"])
+    hours = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    d = "decimal(38,0)"
+    paired = (
+        hours.withColumn("c_prev", F.lag("c", 24).over(w))
+        .withColumn("h_prev", F.lag("h", 24).over(w))
+        # lag-24 ROWS == lag-24 HOURS only when the series is dense; guard
+        # against gaps so both engines pair identical (x, y) sets
+        .where(
+            F.col("c_prev").isNotNull()
+            & (F.col("h_prev") == F.col("h") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .select(
+            "event_type",
+            F.col("c").cast(d).alias("x"),
+            F.col("c_prev").cast(d).alias("y"),
+        )
+    )
+    g = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        dround(num / F.sqrt(denx * deny) + F.lit(1.0), 6).alias("acf24_p1"),
+    )
+
+
+_AUTOCORR_SQL = """
+WITH hours_ AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(count(*) AS HUGEINT) AS c
+    FROM events GROUP BY 1, 2
+), paired AS (
+    SELECT event_type, c AS x, c_prev AS y FROM (
+        SELECT event_type, h, c,
+               lag(c, 24) OVER w AS c_prev,
+               lag(h, 24) OVER w AS h_prev
+        FROM hours_ WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ) WHERE c_prev IS NOT NULL AND h_prev = h - INTERVAL 24 HOURS
+), m AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+           SUM(x*x) AS sx2, SUM(y*y) AS sy2
+    FROM paired GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_pairs,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+                     * CAST(n * sy2 - sy * sy AS DOUBLE)) + 1.0)
+             * 1e6 + 0.5) / 1e6 AS acf24_p1
+FROM m
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -935,6 +1017,7 @@ QUERIES = {
     "value_drift_stats": value_drift_stats,
     "seasonal_hour_profile": seasonal_hour_profile,
     "top_session_paths": top_session_paths,
+    "hourly_autocorr": hourly_autocorr,
 }
 
 ORACLES = {
@@ -956,4 +1039,5 @@ ORACLES = {
     "value_drift_stats": _DRIFT_RANGE_SQL,
     "seasonal_hour_profile": _SEASONAL_SQL,
     "top_session_paths": _SESSION_PATHS_SQL,
+    "hourly_autocorr": _AUTOCORR_SQL,
 }
