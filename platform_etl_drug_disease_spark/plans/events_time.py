@@ -998,6 +998,98 @@ FROM m
 
 
 
+
+def hourly_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification audit per event type: materialize the FULL
+    hourly calendar between each type's first and last event (sequence +
+    explode — the gap-filling step every time-series op needs before
+    lag-k/rolling logic is trustworthy), left-join the observed counts, and
+    report coverage: hours in span, hours with data, missing hours, and
+    the longest missing streak (gaps-and-islands over the dense series).
+
+    Scale shape: the dense calendar is |types| × span-hours rows —
+    generated, not shuffled from the fact table; observed counts join on
+    (type, hour); the streak window runs per type over the dense series."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "event_type"])
+    obs = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist()  # consumed by span bounds + the dense-series join
+    span = obs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    dense = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = dense.join(obs, ["event_type", "h"], "left").select(
+        "event_type", "h", F.col("c").isNull().cast("int").alias("missing")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    # gaps-and-islands: group id = running count of PRESENT hours; rows of
+    # one missing streak share it
+    grp = F.sum(1 - F.col("missing")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    streaks = (
+        joined.withColumn("g", grp)
+        .where(F.col("missing") == 1)
+        .groupBy("event_type", "g")
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    per_type = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours_span"),
+        F.sum(1 - F.col("missing")).cast("bigint").alias("n_hours_present"),
+        F.sum("missing").cast("bigint").alias("n_hours_missing"),
+    )
+    longest = streaks.groupBy("event_type").agg(
+        F.max("streak").alias("longest_gap_hours")
+    )
+    return per_type.join(longest, "event_type", "left").withColumn(
+        "longest_gap_hours", F.coalesce("longest_gap_hours", F.lit(0))
+    )
+
+
+_GAP_AUDIT_SQL = """
+WITH obs AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT event_type, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY event_type
+), dense AS (
+    SELECT s.event_type, g.h
+    FROM span s, LATERAL (
+        SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+    ) g
+), joined AS (
+    SELECT d.event_type, d.h,
+           CASE WHEN o.c IS NULL THEN 1 ELSE 0 END AS missing
+    FROM dense d LEFT JOIN obs o ON o.event_type = d.event_type AND o.h = d.h
+), grouped AS (
+    SELECT *, SUM(1 - missing) OVER (PARTITION BY event_type ORDER BY h
+                                     ROWS UNBOUNDED PRECEDING) AS g
+    FROM joined
+), streaks AS (
+    SELECT event_type, g, count(*) AS streak
+    FROM grouped WHERE missing = 1 GROUP BY event_type, g
+), per_type AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours_span,
+           CAST(SUM(1 - missing) AS BIGINT) AS n_hours_present,
+           CAST(SUM(missing) AS BIGINT) AS n_hours_missing
+    FROM joined GROUP BY event_type
+)
+SELECT p.event_type, p.n_hours_span, p.n_hours_present, p.n_hours_missing,
+       COALESCE((SELECT CAST(max(streak) AS BIGINT) FROM streaks st
+                 WHERE st.event_type = p.event_type), 0) AS longest_gap_hours
+FROM per_type p
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1018,6 +1110,7 @@ QUERIES = {
     "seasonal_hour_profile": seasonal_hour_profile,
     "top_session_paths": top_session_paths,
     "hourly_autocorr": hourly_autocorr,
+    "hourly_gap_audit": hourly_gap_audit,
 }
 
 ORACLES = {
@@ -1040,4 +1133,5 @@ ORACLES = {
     "seasonal_hour_profile": _SEASONAL_SQL,
     "top_session_paths": _SESSION_PATHS_SQL,
     "hourly_autocorr": _AUTOCORR_SQL,
+    "hourly_gap_audit": _GAP_AUDIT_SQL,
 }

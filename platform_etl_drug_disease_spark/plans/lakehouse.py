@@ -621,3 +621,77 @@ ORACLES = {
     "join_skew_audit": _SKEW_SQL,
     "snapshot_diff_stats": _DIFF_SQL,
 }
+
+def orders_asof_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: every order joined to the customer-dim
+    VERSION that was valid on its order date (SCD2 point-in-time read).
+    The dimension history is synthesized deterministically — v0 at
+    1992-01-01 for everyone, v1 at 1995-07-01 for custkey%3==0, v2 at
+    1997-01-01 for custkey%9==0 — and the lookup runs through the as-of
+    operator (union + one window pass per key: no [valid_from, valid_to)
+    range join, no candidate explosion; the classic fact×versioned-dim
+    pattern at 100 TB). Rolled up per matched version."""
+    from platform_etl_drug_disease_spark.operators.joins import asof_join
+
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    v0 = cust.select(
+        "c_custkey",
+        F.to_timestamp(F.lit("1992-01-01")).alias("valid_from"),
+        F.lit("v0").alias("dim_version"),
+        F.col("c_acctbal").alias("acctbal_at"),
+    )
+    v1 = cust.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.to_timestamp(F.lit("1995-07-01")).alias("valid_from"),
+        F.lit("v1").alias("dim_version"),
+        (F.col("c_acctbal") + 1000.0).alias("acctbal_at"),
+    )
+    v2 = cust.where(F.col("c_custkey") % 9 == 0).select(
+        "c_custkey",
+        F.to_timestamp(F.lit("1997-01-01")).alias("valid_from"),
+        F.lit("v2").alias("dim_version"),
+        (F.col("c_acctbal") + 2000.0).alias("acctbal_at"),
+    )
+    dim = v0.unionByName(v1).unionByName(v2)
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    joined = asof_join(
+        orders,
+        dim,
+        on="c_custkey",
+        left_ts="o_orderdate",
+        right_ts="valid_from",
+        payload={"dim_version": "dim_version", "acctbal_at": "acctbal_at"},
+    )
+    return joined.groupBy("dim_version").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        dsum("acctbal_at").alias("sum_acctbal"),
+    )
+
+
+_ASOF_DIM_SQL = """
+WITH dim AS (
+    SELECT c_custkey, TIMESTAMP '1992-01-01' AS valid_from,
+           'v0' AS dim_version, c_acctbal AS acctbal_at FROM customer
+    UNION ALL
+    SELECT c_custkey, TIMESTAMP '1995-07-01', 'v1', c_acctbal + 1000.0
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, TIMESTAMP '1997-01-01', 'v2', c_acctbal + 2000.0
+    FROM customer WHERE c_custkey % 9 = 0
+)
+SELECT d.dim_version,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(d.acctbal_at AS DECIMAL(18,6))) AS DOUBLE) AS sum_acctbal
+FROM orders o
+ASOF JOIN dim d ON o.o_custkey = d.c_custkey
+               AND d.valid_from <= o.o_orderdate
+GROUP BY d.dim_version
+"""
+
+QUERIES["orders_asof_dimension"] = orders_asof_dimension
+ORACLES["orders_asof_dimension"] = _ASOF_DIM_SQL
+
