@@ -93,3 +93,40 @@ def write_sorted_shards(
     out = df.repartitionByRange(n_shards, range_col)
     out = out.sortWithinPartitions(*(sort_cols or [range_col]))
     out.write.mode(mode).parquet(path)
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    out_path: str | None = None,
+) -> int:
+    """Small-file compaction pass: read a fragmented parquet directory and
+    rewrite it with file count sized from the directory's ACTUAL bytes
+    (ceil(total/target)), preserving rows exactly. The maintenance job that
+    keeps streaming/foreachBatch landing zones (one file per micro-batch ×
+    partitions) from degrading scan planning — at 100 TB, millions of tiny
+    files cost more in listing + footer reads than the data itself.
+
+    Sizing reads file METADATA only (no data pass). Writes to ``out_path``
+    (default: ``path + ".compacted"``) then the caller swaps directories —
+    never an in-place overwrite of an input that is still being read.
+    Returns the output file count."""
+    import glob as _glob
+    import math
+    import os
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    out = out_path or (path.rstrip("/") + ".compacted")
+    df = spark.read.parquet(path)
+    # repartition (not coalesce): coalesce(1..k) would chain the upstream
+    # scan into k tasks and lose read parallelism; compaction is a shuffle
+    # by design so the write tasks are balanced regardless of input layout.
+    df.repartition(n_out).write.mode("overwrite").parquet(out)
+    return n_out

@@ -191,3 +191,49 @@ def test_write_sorted_shards_orders_globally(spark, tmp_path):
     for f in g.glob(out + "/part-*.parquet"):
         ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
         assert ids == sorted(ids)
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    from platform_etl_drug_disease_spark.sources.writers import (
+        compact_small_files,
+    )
+
+    frag = str(tmp_path / "frag")
+    # 40 tiny files (one per partition)
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(frag)
+    import glob as g
+
+    n_in = len([f for f in g.glob(frag + "/*.parquet")])
+    assert n_in >= 30
+    n_out = compact_small_files(spark, frag, target_file_bytes=10**9)
+    out = frag + ".compacted"
+    files_out = [f for f in g.glob(out + "/*.parquet")]
+    assert len(files_out) == n_out == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 4000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(4000))
+
+
+def test_json_reader_permissive_corrupt_records(spark, tmp_path):
+    """PERMISSIVE JSON ingestion: malformed lines land in _corrupt_record
+    instead of failing the job — the contract a 100-TB crawl ingest needs
+    (a single bad line must never kill a billion-line read)."""
+    p = tmp_path / "raw.json"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    df = (
+        spark.read.schema("doc_id long, text string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["doc_id"] is not None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]["_corrupt_record"].startswith("THIS")
