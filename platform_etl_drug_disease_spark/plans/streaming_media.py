@@ -486,3 +486,53 @@ from platform_etl_drug_disease_spark.plans.events_time import (  # noqa: E402
 
 QUERIES["streaming_funnel_conversion"] = streaming_funnel_conversion
 ORACLES["streaming_funnel_conversion"] = _FUNNEL_BATCH_SQL
+
+
+def media_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-payload dedup census: group media rows by content
+    digest (never by the payload itself — the digest is 32 bytes, the
+    payload unbounded; hashing first is what makes binary dedup a normal
+    string groupBy at 100 TB) and report, per media kind: total rows,
+    distinct payloads, redundant rows, and the bytes a dedup pass would
+    reclaim. The recrawled-image/duplicate-clip audit of a multimodal
+    corpus."""
+    media = _media_table(spark, sf_dir)
+    per_digest = (
+        media.select(
+            "kind",
+            F.md5(F.col("payload")).alias("digest"),
+            F.octet_length(F.col("payload")).alias("nbytes"),
+        )
+        .groupBy("kind", "digest")
+        .agg(
+            F.count(F.lit(1)).alias("copies"),
+            F.max("nbytes").alias("nbytes"),
+        )
+    )
+    return per_digest.groupBy("kind").agg(
+        F.sum("copies").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_payloads"),
+        F.sum(F.col("copies") - 1).cast("bigint").alias("n_redundant"),
+        F.sum((F.col("copies") - 1) * F.col("nbytes"))
+        .cast("bigint")
+        .alias("reclaimable_bytes"),
+    )
+
+
+_MEDIA_DEDUP_SQL = """
+WITH per_digest AS (
+    SELECT 'image' AS kind, md5(text) AS digest,
+           CAST(count(*) AS BIGINT) AS copies,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS nbytes
+    FROM documents GROUP BY md5(text)
+)
+SELECT kind,
+       CAST(SUM(copies) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_payloads,
+       CAST(SUM(copies - 1) AS BIGINT) AS n_redundant,
+       CAST(SUM((copies - 1) * nbytes) AS BIGINT) AS reclaimable_bytes
+FROM per_digest GROUP BY kind
+"""
+
+QUERIES["media_dedup_stats"] = media_dedup_stats
+ORACLES["media_dedup_stats"] = _MEDIA_DEDUP_SQL
