@@ -778,3 +778,125 @@ ORACLES = {
     "salted_supplier_revenue": _SALTED_SQL,
     "price_quantiles_per_flag": _QUANTILES_SQL,
 }
+
+def revenue_gini_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the exact Gini coefficient of customer
+    order revenue within each nation — G = (2·Σ iᐧxᵢ)/(n·Σx) − (n+1)/n over
+    revenues x sorted ascending (ties broken by customer key). High Gini →
+    a nation's revenue hangs on few whales; the skew early-warning for
+    per-nation budget decisions.
+
+    Scale shape: revenue reduces to ONE row per customer first, so the
+    rank window sorts |customers-per-nation| rows per stratum, not orders;
+    revenues rank as exact integer cents and every moment (Σx, Σi·x) is an
+    exact decimal — one final double division. Strata too large to sort
+    take the binned-Lorenz approximation (same downstream formula over
+    t-digest bins); the exact per-stratum form is the oracle-checkable one.
+    """
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    d = "decimal(38,0)"
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast(d)).alias("cents"))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_nationkey", "o_custkey", "cents")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w).cast(d))
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    two_six = (F.lit(2).cast("decimal(38,0)") * F.col("six")).cast("double")
+    gini = two_six / (F.col("n") * F.col("sx")).cast("double") - (
+        (F.col("n") + F.lit(1)).cast("double") / F.col("n").cast("double")
+    )
+    return g.select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        dround(gini, 6).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH rev AS (
+    SELECT c_nationkey, o_custkey,
+           SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey, o_custkey
+), ranked AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY c_nationkey
+                   ORDER BY cents, o_custkey) AS HUGEINT) AS i
+    FROM rev
+), g AS (
+    SELECT c_nationkey, CAST(count(*) AS HUGEINT) AS n,
+           SUM(cents) AS sx, SUM(i * cents) AS six
+    FROM ranked GROUP BY c_nationkey
+)
+SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+       CAST(n AS BIGINT) AS n_customers,
+       floor((CAST(2 * six AS DOUBLE) / CAST(n * sx AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS gini
+FROM g
+"""
+
+
+def regional_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent report: each nation's order revenue
+    with its share of the region and of the world — the drill-down BI
+    staple. Revenue reduces per nation first (exact cents), so every share
+    is a ratio of exact integers computed on the 25-row aggregate; region
+    and world totals come from windows over that tiny table."""
+    orders = load_table(spark, sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = load_table(spark, sf_dir, "nation")
+    d = "decimal(38,0)"
+    per_nation = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast(d)).alias("cents"))
+    )
+    wr = Window.partitionBy("n_regionkey")
+    ww = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        dround(
+            F.col("cents").cast("double") / F.sum("cents").over(wr).cast("double"),
+            6,
+        ).alias("share_of_region"),
+        dround(
+            F.col("cents").cast("double") / F.sum("cents").over(ww).cast("double"),
+            6,
+        ).alias("share_of_world"),
+    )
+
+
+_REGION_SHARE_SQL = """
+WITH per_nation AS (
+    SELECT n_name, n_regionkey,
+           SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, n_regionkey
+)
+SELECT n_name,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       floor(CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS share_of_region,
+       floor(CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS share_of_world
+FROM per_nation
+"""
+
+QUERIES["revenue_gini_per_nation"] = revenue_gini_per_nation
+ORACLES["revenue_gini_per_nation"] = _GINI_SQL
+QUERIES["regional_revenue_share"] = regional_revenue_share
+ORACLES["regional_revenue_share"] = _REGION_SHARE_SQL
