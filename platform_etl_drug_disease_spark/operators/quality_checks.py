@@ -119,3 +119,34 @@ def key_skew_audit(df: DataFrame, key: str) -> DataFrame:
         (F.col("max_key_rows") * F.lit(1.0) / F.col("n_rows"))
         .alias("top_key_share"),
     )
+
+
+def schema_diff(old, new) -> list[dict]:
+    """Schema-drift report between two StructTypes (or DataFrames): one
+    entry per added / removed / retyped / renullabled column, empty when
+    compatible. The pre-flight gate before a CDC merge or snapshot diff —
+    catching a silently retyped column at plan time costs nothing; catching
+    it after a 100-TB write costs the write.
+
+    Pure driver-side metadata comparison (no jobs)."""
+    o = old.schema if hasattr(old, "schema") else old
+    n = new.schema if hasattr(new, "schema") else new
+    of = {f.name: f for f in o.fields}
+    nf = {f.name: f for f in n.fields}
+    out: list[dict] = []
+    for name in sorted(set(of) | set(nf)):
+        a, b = of.get(name), nf.get(name)
+        if a is None:
+            out.append({"column": name, "change": "added",
+                        "detail": b.dataType.simpleString()})
+        elif b is None:
+            out.append({"column": name, "change": "removed",
+                        "detail": a.dataType.simpleString()})
+        elif a.dataType != b.dataType:
+            out.append({"column": name, "change": "retyped",
+                        "detail": f"{a.dataType.simpleString()} -> "
+                                  f"{b.dataType.simpleString()}"})
+        elif a.nullable != b.nullable:
+            out.append({"column": name, "change": "renullabled",
+                        "detail": f"{a.nullable} -> {b.nullable}"})
+    return out

@@ -1561,3 +1561,74 @@ FROM ranked
 
 QUERIES["source_quota_allocation"] = source_quota_allocation
 ORACLES["source_quota_allocation"] = _QUOTA_SQL
+
+
+def sample_extrapolation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling calibration audit: estimate corpus totals (docs, chars)
+    per language from the deterministic 10% md5-bucket sample with
+    inverse-probability (Horvitz–Thompson) weights, next to the exact
+    totals and the signed relative error. The check that keeps
+    sample-based dashboards honest before anyone trusts a 0.1% sample of
+    100 TB.
+
+    One scan computes BOTH sides: the sample membership predicate is a
+    column, so exact and weighted sums come from the same aggregate —
+    no second pass, no join."""
+    from platform_etl_drug_disease_spark.operators.sampling import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    in_sample = (md5_bucket("doc_id", 10_000, "ht1") < 1000).cast("int")
+    d = "decimal(38,0)"
+    g = docs.select(
+        "lang", in_sample.alias("s"), F.col("n_chars").cast(d).alias("ch")
+    ).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ch").alias("chars"),
+        F.sum("s").alias("n_sampled"),
+        F.sum(F.col("s").cast(d) * F.col("ch")).alias("chars_sampled"),
+    )
+    est_docs = F.col("n_sampled").cast("double") * 10.0
+    est_chars = F.col("chars_sampled").cast("double") * 10.0
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_sampled").cast("bigint").alias("n_sampled"),
+        dround(est_docs, 1).alias("est_docs"),
+        dround(
+            F.abs(est_docs - F.col("n_docs").cast("double"))
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("docs_rel_err"),
+        dround(
+            F.abs(est_chars - F.col("chars").cast("double"))
+            / F.col("chars").cast("double"),
+            6,
+        ).alias("chars_rel_err"),
+    )
+
+
+_HT_SQL = """
+WITH g AS (
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           SUM(CAST(n_chars AS HUGEINT)) AS chars,
+           SUM(CASE WHEN CAST(('0x' || substr(md5('ht1' || CAST(doc_id AS VARCHAR)), 1, 7))
+                             AS BIGINT) % 10000 < 1000 THEN 1 ELSE 0 END)
+               AS n_sampled,
+           SUM(CASE WHEN CAST(('0x' || substr(md5('ht1' || CAST(doc_id AS VARCHAR)), 1, 7))
+                             AS BIGINT) % 10000 < 1000
+                    THEN CAST(n_chars AS HUGEINT) ELSE 0 END) AS chars_sampled
+    FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       floor(CAST(n_sampled AS DOUBLE) * 10.0 * 10 + 0.5) / 10 AS est_docs,
+       floor(abs(CAST(n_sampled AS DOUBLE) * 10.0 - CAST(n_docs AS DOUBLE))
+             / CAST(n_docs AS DOUBLE) * 1e6 + 0.5) / 1e6 AS docs_rel_err,
+       floor(abs(CAST(chars_sampled AS DOUBLE) * 10.0 - CAST(chars AS DOUBLE))
+             / CAST(chars AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chars_rel_err
+FROM g
+"""
+
+QUERIES["sample_extrapolation_audit"] = sample_extrapolation_audit
+ORACLES["sample_extrapolation_audit"] = _HT_SQL

@@ -283,3 +283,32 @@ def test_apportion_quota_exact_budget_properties(spark):
     got2 = {r["s"]: r["quota"] for r in apportion_quota(df2, "s", "w", 7).collect()}
     assert sum(got2.values()) == 7
     assert got2["x"] >= 6 and got2["y"] >= got2["z"]
+
+
+def test_schema_diff_detects_all_change_kinds(spark):
+    from pyspark.sql import types as T
+
+    from platform_etl_drug_disease_spark.operators.quality_checks import (
+        schema_diff,
+    )
+
+    old = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.DoubleType(), False),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.IntegerType(), True),  # retyped
+            T.StructField("c", T.DoubleType(), True),  # renullabled
+            T.StructField("d", T.StringType(), True),  # added; b removed
+        ]
+    )
+    got = {e["column"]: e["change"] for e in schema_diff(old, new)}
+    assert got == {"a": "retyped", "b": "removed", "c": "renullabled", "d": "added"}
+    assert schema_diff(old, old) == []
+    # DataFrames accepted directly
+    df = spark.range(1)
+    assert schema_diff(df, df) == []
