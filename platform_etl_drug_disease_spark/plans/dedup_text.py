@@ -1632,3 +1632,114 @@ FROM g
 
 QUERIES["sample_extrapolation_audit"] = sample_extrapolation_audit
 ORACLES["sample_extrapolation_audit"] = _HT_SQL
+
+
+def source_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage over sources: three rounds of "pick the
+    source adding the most NOT-yet-covered distinct shingles" — the
+    data-acquisition ranking ("which 3 corpora buy the most new content?").
+    Greedy is the canonical (1−1/e)-approximation; each round is one
+    anti-join against the covered set + a per-source count + a 1-row
+    argmax, all distributed (the covered set never leaves the cluster).
+    Rounds are localCheckpoint-ed so the plan doesn't nest (the k-core
+    lesson). Output: (round, source, marginal_new, covered_total).
+    """
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]),
+        "doc_id",
+    )
+    sh = tx.with_shingles(docs, "text", 3)
+    src_sh = (
+        sh.select("source", F.explode_outer("sh").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    covered = None
+    picked_names: list = []
+    out = None
+    for r in range(1, 4):
+        remaining = src_sh
+        if picked_names:
+            remaining = remaining.where(~F.col("source").isin(picked_names))
+        if covered is not None:
+            remaining = remaining.join(covered, "shingle", "left_anti")
+        counts = remaining.groupBy("source").agg(
+            F.count(F.lit(1)).alias("marginal_new")
+        )
+        best = (
+            counts.orderBy(F.col("marginal_new").desc(), "source")
+            .limit(1)
+            .localCheckpoint()
+        )
+        best_name = best.collect()[0]["source"]
+        picked_names.append(best_name)
+        newly = remaining.where(F.col("source") == best_name).select("shingle")
+        covered = (
+            newly
+            if covered is None
+            else covered.unionByName(newly)
+        ).distinct().localCheckpoint()
+        row = best.crossJoin(
+            covered.agg(F.count(F.lit(1)).alias("covered_total"))
+        ).select(F.lit(r).alias("round"), "source", "marginal_new", "covered_total")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_GREEDY_SQL = r"""
+WITH toks3 AS MATERIALIZED (
+    SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), src_sh AS MATERIALIZED (
+    SELECT DISTINCT source, shingle FROM (
+        SELECT source,
+               unnest(CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                   ELSE CAST([] AS VARCHAR[]) END) AS shingle
+        FROM toks3
+    )
+), b1 AS MATERIALIZED (
+    SELECT source, CAST(count(*) AS BIGINT) AS marginal_new
+    FROM src_sh GROUP BY source
+    ORDER BY marginal_new DESC, source LIMIT 1
+), c1 AS MATERIALIZED (
+    SELECT DISTINCT shingle FROM src_sh WHERE source = (SELECT source FROM b1)
+), b2 AS MATERIALIZED (
+    SELECT source, CAST(count(*) AS BIGINT) AS marginal_new
+    FROM src_sh s
+    WHERE source != (SELECT source FROM b1)
+      AND NOT EXISTS (SELECT 1 FROM c1 WHERE c1.shingle = s.shingle)
+    GROUP BY source ORDER BY marginal_new DESC, source LIMIT 1
+), c2 AS MATERIALIZED (
+    SELECT shingle FROM c1
+    UNION
+    SELECT shingle FROM src_sh s
+    WHERE source = (SELECT source FROM b2)
+      AND NOT EXISTS (SELECT 1 FROM c1 WHERE c1.shingle = s.shingle)
+), b3 AS MATERIALIZED (
+    SELECT source, CAST(count(*) AS BIGINT) AS marginal_new
+    FROM src_sh s
+    WHERE source NOT IN (SELECT source FROM b1 UNION ALL SELECT source FROM b2)
+      AND NOT EXISTS (SELECT 1 FROM c2 WHERE c2.shingle = s.shingle)
+    GROUP BY source ORDER BY marginal_new DESC, source LIMIT 1
+), c3 AS MATERIALIZED (
+    SELECT shingle FROM c2
+    UNION
+    SELECT shingle FROM src_sh s
+    WHERE source = (SELECT source FROM b3)
+      AND NOT EXISTS (SELECT 1 FROM c2 WHERE c2.shingle = s.shingle)
+)
+SELECT 1 AS round, source, marginal_new,
+       (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total FROM b1
+UNION ALL
+SELECT 2, source, marginal_new,
+       (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM b2
+UNION ALL
+SELECT 3, source, marginal_new,
+       (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM b3
+"""
+
+QUERIES["source_coverage_greedy"] = source_coverage_greedy
+ORACLES["source_coverage_greedy"] = _GREEDY_SQL

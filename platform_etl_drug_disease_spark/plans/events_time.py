@@ -1090,6 +1090,87 @@ FROM per_type p
 
 
 
+
+def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: like ``funnel_conversion`` but a stage
+    only qualifies if the prior stage happened within the last 24 HOURS —
+    the attribution-window semantics real funnels use (a purchase a month
+    after the click doesn't credit the click).
+
+    The strict-order running flags become RANGE-framed window counts over
+    event-time micros (24h preceding up to 1µs before the current row), so
+    the whole funnel is still ONE user-keyed shuffle. Frames are defined on
+    the microsecond axis identically in both engines."""
+    day_us = 24 * 3600 * 1000000
+    ev = (
+        load_table(
+            spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+        )
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-day_us, -1)
+    )
+    prior_views = F.sum(
+        F.when(F.col("event_type") == "view", 1).otherwise(0)
+    ).over(w)
+    flagged = ev.withColumn(
+        "q_click", (F.col("event_type") == "click") & (prior_views > 0)
+    )
+    prior_q_clicks = F.sum(F.col("q_click").cast("int")).over(w)
+    flagged = flagged.withColumn(
+        "q_purchase", (F.col("event_type") == "purchase") & (prior_q_clicks > 0)
+    )
+    per_user = flagged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "view").alias("r_view"),
+        F.max("q_click").alias("r_click"),
+        F.max("q_purchase").alias("r_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("r_view"), 1)).alias("n_view"),
+        F.count(F.when(F.col("r_click"), 1)).alias("n_click_24h"),
+        F.count(F.when(F.col("r_purchase"), 1)).alias("n_purchase_24h"),
+    )
+
+
+_FUNNEL_WINDOWED_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS us, event_type
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), f1 AS (
+    SELECT *,
+           (event_type = 'click' AND
+            COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                     OVER fr, 0) > 0) AS q_click
+    FROM ev
+    WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+), f2 AS (
+    SELECT *,
+           (event_type = 'purchase' AND
+            COALESCE(SUM(CASE WHEN q_click THEN 1 ELSE 0 END) OVER fr, 0) > 0)
+               AS q_purchase
+    FROM f1
+    WINDOW fr AS (PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+), per_user AS (
+    SELECT user_id,
+           max(event_type = 'view') AS r_view,
+           max(q_click) AS r_click,
+           max(q_purchase) AS r_purchase
+    FROM f2 GROUP BY user_id
+)
+SELECT CAST(count(CASE WHEN r_view THEN 1 END) AS BIGINT) AS n_view,
+       CAST(count(CASE WHEN r_click THEN 1 END) AS BIGINT) AS n_click_24h,
+       CAST(count(CASE WHEN r_purchase THEN 1 END) AS BIGINT) AS n_purchase_24h
+FROM per_user
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1111,6 +1192,7 @@ QUERIES = {
     "top_session_paths": top_session_paths,
     "hourly_autocorr": hourly_autocorr,
     "hourly_gap_audit": hourly_gap_audit,
+    "funnel_conversion_windowed": funnel_conversion_windowed,
 }
 
 ORACLES = {
@@ -1134,4 +1216,5 @@ ORACLES = {
     "top_session_paths": _SESSION_PATHS_SQL,
     "hourly_autocorr": _AUTOCORR_SQL,
     "hourly_gap_audit": _GAP_AUDIT_SQL,
+    "funnel_conversion_windowed": _FUNNEL_WINDOWED_SQL,
 }
