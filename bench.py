@@ -92,6 +92,18 @@ HEADLINE = [
     "funnel_latency_stats",
     "value_drift_stats",
     "centroid_classifier_eval",
+    "word_typo_pairs",
+    "source_quota_allocation",
+    "top_session_paths",
+    "hourly_autocorr",
+    "hourly_gap_audit",
+    "orders_asof_dimension",
+    "media_dedup_stats",
+    "revenue_gini_per_nation",
+    "sample_extrapolation_audit",
+    "funnel_conversion_windowed",
+    "source_coverage_greedy",
+    "seasonal_hour_profile",
 ]
 
 

@@ -342,3 +342,76 @@ def test_streaming_funnel_equals_batch_per_user(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_rows_accounted(spark, tmp_path):
+    """Late-data contract: a straggler behind the watermark is dropped by
+    the stateful aggregation (numRowsDroppedByWatermark), its window never
+    materializes, and state stays bounded. The watermark applied to LATE
+    FILTERING lags the observed max event time by one committed batch, so
+    the straggler is staged two micro-batches after the fresh data; files
+    arrive in pinned-mtime order (the file source admits by mtime)."""
+    import os
+    import time as _time
+
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        read_event_stream,
+        windowed_event_counts,
+    )
+
+    d = tmp_path / "latestream"
+    d.mkdir()
+    rows = [
+        (1, "2024-01-03 09:00:00"),
+        (2, "2024-01-03 10:00:00"),  # batch 0: watermark will become 09:00
+        (3, "2024-01-03 10:10:00"),
+        (4, "2024-01-03 10:20:00"),  # batch 1: 09:00 commits for late filter
+        (5, "2024-01-03 10:30:00"),
+        (6, "2024-01-01 00:00:00"),  # batch 2: two-days-late straggler
+    ]
+    base = _time.time() - 1000
+    for i, (eid, ts) in enumerate(rows):
+        f = d / f"part-{i}.json"
+        f.write_text(
+            json.dumps(
+                {
+                    "event_id": eid,
+                    "ts": ts,
+                    "user_id": 1,
+                    "event_type": "click",
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            + "\n"
+        )
+        os.utime(f, (base + i * 10, base + i * 10))
+
+    stream = read_event_stream(spark, str(d), max_files_per_trigger=2)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = list(q.recentProgress)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, f"expected exactly the straggler dropped, got {dropped}"
+    # bounded state: only the two fresh hourly windows ever live in state
+    assert all(
+        op["numRowsTotal"] <= 2
+        for p in progress
+        for op in p["stateOperators"]
+    )
+    # and the straggler's window never materialized in the output
+    wins = {
+        r["win_start"].isoformat() for r in spark.table("t_late_drop").collect()
+    }
+    assert "2024-01-01T00:00:00" not in wins
