@@ -431,3 +431,79 @@ GROUP BY r.source
 
 QUERIES["quality_winsor_stats"] = quality_winsor_stats
 ORACLES["quality_winsor_stats"] = _WINSOR_SQL
+
+
+def quality_psi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots' quality
+    distributions (even vs odd doc_ids as the A/B stand-in): quality binned
+    into 10 fixed-width buckets, PSI term (pᵢ−qᵢ)·ln(pᵢ/qᵢ) per bucket plus
+    the total — the standard model-input drift alarm (<0.1 stable, >0.25
+    investigate). Fixed bin edges keep the binning engine-identical;
+    Laplace-smoothed proportions keep every log finite.
+
+    One scan: snapshot membership is a column, so both distributions come
+    from a single 10-row aggregate; the PSI arithmetic runs on that table."""
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text"]), "doc_id"
+    )
+    scored = docs.select(
+        (F.col("doc_id") % 2 == 0).cast("int").alias("a"),
+        F.least(F.floor(tx.quality_score("text") * 10).cast("int"), F.lit(9))
+        .alias("bin"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("a").alias("na"),
+        F.sum(1 - F.col("a")).alias("nb"),
+    )
+    tots = bins.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = bins.crossJoin(F.broadcast(tots))
+    p = (F.col("na") + 1).cast("double") / (F.col("ta") + F.col("k")).cast("double")
+    q = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("k")).cast("double")
+    term = (p - q) * F.log(p / q)
+    w = Window.partitionBy()
+    return j.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(term, 9).alias("psi_term"),
+        F.round(F.sum(term).over(w), 6).alias("psi_total"),
+    )
+
+
+_PSI_SQL = r"""
+WITH tq AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), scored AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+           least(CAST(floor(
+               round(0.4 * least(len(t) / 64.0, 1.0)
+                   + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+                   + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                         ['the','a','an','of','and','to','in','is','it','for'], x)))
+                         * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6)
+               * 10) AS INTEGER), 9) AS bin
+    FROM tq
+), bins AS (
+    SELECT bin, SUM(a) AS na, SUM(1 - a) AS nb FROM scored GROUP BY bin
+), tots AS (
+    SELECT SUM(na) AS ta, SUM(nb) AS tb, count(*) AS k FROM bins
+), j AS (
+    SELECT bin, na, nb,
+           (na + 1) * 1.0 / (ta + k) AS p,
+           (nb + 1) * 1.0 / (tb + k) AS q
+    FROM bins CROSS JOIN tots
+)
+SELECT bin,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round((p - q) * ln(p / q), 9) AS psi_term,
+       round(SUM((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+FROM j
+"""
+
+QUERIES["quality_psi_stats"] = quality_psi_stats
+ORACLES["quality_psi_stats"] = _PSI_SQL
