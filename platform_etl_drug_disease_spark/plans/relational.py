@@ -900,3 +900,64 @@ QUERIES["revenue_gini_per_nation"] = revenue_gini_per_nation
 ORACLES["revenue_gini_per_nation"] = _GINI_SQL
 QUERIES["regional_revenue_share"] = regional_revenue_share
 ORACLES["regional_revenue_share"] = _REGION_SHARE_SQL
+
+def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue report: per month, total revenue (exact
+    cents), percent change vs the previous month, and the trailing 3-month
+    moving average — the standard finance/reporting view. The fact table
+    reduces to one row per month first; every window (lag, trailing avg)
+    runs over that ~80-row series, so the single-partition window is a
+    non-issue by construction."""
+    orders = load_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    d = "decimal(38,0)"
+    monthly = (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast(d)).alias("cents"))
+    )
+    w = Window.partitionBy().orderBy("month")
+    w3 = w.rowsBetween(-2, 0)
+    prev = F.lag("cents", 1).over(w)
+    return monthly.select(
+        "month",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        # shifted +100 before dround: MoM change can be negative and raw
+        # round() half-boundaries differ between engines (plans/_util.dround
+        # is floor-based, non-negative-only); revenue>0 ⇒ pct > −100.
+        dround(
+            (F.col("cents") - prev).cast("double") / prev.cast("double") * 100.0
+            + F.lit(100.0),
+            6,
+        ).alias("mom_pct_p100"),
+        (
+            (F.sum("cents").over(w3)).cast("double")
+            / F.count("cents").over(w3).cast("double")
+            / 100.0
+        ).alias("avg_3m"),
+    )
+
+
+_MOMENTUM_SQL = """
+WITH monthly AS (
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+    FROM orders GROUP BY 1
+)
+SELECT month,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       floor((CAST(cents - lag(cents) OVER w AS DOUBLE)
+              / CAST(lag(cents) OVER w AS DOUBLE) * 100.0 + 100.0)
+             * 1e6 + 0.5) / 1e6 AS mom_pct_p100,
+       CAST(SUM(cents) OVER w3 AS DOUBLE)
+           / CAST(count(cents) OVER w3 AS DOUBLE) / 100.0 AS avg_3m
+FROM monthly
+WINDOW w AS (ORDER BY month),
+       w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["monthly_revenue_momentum"] = monthly_revenue_momentum
+ORACLES["monthly_revenue_momentum"] = _MOMENTUM_SQL
+
