@@ -312,3 +312,38 @@ def test_schema_diff_detects_all_change_kinds(spark):
     # DataFrames accepted directly
     df = spark.range(1)
     assert schema_diff(df, df) == []
+
+
+def test_apportion_quota_properties_random(spark):
+    """Property: for ANY positive integer weights, quotas sum exactly to the
+    budget and each stratum's quota is within 1 of its exact proportional
+    share (the largest-remainder guarantee)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from platform_etl_drug_disease_spark.operators.sampling import (
+        apportion_quota,
+    )
+
+    @settings(
+        max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(
+        weights=st.lists(st.integers(1, 10**6), min_size=1, max_size=8),
+        total=st.integers(0, 10**4),
+    )
+    def inner(weights, total):
+        df = spark.createDataFrame(
+            [(f"s{i}", w) for i, w in enumerate(weights)], ["s", "w"]
+        )
+        got = {
+            r["s"]: r["quota"]
+            for r in apportion_quota(df, "s", "w", total).collect()
+        }
+        assert sum(got.values()) == total
+        tw = sum(weights)
+        for i, w in enumerate(weights):
+            exact = w * total / tw
+            assert exact - 1 < got[f"s{i}"] < exact + 1
+
+    inner()
