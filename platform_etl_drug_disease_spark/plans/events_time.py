@@ -1171,6 +1171,47 @@ FROM per_user
 
 
 
+
+def cumulative_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth curve: per day, first-time users and the cumulative distinct
+    user count to date. The distinct-to-date series does NOT need a
+    per-day distinct over growing prefixes (quadratic): each user reduces
+    to a first-seen day, days aggregate new-user counts, and one running
+    sum over the ~30-row day series yields the cumulative curve."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "user_id"])
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("day", F.min("ts")), "yyyy-MM-dd").alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.partitionBy().orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+_CUMULATIVE_SQL = """
+WITH first_seen AS (
+    SELECT user_id,
+           strftime(date_trunc('day', min(ts)), '%Y-%m-%d') AS day
+    FROM events GROUP BY user_id
+), daily AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS new_users
+    FROM first_seen GROUP BY day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cumulative_users
+FROM daily
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1193,6 +1234,7 @@ QUERIES = {
     "hourly_autocorr": hourly_autocorr,
     "hourly_gap_audit": hourly_gap_audit,
     "funnel_conversion_windowed": funnel_conversion_windowed,
+    "cumulative_users_by_day": cumulative_users_by_day,
 }
 
 ORACLES = {
@@ -1217,4 +1259,5 @@ ORACLES = {
     "hourly_autocorr": _AUTOCORR_SQL,
     "hourly_gap_audit": _GAP_AUDIT_SQL,
     "funnel_conversion_windowed": _FUNNEL_WINDOWED_SQL,
+    "cumulative_users_by_day": _CUMULATIVE_SQL,
 }

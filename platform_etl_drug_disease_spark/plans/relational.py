@@ -961,3 +961,49 @@ WINDOW w AS (ORDER BY month),
 QUERIES["monthly_revenue_momentum"] = monthly_revenue_momentum
 ORACLES["monthly_revenue_momentum"] = _MOMENTUM_SQL
 
+def ship_leadtime_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution: days between order date and
+    line shipment, binned weekly, with counts and the cumulative share —
+    the SLA view of the fulfilment pipeline. The fact join reduces straight
+    into the ~20-row histogram; the cumulative share is a window over it."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    days = F.datediff("l_shipdate", "o_orderdate")
+    binned = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select((F.floor(days / 7)).cast("bigint").alias("week_bucket"))
+        .groupBy("week_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy().orderBy("week_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    return binned.select(
+        "week_bucket",
+        "n",
+        dround(
+            F.sum("n").over(w).cast("double") / F.sum("n").over(tot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+_LEADTIME_SQL = """
+WITH binned AS (
+    SELECT CAST(floor(datediff('day', o_orderdate, l_shipdate) / 7) AS BIGINT)
+               AS week_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+)
+SELECT week_bucket, n,
+       floor(CAST(SUM(n) OVER (ORDER BY week_bucket ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE)
+             / CAST(SUM(n) OVER () AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_share
+FROM binned
+"""
+
+QUERIES["ship_leadtime_histogram"] = ship_leadtime_histogram
+ORACLES["ship_leadtime_histogram"] = _LEADTIME_SQL
+
