@@ -1212,6 +1212,56 @@ FROM daily
 
 
 
+
+def event_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column operators end to end: build a per-event
+    map<string,string> from heterogeneous attributes (``create_map``),
+    drop null-valued entries with the ``map_filter`` HOF (the "sparse
+    attributes" idiom — absent keys instead of null values), explode the
+    entries, and profile each key's entry count and value cardinality.
+    The semi-structured attribute-bag audit for event streams whose
+    property sets vary by event.
+
+    Map construction and filtering are JVM expressions in the scan
+    projection; the only shuffle is the |keys|-sized profile aggregate.
+    The oracle replicates each key family relationally — same rows, no
+    map type needed on the DuckDB side."""
+    ev = load_table(spark, sf_dir, "events", ["event_type", "value", "props"])
+    m = F.map_filter(
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("k"), F.get_json_object("props", "$.k"),
+            F.lit("vband"),
+            F.when(F.col("value") >= 50, F.lit("high")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    entries = ev.select(F.explode(m).alias("key", "val"))
+    return entries.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.countDistinct("val").alias("n_distinct_values"),
+    )
+
+
+_PROPS_MAP_SQL = """
+WITH entries AS (
+    SELECT 'etype' AS key, event_type AS val FROM events
+    UNION ALL
+    SELECT 'k', json_extract_string(props, '$.k') FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    UNION ALL
+    SELECT 'vband', 'high' FROM events WHERE value >= 50
+)
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_entries,
+       CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_values
+FROM entries GROUP BY key
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1235,6 +1285,7 @@ QUERIES = {
     "hourly_gap_audit": hourly_gap_audit,
     "funnel_conversion_windowed": funnel_conversion_windowed,
     "cumulative_users_by_day": cumulative_users_by_day,
+    "event_props_map_stats": event_props_map_stats,
 }
 
 ORACLES = {
@@ -1260,4 +1311,5 @@ ORACLES = {
     "hourly_gap_audit": _GAP_AUDIT_SQL,
     "funnel_conversion_windowed": _FUNNEL_WINDOWED_SQL,
     "cumulative_users_by_day": _CUMULATIVE_SQL,
+    "event_props_map_stats": _PROPS_MAP_SQL,
 }
