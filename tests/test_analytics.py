@@ -347,3 +347,40 @@ def test_apportion_quota_properties_random(spark):
             assert exact - 1 < got[f"s{i}"] < exact + 1
 
     inner()
+
+
+def test_transition_matrix_rows_and_probabilities(spark):
+    from platform_etl_drug_disease_spark.plans.events_time import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, SF_SMOKE).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    # per-prev probabilities sum to 1 (within the 1e-6 rounding grid)
+    for prev, rs in by_prev.items():
+        assert abs(sum(x["p"] for x in rs) - 1.0) < 1e-4, prev
+    # total transitions = events - one first-event per user
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+
+
+def test_cohort_retention_invariants(spark):
+    from platform_etl_drug_disease_spark.plans.events_time import (
+        order_cohort_retention,
+    )
+
+    rows = order_cohort_retention(spark, SF_SMOKE).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], {})[r["month_offset"]] = r
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs, f"cohort {cohort} missing offset 0"
+        base = offs[0]["n_active"]
+        assert offs[0]["retention"] == 1.0
+        for off, r in offs.items():
+            assert r["n_active"] <= base
+            assert 0.0 <= r["retention"] <= 1.0
