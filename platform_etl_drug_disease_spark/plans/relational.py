@@ -1007,3 +1007,33 @@ FROM binned
 QUERIES["ship_leadtime_histogram"] = ship_leadtime_histogram
 ORACLES["ship_leadtime_histogram"] = _LEADTIME_SQL
 
+# the portable ANSI core shared verbatim by Spark SQL and the DuckDB oracle
+_PORTABLE_REVENUE_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+def sql_text_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 made literal: the exact same ANSI SQL TEXT runs on Spark
+    (``spark.sql`` over temp views) and on DuckDB (the oracle) — one
+    portable dialect, two engines, identical value hashes. This is the
+    SQL-first user surface: register views once, submit query strings, let
+    Catalyst plan them with the same pushdown/broadcast treatment as the
+    DataFrame API (the plan is checked by the same lint)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_REVENUE_SQL)
+
+
+QUERIES["sql_text_revenue"] = sql_text_revenue
+ORACLES["sql_text_revenue"] = _PORTABLE_REVENUE_SQL
+
