@@ -1262,6 +1262,46 @@ FROM entries GROUP BY key
 
 
 
+
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-schema ingestion via the VARIANT type (Spark 4): ``parse_json``
+    once into a binary-encoded variant column, then typed ``variant_get``
+    paths at query time — the modern semi-structured path that replaces
+    per-query string re-parsing (get_json_object re-parses the text for
+    every extraction; a variant parses once and serves any number of typed
+    path reads). Per event type: rows with k, sum/max of k read AS LONG
+    through the variant, and the dominant inferred variant schema.
+
+    The oracle reads the same paths with DuckDB's JSON extraction — the
+    engines' storage differs (that's the point: VARIANT is engine-side
+    encoding), the VALUES must not."""
+    ev = load_table(spark, sf_dir, "events", ["event_type", "props"])
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    typed = v.select(
+        "event_type",
+        F.variant_get("v", "$.k", "long").alias("k"),
+        F.schema_of_variant("v").alias("sch"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("k_sum"),
+        F.max("k").alias("k_max"),
+        F.max("sch").alias("variant_schema"),
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS k_sum,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+       'OBJECT<k: BIGINT>' AS variant_schema
+FROM events GROUP BY event_type
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1286,6 +1326,7 @@ QUERIES = {
     "funnel_conversion_windowed": funnel_conversion_windowed,
     "cumulative_users_by_day": cumulative_users_by_day,
     "event_props_map_stats": event_props_map_stats,
+    "variant_props_stats": variant_props_stats,
 }
 
 ORACLES = {
@@ -1312,4 +1353,5 @@ ORACLES = {
     "funnel_conversion_windowed": _FUNNEL_WINDOWED_SQL,
     "cumulative_users_by_day": _CUMULATIVE_SQL,
     "event_props_map_stats": _PROPS_MAP_SQL,
+    "variant_props_stats": _VARIANT_SQL,
 }
