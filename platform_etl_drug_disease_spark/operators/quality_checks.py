@@ -150,3 +150,18 @@ def schema_diff(old, new) -> list[dict]:
             out.append({"column": name, "change": "renullabled",
                         "detail": f"{a.nullable} -> {b.nullable}"})
     return out
+
+
+def observe_metrics(df, name: str, **metric_exprs):
+    """Attach in-flight observed metrics to a DataFrame (``df.observe``):
+    the metrics are computed DURING the query's own execution — row counts,
+    null tallies, sums — and read back after the action, so a production
+    write gets its quality counters for free instead of paying a second
+    scan (the at-scale alternative to running dq_audit as a separate job).
+
+    Returns ``(df, observation)``; read ``observation.get`` after an
+    action has executed the returned DataFrame."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[v.alias(k) for k, v in metric_exprs.items()]), obs

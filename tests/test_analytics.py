@@ -384,3 +384,26 @@ def test_cohort_retention_invariants(spark):
         for off, r in offs.items():
             assert r["n_active"] <= base
             assert 0.0 <= r["retention"] <= 1.0
+
+
+def test_observe_metrics_free_quality_counters(spark, tmp_path):
+    from platform_etl_drug_disease_spark.operators.quality_checks import (
+        observe_metrics,
+    )
+
+    df = spark.range(0, 1000).withColumn(
+        "v", F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2)
+    )
+    observed, obs = observe_metrics(
+        df,
+        "write_audit",
+        n_rows=F.count(F.lit(1)),
+        n_null_v=F.count(F.when(F.col("v").isNull(), 1)),
+        v_sum=F.sum("v"),
+    )
+    # the metrics ride the WRITE action itself — no second scan
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["n_null_v"] == 100
+    assert got["v_sum"] == sum(2 * i for i in range(1000) if i % 10 != 0)
