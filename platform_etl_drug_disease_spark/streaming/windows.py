@@ -371,3 +371,62 @@ def funnel_flags_stream(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transform_with_state_available() -> bool:
+    """True when the Spark-4 transformWithState Python worker can run here
+    (its driver worker imports google.protobuf descriptors at startup)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """The Spark-4 ``transformWithStateInPandas`` form of
+    :func:`running_user_totals`: per-user running event count and value sum
+    held in a typed ValueState. Functionally identical to the
+    applyInPandasWithState twin; carried so the engine exercises BOTH
+    stateful APIs (the older one is maintenance-mode upstream — this is
+    the forward path, with finer-grained state types and timers).
+
+    Requires a working ``google.protobuf`` (the transformWithState driver
+    worker speaks protobuf to the JVM); environments without it must stay
+    on :func:`running_user_totals` — probe with
+    :func:`transform_with_state_available` first."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, v double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cur = self._state.get() if self._state.exists() else (0, 0.0)
+            n, v = int(cur[0]), float(cur[1])
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "total_events": [n],
+                    "total_value": [v],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Totals(),
+        outputStructType="user_id bigint, total_events bigint, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

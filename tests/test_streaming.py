@@ -415,3 +415,29 @@ def test_watermark_drops_late_rows_accounted(spark, tmp_path):
         r["win_start"].isoformat() for r in spark.table("t_late_drop").collect()
     }
     assert "2024-01-01T00:00:00" not in wins
+
+
+def test_transform_with_state_totals_match_legacy(spark, events_dir):
+    """The Spark-4 transformWithStateInPandas totals must equal the
+    applyInPandasWithState implementation's final per-user values. Skipped
+    where the transformWithState driver worker cannot start (it requires a
+    working google.protobuf, absent in this container)."""
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        running_user_totals_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: transformWithState worker cannot start")
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    got = run_to_memory_sink(
+        running_user_totals_tws(stream), "tws_totals", output_mode="update"
+    )
+    latest = (
+        got.groupBy("user_id")
+        .agg(F.max("total_events").alias("n"), F.max("total_value").alias("v"))
+        .collect()
+    )
+    final = {r["user_id"]: (r["n"], r["v"]) for r in latest}
+    assert final == {1: (3, 6.0), 2: (2, 9.0)}
