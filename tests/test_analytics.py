@@ -407,3 +407,41 @@ def test_observe_metrics_free_quality_counters(spark, tmp_path):
     assert got["n_rows"] == 1000
     assert got["n_null_v"] == 100
     assert got["v_sum"] == sum(2 * i for i in range(1000) if i % 10 != 0)
+
+
+def test_python_udtf_lateral_equals_builtin_explode(spark):
+    """D3 surface: a Python UDTF registered and applied via SQL LATERAL
+    must match the engine's preferred row-generation path (explode over a
+    builtin split). The UDTF is the API-completeness demonstration only —
+    catalog row generation stays on explode/mapInPandas (codegen vs
+    per-row Python)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split()):
+                yield t, i
+
+    spark.udtf.register("py_tokenize", Tokenize)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "delta")], ["doc_id", "text"]
+    )
+    df.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["pos"]): r["token"]
+        for r in spark.sql(
+            "SELECT d.doc_id, t.token, t.pos "
+            "FROM udtf_docs d, LATERAL py_tokenize(d.text) t"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["pos"]): r["token"]
+        for r in df.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " +")).alias("pos", "token"),
+        )
+        .where(F.col("token") != "")
+        .collect()
+    }
+    assert got == want and (1, 2) in got
