@@ -695,3 +695,55 @@ GROUP BY d.dim_version
 QUERIES["orders_asof_dimension"] = orders_asof_dimension
 ORACLES["orders_asof_dimension"] = _ASOF_DIM_SQL
 
+def dataset_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant content fingerprint per table: every row renders to
+    a canonical string, hashes to a 60-bit integer (md5 prefix — identical
+    in any engine), and the per-table fingerprint is the XOR of all row
+    hashes plus the row count. XOR is commutative/associative ⇒ the
+    fingerprint is independent of partitioning, ordering, and merge shape
+    (mergeable across shards by XOR) — the cheap dataset-version check
+    that answers "did anything change?" before any expensive diff runs.
+
+    One map-side-combinable aggregate per table; no sort, no collect."""
+    def fp(df, cols, name):
+        row = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("bigint")
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor(h).alias("fingerprint"),
+        )
+
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "n_chars"])
+    out = fp(orders, ["o_orderkey", "o_orderstatus"], "orders")
+    out = out.unionByName(fp(cust, ["c_custkey", "c_nationkey"], "customer"))
+    return out.unionByName(fp(docs, ["doc_id", "n_chars"], "documents"))
+
+
+_FPRINT_SQL = """
+SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(CAST(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus), 1, 15))
+           AS BIGINT)) AS fingerprint
+FROM orders
+UNION ALL
+SELECT 'customer', CAST(count(*) AS BIGINT),
+       bit_xor(CAST(('0x' || substr(md5(
+           CAST(c_custkey AS VARCHAR) || '|' || CAST(c_nationkey AS VARCHAR)),
+           1, 15)) AS BIGINT))
+FROM customer
+UNION ALL
+SELECT 'documents', CAST(count(*) AS BIGINT),
+       bit_xor(CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR) || '|' || CAST(n_chars AS VARCHAR)),
+           1, 15)) AS BIGINT))
+FROM documents
+"""
+
+QUERIES["dataset_fingerprints"] = dataset_fingerprints
+ORACLES["dataset_fingerprints"] = _FPRINT_SQL
+
