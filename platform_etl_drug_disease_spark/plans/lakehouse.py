@@ -747,3 +747,58 @@ FROM documents
 QUERIES["dataset_fingerprints"] = dataset_fingerprints
 ORACLES["dataset_fingerprints"] = _FPRINT_SQL
 
+def partition_change_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-recompute planner: fingerprint the events table PER DAY
+    for two versions (the current snapshot vs a deterministic mutation —
+    values bumped where event_id % 13 == 0), compare fingerprints, and
+    emit exactly the day partitions whose content changed with their row
+    counts. Downstream jobs re-run only those partitions — the fingerprint
+    diff costs two combinable aggregates, not a row-level join, and at
+    100 TB the plan output is |changed days|, not |changed rows|.
+
+    BOTH versions derive from one scan (the mutation is a column), so this
+    is a single aggregate over (day) with paired XOR fingerprints."""
+    ev = load_table(spark, sf_dir, "events", ["event_id", "ts", "value"])
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    v_new = F.when(
+        F.col("event_id") % 13 == 0, F.round(F.col("value") + 1.0, 6)
+    ).otherwise(F.col("value"))
+    row_old = F.concat_ws("|", F.col("event_id").cast("string"),
+                          F.col("value").cast("string"))
+    row_new = F.concat_ws("|", F.col("event_id").cast("string"),
+                          v_new.cast("string"))
+    h = lambda r: F.conv(F.substring(F.md5(r), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    per_day = ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(h(row_old)).alias("fp_old"),
+        F.bit_xor(h(row_new)).alias("fp_new"),
+        F.count(F.when(F.col("event_id") % 13 == 0, 1)).alias("n_changed_rows"),
+    )
+    return per_day.where(F.col("fp_old") != F.col("fp_new")).select(
+        "day", "n_rows", "n_changed_rows"
+    )
+
+
+_CHANGE_PLAN_SQL = """
+WITH per_day AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || '|' || CAST(value AS VARCHAR)),
+               1, 15)) AS BIGINT)) AS fp_old,
+           bit_xor(CAST(('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || '|' ||
+               CAST(CASE WHEN event_id % 13 = 0
+                         THEN round(value + 1.0, 6) ELSE value END AS VARCHAR)),
+               1, 15)) AS BIGINT)) AS fp_new,
+           CAST(count(CASE WHEN event_id % 13 = 0 THEN 1 END) AS BIGINT)
+               AS n_changed_rows
+    FROM events GROUP BY 1
+)
+SELECT day, n_rows, n_changed_rows
+FROM per_day WHERE fp_old != fp_new
+"""
+
+QUERIES["partition_change_plan"] = partition_change_plan
+ORACLES["partition_change_plan"] = _CHANGE_PLAN_SQL
+
