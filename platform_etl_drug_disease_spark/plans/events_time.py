@@ -1302,6 +1302,82 @@ FROM events GROUP BY event_type
 
 
 
+
+def value_moments_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment profile per event type: mean, variance, skewness, and
+    excess kurtosis from ONE pass of exact integer raw moments (value in
+    1e-2 units so even the 4th-power sums stay far inside 38-digit
+    integers at any realistic scale). The shape audit that tells a
+    heavy-tailed value distribution from a Gaussian one before anyone
+    trusts a z-score threshold."""
+    ev = load_table(spark, sf_dir, "events", ["event_type", "value"])
+    d = "decimal(38,0)"
+    x = F.round(F.col("value") * 100).cast(d)
+    g = ev.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    mu3 = m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1
+    mu4 = m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        dround(m1 / F.lit(100.0), 6).alias("mean"),
+        dround(var / F.lit(10000.0), 6).alias("variance"),
+        # skewness can be negative; kurtosis−3 likewise → shift by +10
+        dround(mu3 / (var * F.sqrt(var)) + F.lit(10.0), 6).alias("skew_p10"),
+        dround(mu4 / (var * var) - F.lit(3.0) + F.lit(10.0), 6).alias(
+            "ex_kurtosis_p10"
+        ),
+    )
+
+
+_MOMENTS_SQL = """
+WITH g AS (
+    SELECT event_type,
+           CAST(count(*) AS HUGEINT) AS n,
+           SUM(CAST(round(value * 100) AS HUGEINT)) AS s1,
+           SUM(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS s2,
+           SUM(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS s3,
+           SUM(CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)
+               * CAST(round(value * 100) AS HUGEINT)) AS s4
+    FROM events GROUP BY event_type
+), m AS (
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+           CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2,
+           CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS m3,
+           CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS m4
+    FROM g
+)
+SELECT event_type, n_events,
+       floor(m1 / 100.0 * 1e6 + 0.5) / 1e6 AS mean,
+       floor((m2 - m1 * m1) / 10000.0 * 1e6 + 0.5) / 1e6 AS variance,
+       floor(((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+              / ((m2 - m1 * m1) * sqrt(m2 - m1 * m1)) + 10.0) * 1e6 + 0.5) / 1e6
+           AS skew_p10,
+       floor(((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+              / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0 + 10.0) * 1e6 + 0.5)
+           / 1e6 AS ex_kurtosis_p10
+FROM m
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1327,6 +1403,7 @@ QUERIES = {
     "cumulative_users_by_day": cumulative_users_by_day,
     "event_props_map_stats": event_props_map_stats,
     "variant_props_stats": variant_props_stats,
+    "value_moments_stats": value_moments_stats,
 }
 
 ORACLES = {
@@ -1354,4 +1431,5 @@ ORACLES = {
     "cumulative_users_by_day": _CUMULATIVE_SQL,
     "event_props_map_stats": _PROPS_MAP_SQL,
     "variant_props_stats": _VARIANT_SQL,
+    "value_moments_stats": _MOMENTS_SQL,
 }
