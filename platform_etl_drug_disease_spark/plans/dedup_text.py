@@ -1743,3 +1743,113 @@ SELECT 3, source, marginal_new,
 
 QUERIES["source_coverage_greedy"] = source_coverage_greedy
 ORACLES["source_coverage_greedy"] = _GREEDY_SQL
+
+
+# ---------------------------------------------------------------------------
+# corpus release pipeline: the LLM-side flagship DAG (clean → split → pack)
+# ---------------------------------------------------------------------------
+
+
+def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus release: exact-dedup keepers (min doc_id
+    per content hash) filtered to quality ≥ 0.5, deterministically split
+    80/10/10, then sequence-packed into ~4096-token bins per (split, lang);
+    the release manifest reports, per split: documents, tokens, bins, and
+    mean bin fill. This is the LLM-side counterpart of the reference-parity
+    ``drug_disease_pipeline`` — one DAG, every stage an operator this
+    catalog already proves in isolation.
+
+    Scale shape: ONE tokenize pass feeds hash, quality, and token counts
+    (persisted at the fan-out — three consumers); dedup is a window, never
+    a self-join; split membership is a pure hash function (no shuffle); the
+    packing window runs per (split, lang) partition; the manifest is a
+    |splits|-row rollup."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
+    t = F.col("__toks")
+    scored = (
+        docs.withColumn("__toks", tx.tokens("text"))
+        .select(
+            "doc_id",
+            "lang",
+            F.md5("text").alias("__h"),
+            tx.quality_score_of(t).alias("q"),
+            tx.token_count_of(t).alias("n_tokens"),
+        )
+        .persist()  # fan-out: keeper window + quality filter + packing feed
+    )
+    w = Window.partitionBy("__h")
+    clean = scored.withColumn(
+        "__keep", F.min("doc_id").over(w) == F.col("doc_id")
+    ).where(F.col("__keep") & (F.col("q") >= 0.5))
+    split = clean.withColumn(
+        "split", split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    wp = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = split.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(wp) - F.col("n_tokens")) / F.lit(4096)),
+    )
+    bins = packed.groupBy("split", "lang", "bin").agg(
+        F.count(F.lit(1)).alias("docs_in_bin"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+    return bins.groupBy("split").agg(
+        F.sum("docs_in_bin").cast("bigint").alias("n_docs"),
+        F.sum("bin_tokens").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_bins"),
+        dround(
+            F.sum("bin_tokens").cast("double") / F.count(F.lit(1)) / 4096.0, 6
+        ).alias("mean_bin_fill"),
+    )
+
+
+_RELEASE_SQL = _TOKS_CTE + """
+, scored AS (
+    SELECT d.doc_id, d.lang, md5(d.text) AS h,
+           round(0.4 * least(len(t) / 64.0, 1.0)
+               + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+               + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','of','and','to','in','is','it','for'], x)))
+                     * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6) AS q,
+           len(t) AS n_tokens
+    FROM toks JOIN documents d USING (doc_id)
+), clean AS (
+    SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY h) = doc_id AS keep
+        FROM scored
+    ) WHERE keep AND q >= 0.5
+), split AS (
+    SELECT *,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                          AS BIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                          AS BIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM clean
+), packed AS (
+    SELECT *,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY split, lang
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) / 4096.0) AS BIGINT) AS bin
+    FROM split
+), bins AS (
+    SELECT split, lang, bin, count(*) AS docs_in_bin,
+           SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY 1, 2, 3
+)
+SELECT split,
+       CAST(SUM(docs_in_bin) AS BIGINT) AS n_docs,
+       CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       floor(CAST(SUM(bin_tokens) AS DOUBLE) / count(*) / 4096.0 * 1e6 + 0.5)
+           / 1e6 AS mean_bin_fill
+FROM bins GROUP BY split
+"""
+
+QUERIES["corpus_release_pipeline"] = corpus_release_pipeline
+ORACLES["corpus_release_pipeline"] = _RELEASE_SQL
