@@ -104,6 +104,18 @@ HEADLINE = [
     "funnel_conversion_windowed",
     "source_coverage_greedy",
     "seasonal_hour_profile",
+    "monthly_revenue_momentum",
+    "cumulative_users_by_day",
+    "ship_leadtime_histogram",
+    "event_props_map_stats",
+    "variant_props_stats",
+    "sql_text_revenue",
+    "quality_psi_stats",
+    "dataset_fingerprints",
+    "partition_change_plan",
+    "value_moments_stats",
+    "corpus_release_pipeline",
+    "regional_revenue_share",
 ]
 
 

@@ -64,7 +64,11 @@ _DRIVER_WINDOW = [
     "token_fingerprints",
     "leakage_safe_split",
     "quality_lm_score",
-    "clean_corpus_stats",
+    # corpus_release_pipeline SUPERSEDES clean_corpus_stats in the scored
+    # window: it contains the same dedup-keeper + quality gate and adds the
+    # split + packing stages (the LLM-side flagship DAG). clean_corpus_stats
+    # remains a tail entry verified by tools/oracle_check.py.
+    "corpus_release_pipeline",
     "corpus_mix_stats",
     "token_bin_packing",
     # deduplication
