@@ -1378,6 +1378,82 @@ FROM m
 
 
 
+
+def value_ks_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic per event type:
+    weekday vs weekend value distributions. The CDF difference is evaluated
+    as the integer cross-product |n₂·C₁(x) − n₁·C₂(x)| over the distinct
+    value grid (values quantized to 1e-6), so the entire statistic is
+    integer arithmetic until one final division — no float CDFs to drift
+    between engines. The distribution-shift test behind "does the weekend
+    traffic behave differently?".
+
+    Scale shape: rows reduce to per-(type, x) group counts first; the
+    running-CDF window runs over each type's DISTINCT value grid, not its
+    rows."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    d = "decimal(38,0)"
+    g = F.dayofweek("ts").isin(1, 7).cast("int")  # 1=Sun, 7=Sat
+    x = F.round(F.col("value") * 1e6).cast("long")
+    grid = (
+        ev.select("event_type", x.alias("x"), g.alias("wknd"))
+        .groupBy("event_type", "x")
+        .agg(
+            F.sum("wknd").cast(d).alias("d1"),
+            F.sum(1 - F.col("wknd")).cast(d).alias("d2"),
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    wrun = wt.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        grid.withColumn("n1", F.sum("d1").over(wt))
+        .withColumn("n2", F.sum("d2").over(wt))
+        .withColumn("c1", F.sum("d1").over(wrun))
+        .withColumn("c2", F.sum("d2").over(wrun))
+        .withColumn(
+            "diff",
+            F.abs(F.col("n2") * F.col("c1") - F.col("n1") * F.col("c2")),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.max(F.col("n1")).cast("bigint").alias("n_weekend"),
+        F.max(F.col("n2")).cast("bigint").alias("n_weekday"),
+        dround(
+            F.max("diff").cast("double")
+            / (F.max("n1") * F.max("n2")).cast("double"),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+_KS_SQL = """
+WITH grid AS (
+    SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS x,
+           SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS d1,
+           SUM(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS d2
+    FROM events GROUP BY 1, 2
+), scored AS (
+    SELECT event_type,
+           CAST(SUM(d1) OVER wt AS HUGEINT) AS n1,
+           CAST(SUM(d2) OVER wt AS HUGEINT) AS n2,
+           CAST(SUM(d1) OVER wrun AS HUGEINT) AS c1,
+           CAST(SUM(d2) OVER wrun AS HUGEINT) AS c2
+    FROM grid
+    WINDOW wt AS (PARTITION BY event_type),
+           wrun AS (PARTITION BY event_type ORDER BY x
+                    ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(MAX(n1) AS BIGINT) AS n_weekend,
+       CAST(MAX(n2) AS BIGINT) AS n_weekday,
+       floor(CAST(MAX(abs(n2 * c1 - n1 * c2)) AS DOUBLE)
+             / CAST(MAX(n1) * MAX(n2) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS ks_stat
+FROM scored GROUP BY event_type
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1404,6 +1480,7 @@ QUERIES = {
     "event_props_map_stats": event_props_map_stats,
     "variant_props_stats": variant_props_stats,
     "value_moments_stats": value_moments_stats,
+    "value_ks_by_type": value_ks_by_type,
 }
 
 ORACLES = {
@@ -1432,4 +1509,5 @@ ORACLES = {
     "event_props_map_stats": _PROPS_MAP_SQL,
     "variant_props_stats": _VARIANT_SQL,
     "value_moments_stats": _MOMENTS_SQL,
+    "value_ks_by_type": _KS_SQL,
 }
