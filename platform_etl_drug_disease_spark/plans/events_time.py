@@ -1454,6 +1454,76 @@ FROM scored GROUP BY event_type
 
 
 
+
+def type_dow_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test: is event type independent of
+    day-of-week? Observed counts per (type, dow) cell; each cell's term is
+    (n·obs − row·col)² / (n·row·col) with EXACT integer numerator and
+    denominator, and the ~35 float terms are summed as a LEFT FOLD over
+    the (type, dow)-sorted array — sequence-deterministic in both engines
+    (the harmonic-sum rule), so even the final statistic hashes equal.
+    One fact aggregate; everything else runs on the 35-row table."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "event_type"])
+    d = "decimal(38,0)"
+    cells = (
+        ev.select("event_type", F.dayofweek("ts").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast(d).alias("obs"))
+    ).persist()  # consumed by row totals, col totals, and the term build
+    rows_t = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    cols_t = cells.groupBy("dow").agg(F.sum("obs").alias("col_tot"))
+    n_t = cells.agg(F.sum("obs").alias("n"))
+    j = (
+        cells.join(F.broadcast(rows_t), "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .crossJoin(F.broadcast(n_t))
+    )
+    num = (F.col("n") * F.col("obs") - F.col("row_tot") * F.col("col_tot"))
+    term = (num * num).cast("double") / (
+        F.col("n") * F.col("row_tot") * F.col("col_tot")
+    ).cast("double")
+    keyed = j.select(
+        F.struct(F.col("event_type"), F.col("dow"), term.alias("t")).alias("s")
+    )
+    folded = keyed.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("s")),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return folded.select(
+        F.col("n_cells").cast("bigint").alias("n_cells"),
+        dround(F.col("chi2"), 6).alias("chi2"),
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+    SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(count(*) AS HUGEINT) AS obs
+    FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, SUM(obs) AS row_tot FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(obs) AS col_tot FROM cells GROUP BY 1),
+nt AS (SELECT SUM(obs) AS n FROM cells),
+terms AS (
+    SELECT c.event_type, c.dow,
+           CAST((n * obs - row_tot * col_tot) * (n * obs - row_tot * col_tot)
+                AS DOUBLE)
+           / CAST(n * row_tot * col_tot AS DOUBLE) AS t
+    FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN nt
+), ordered AS (
+    SELECT list(t ORDER BY event_type, dow) AS ts_ FROM terms
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM terms) AS n_cells,
+       floor(list_reduce(list_prepend(0.0, ts_), (a, b) -> a + b) * 1e6 + 0.5)
+           / 1e6 AS chi2
+FROM ordered
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1481,6 +1551,7 @@ QUERIES = {
     "variant_props_stats": variant_props_stats,
     "value_moments_stats": value_moments_stats,
     "value_ks_by_type": value_ks_by_type,
+    "type_dow_chi2": type_dow_chi2,
 }
 
 ORACLES = {
@@ -1510,4 +1581,5 @@ ORACLES = {
     "variant_props_stats": _VARIANT_SQL,
     "value_moments_stats": _MOMENTS_SQL,
     "value_ks_by_type": _KS_SQL,
+    "type_dow_chi2": _CHI2_SQL,
 }
