@@ -193,3 +193,33 @@ def test_training_order_single_shard_shuffle(spark):
     plan = explain_string(training_shard_stats(spark, SF_SMOKE))
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_single_fact_shuffle_window_family(spark):
+    """The user-keyed window queries added this round must keep their ONE
+    fact-table hash Exchange (plus at most tiny post-agg exchanges): the
+    funnel's stages, the transition matrix's lag, and the cohort dedup all
+    claim partition reuse in their docstrings — pin it."""
+    import re
+
+    from platform_etl_drug_disease_spark.plans.events_time import (
+        event_transition_matrix,
+        funnel_conversion,
+        order_cohort_retention,
+    )
+
+    def fact_hash_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        # hash exchanges partitioned by user/cust key = the fact shuffles;
+        # SinglePartition/tiny-agg exchanges are not counted
+        return len(re.findall(r"Exchange hashpartitioning\((?:user_id|o_custkey)", plan))
+
+    assert fact_hash_exchanges(funnel_conversion(spark, SF_SMOKE)) == 1
+    # the persisted pairs table's plan text (window exchange included) is
+    # printed once per cache consumer — 2 textual matches, 1 physical shuffle
+    assert fact_hash_exchanges(event_transition_matrix(spark, SF_SMOKE)) <= 2
+    # cohort: one window exchange; its dedup aggregate must NOT add another
+    # custkey exchange on the fact path (sizes branch reads the persisted
+    # cohort-sized aggregate)
+    assert fact_hash_exchanges(order_cohort_retention(spark, SF_SMOKE)) <= 2
