@@ -347,10 +347,34 @@ FROM comp GROUP BY cluster_id
 )
 
 
+def _simhash_sql() -> str:
+    """DuckDB mirror of simhash64(prefix_hex=4): 16 generated per-bit
+    majority expressions over the same md5-derived token hashes — flips
+    SimHash from rows-only to a full value-hash oracle."""
+    th = "list_transform(t, x -> CAST(('0x' || substr(md5(x), 1, 4)) AS BIGINT))"
+    bit_terms = []
+    for b in range(16):
+        votes = (
+            f"list_reduce(list_prepend(0, list_transform(th, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), "
+            f"(a, c) -> a + c)"
+        )
+        bit_terms.append(f"(CASE WHEN {votes} > 0 THEN {1 << b} ELSE 0 END)")
+    sh = " + ".join(bit_terms)
+    return _TOKS_CTE + f"""
+, th_t AS (SELECT doc_id, {th} AS th FROM toks)
+, hashed AS (SELECT doc_id, CAST({sh} AS BIGINT) AS simhash FROM th_t)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_id
+FROM hashed GROUP BY simhash HAVING count(*) > 1
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash buckets (per-bit majority of md5 token hashes):
-    docs sharing a bucket are near-dup candidates. Spark-side bit loop →
-    rows-only driver check; determinism asserted in tests."""
+    docs sharing a bucket are near-dup candidates. The md5 hash family
+    makes the whole signature engine-portable — the oracle regenerates the
+    16 per-bit majority expressions and the value hashes must agree."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     hashed = docs.select(
         "doc_id", simhash64(tx.tokens("text"), prefix_hex=4).alias("simhash")
@@ -893,7 +917,7 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_cluster_components": _CC_SQL,
-    # dedup_simhash: Spark-side bit loop, rows-only by design
+    "dedup_simhash": _simhash_sql(),
     "repetition_quality": _REPETITION_SQL,
     "decontaminate_stats": _DECONTAM_SQL,
     "dedup_cluster_components_star": _CC_SQL,
