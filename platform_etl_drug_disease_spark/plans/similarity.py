@@ -212,11 +212,48 @@ SELECT id_a, id_b, label, cosine_sim FROM scored WHERE cosine_sim >= {_ND_TAU}
 _NEAR_DUP_SQL = _near_dup_sql()
 
 
+def _knn_lsh_sql() -> str:
+    """DuckDB mirror of knn_cosine_lsh: the same 4 Gaussian planes inlined
+    as literals, sign bits over the SAME unit vectors with the same
+    left-fold dot, identical bucket ids, identical rounded rerank —
+    upgrades the LSH kNN from rows-only to a full value-hash oracle."""
+    planes = hyperplanes(_DIM, 4)
+    bit_exprs = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(c) for c in plane) + "]"
+        d = (
+            f"list_reduce(list_transform(range(1, {_DIM} + 1), "
+            f"i -> nv[i] * ({lit})[i]), (x, y) -> x + y)"
+        )
+        bit_exprs.append(
+            f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(bit_exprs)
+    return f"""
+WITH {_UNIT_CTES},
+b AS (SELECT vec_id, nv, ({bucket}) AS bucket FROM n),
+q AS (SELECT vec_id AS q_id, nv AS qnv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+    SELECT q.q_id, c.vec_id AS c_id,
+           {_NDOT.format(a="q.qnv", b="c.nv")} AS cosine_sim
+    FROM q JOIN b c USING (bucket)
+    WHERE q.q_id != c.vec_id
+), ranked AS (
+    SELECT q_id, c_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine_sim DESC, c_id) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT q_id, c_id, cosine_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5: 4 sign-bit planes bucket the corpus;
-    only within-bucket pairs are scored (deterministic planes, so the result
-    is stable — but engine-specific plumbing → rows-only driver check;
-    recall vs brute force is asserted in tests)."""
+    """Hyperplane-LSH approximate top-5: 4 sign-bit planes bucket the
+    corpus; only within-bucket pairs are scored. Deterministic planes +
+    rounded rerank make the whole approximate result value-hash
+    reproducible — the oracle regenerates the buckets from the same plane
+    literals; recall vs brute force is additionally asserted in tests."""
     emb = _load_emb(spark, sf_dir, ["vec_id", "embedding"])
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -885,7 +922,7 @@ ORACLES = {
     "semantic_dedup_cells": _SEMDEDUP_SQL,
     "knn_cosine_bruteforce": _KNN_SQL,
     "embedding_near_dup": _NEAR_DUP_SQL,
-    # knn_cosine_lsh: LSH bucketing is engine plumbing, rows-only by design
+    "knn_cosine_lsh": _knn_lsh_sql(),
     "knn_cosine_ivf": _IVF_SQL,
     "embedding_quantize_stats": _QUANT_SQL,
     "knn_pq_adc": _PQ_SQL,
