@@ -1524,6 +1524,96 @@ FROM ordered
 
 
 
+
+def click_attribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear marketing attribution: each purchase's value is split equally
+    across that user's clicks in the 24 hours before it; purchases with no
+    qualifying click stay unattributed. Per user: purchases, attributed
+    purchases, credited value (sum of per-click shares), unattributed value.
+
+    Scale shape: the purchase×click pairing is a user-keyed equi-join with
+    a time-band filter — per-user fan-out is bounded by activity, never a
+    cross join; per-purchase click counts come from one aggregate on the
+    pair table. Shares are rounded to the 1e-6 grid BEFORE summation so
+    both engines add identical values (the decimal detour then makes the
+    sum order-independent)."""
+    day_us = 24 * 3600 * 1000000
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (F.col("p_us") - F.col("c_us") >= 0)
+        & (F.col("p_us") - F.col("c_us") <= day_us),
+        "left",
+    )
+    per_purchase = pairs.groupBy("p_id", "user_id", "p_value").agg(
+        F.count("c_id").alias("n_clicks")
+    )
+    share = dround(
+        F.col("p_value") / F.col("n_clicks").cast("double"), 6
+    )
+    credited = F.when(F.col("n_clicks") > 0, share * F.col("n_clicks")).otherwise(
+        F.lit(0.0)
+    )
+    unattributed = F.when(F.col("n_clicks") == 0, F.col("p_value")).otherwise(
+        F.lit(0.0)
+    )
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count(F.when(F.col("n_clicks") > 0, 1)).alias("n_attributed"),
+        dsum(credited).alias("credited_value"),
+        dsum(unattributed).alias("unattributed_value"),
+    )
+
+
+_ATTRIB_SQL = """
+WITH purchases AS (
+    SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us, value AS p_value
+    FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_us
+    FROM events WHERE event_type = 'click'
+), pairs AS (
+    SELECT p.*, c.c_id
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.c_user
+     AND p.p_us - c.c_us >= 0 AND p.p_us - c.c_us <= 86400000000
+), per_purchase AS (
+    SELECT p_id, user_id, p_value, count(c_id) AS n_clicks
+    FROM pairs GROUP BY 1, 2, 3
+), scored AS (
+    SELECT user_id, n_clicks,
+           p_value,
+           CASE WHEN n_clicks > 0
+                THEN floor(p_value / n_clicks * 1e6 + 0.5) / 1e6 * n_clicks
+                ELSE 0.0 END AS credited,
+           CASE WHEN n_clicks = 0 THEN p_value ELSE 0.0 END AS unattributed
+    FROM per_purchase
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(CASE WHEN n_clicks > 0 THEN 1 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CAST(credited AS DECIMAL(18,6))) AS DOUBLE) AS credited_value,
+       CAST(SUM(CAST(unattributed AS DECIMAL(18,6))) AS DOUBLE)
+           AS unattributed_value
+FROM scored GROUP BY user_id
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1552,6 +1642,7 @@ QUERIES = {
     "value_moments_stats": value_moments_stats,
     "value_ks_by_type": value_ks_by_type,
     "type_dow_chi2": type_dow_chi2,
+    "click_attribution_stats": click_attribution_stats,
 }
 
 ORACLES = {
@@ -1582,4 +1673,5 @@ ORACLES = {
     "value_moments_stats": _MOMENTS_SQL,
     "value_ks_by_type": _KS_SQL,
     "type_dow_chi2": _CHI2_SQL,
+    "click_attribution_stats": _ATTRIB_SQL,
 }
