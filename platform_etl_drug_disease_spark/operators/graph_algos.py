@@ -210,3 +210,48 @@ def kcore_peel(
     for st in stats[1:]:
         out = out.unionByName(st)
     return out
+
+
+def node_clustering(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient
+    2·T(v) / (deg(v)·(deg(v)−1)) over an undirected graph (edges once as
+    u < v). Triangles enumerate through the same degree-ordered wedge join
+    as :func:`triangle_stats` (hub-safe); each closed triangle credits all
+    three vertices via one explode. Exact integer arithmetic until the
+    final ratio."""
+    pairs = pairs.persist()
+    oriented = orient_by_degree(pairs, u, v).persist()
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.dst") == F.col("e2.src"))
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, ["a", "c"], "left_semi")
+    credits = (
+        triangles.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        pairs.select(F.col(u).alias("node"))
+        .unionAll(pairs.select(F.col(v).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.join(credits, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .withColumn(
+            "clustering",
+            F.when(
+                F.col("deg") >= 2,
+                (F.lit(2) * F.col("n_triangles")).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -419,6 +419,65 @@ s{r} AS (
     return "WITH " + _PAIR_CTE + "," + ",".join(rounds) + "\n" + unions
 
 
+
+def supplier_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by local clustering coefficient on the
+    support-thresholded co-supplier graph — "whose partners also partner
+    with each other?", the cohesion score that separates brokers (low
+    clustering, high degree) from clique members. Exact integer triangle
+    credits and degrees; ties broken by node id."""
+    from platform_etl_drug_disease_spark.operators.graph_algos import (
+        node_clustering,
+    )
+
+    out = node_clustering(_co_supplier_pairs(spark, sf_dir))
+    return (
+        out.select(
+            "node",
+            F.col("deg").cast("bigint").alias("deg"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+            dround(F.col("clustering"), 6).alias("clustering"),
+        )
+        .orderBy(F.col("clustering").desc(), "node")
+        .limit(20)
+    )
+
+
+_CLUSTERING_SQL = "WITH " + _PAIR_CTE + """
+, deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM pair UNION ALL SELECT v FROM pair
+    ) GROUP BY node
+), oriented AS (
+    SELECT CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.u ELSE p.v END AS src,
+           CASE WHEN (du.deg, p.u) < (dv.deg, p.v) THEN p.v ELSE p.u END AS dst
+    FROM pair p
+    JOIN deg du ON du.node = p.u
+    JOIN deg dv ON dv.node = p.v
+), tri AS (
+    SELECT w.a, w.b, w.c
+    FROM (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM oriented e1 JOIN oriented e2 ON e1.dst = e2.src) w
+    WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = w.a AND o.dst = w.c)
+), credits AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+)
+SELECT d.node, d.deg,
+       COALESCE(c.n_triangles, 0) AS n_triangles,
+       floor(CASE WHEN d.deg >= 2
+                  THEN CAST(2 * COALESCE(c.n_triangles, 0) AS DOUBLE)
+                       / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+                  ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS clustering
+FROM deg d LEFT JOIN credits c USING (node)
+ORDER BY clustering DESC, node
+LIMIT 20
+"""
+
+
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
@@ -428,6 +487,7 @@ QUERIES = {
     "trade_pagerank": trade_pagerank,
     "supplier_triangles": supplier_triangles,
     "supplier_kcore": supplier_kcore,
+    "supplier_clustering": supplier_clustering,
 }
 
 ORACLES = {
@@ -438,5 +498,6 @@ ORACLES = {
     "trade_pagerank": _pagerank_sql(),
     "supplier_triangles": _TRIANGLE_SQL,
     "supplier_kcore": _kcore_sql(),
+    "supplier_clustering": _CLUSTERING_SQL,
     # adjacency_degree_approx: sketch-based, rows-only by design
 }

@@ -445,3 +445,21 @@ def test_python_udtf_lateral_equals_builtin_explode(spark):
         .collect()
     }
     assert got == want and (1, 2) in got
+
+
+def test_node_clustering_known_graph(spark):
+    from platform_etl_drug_disease_spark.operators.graph_algos import (
+        node_clustering,
+    )
+
+    # K4 minus edge (3,4): node 1 and 2 sit in 2 triangles each with deg 3
+    # (coeff 2/3); nodes 3,4 in 1 triangle with deg 2 (coeff 1.0)
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], ["u", "v"]
+    )
+    got = {r["node"]: (r["deg"], r["n_triangles"], round(r["clustering"], 6))
+           for r in node_clustering(df).collect()}
+    assert got[1] == (3, 2, round(2 * 2 / (3 * 2), 6))
+    assert got[2] == (3, 2, round(2 * 2 / (3 * 2), 6))
+    assert got[3] == (2, 1, 1.0)
+    assert got[4] == (2, 1, 1.0)
