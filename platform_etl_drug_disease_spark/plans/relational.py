@@ -1037,3 +1037,68 @@ def sql_text_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sql_text_revenue"] = sql_text_revenue
 ORACLES["sql_text_revenue"] = _PORTABLE_REVENUE_SQL
 
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier) per brand: parts not dominated on
+    (cheaper price, larger size) by any other part of the same brand —
+    "best value" shortlisting, the multi-criteria cousin of top-k. The 2-D
+    staircase algorithm: sort by price ascending (key tiebreak), keep rows
+    whose size strictly exceeds the running max of all cheaper rows —
+    O(n log n) with ONE window pass, versus the naive NOT EXISTS
+    dominance anti-join's O(n²) pair work. Brand partitioning keeps each
+    sort per-stratum; an unpartitioned global skyline at 100 TB uses
+    range-partition + broadcast prefix-max with identical semantics.
+    Ties on price: a row is dominated only by STRICTLY cheaper rows, so
+    the running max excludes the current price group (range frame)."""
+    parts = load_table(
+        spark, sf_dir, "part",
+        ["p_partkey", "p_brand", "p_size", "p_retailprice"],
+    )
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    staged = parts.select(
+        "p_partkey", "p_brand", "p_size", cents.alias("price_c")
+    ).withColumn("max_size_cheaper", F.max("p_size").over(w))
+    sky = staged.where(
+        F.col("max_size_cheaper").isNull()
+        | (F.col("p_size") > F.col("max_size_cheaper"))
+    )
+    return sky.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_skyline"),
+        F.min("price_c").alias("cheapest_c"),
+        F.max("p_size").alias("max_size"),
+        arr_join(
+            F.sort_array(F.collect_list("p_partkey")), elem_cast="string"
+        ).alias("skyline_parts"),
+    )
+
+
+_SKYLINE_SQL = """
+WITH staged AS (
+    SELECT p_partkey, p_brand, p_size,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+           MAX(p_size) OVER (PARTITION BY p_brand ORDER BY
+               CAST(round(p_retailprice * 100) AS BIGINT)
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_size_cheaper
+    FROM part
+), sky AS (
+    SELECT * FROM staged
+    WHERE max_size_cheaper IS NULL OR p_size > max_size_cheaper
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_skyline,
+       MIN(price_c) AS cheapest_c,
+       CAST(MAX(p_size) AS INTEGER) AS max_size,
+       array_to_string(list_transform(list_sort(list(p_partkey)),
+                                      x -> CAST(x AS VARCHAR)), ',')
+           AS skyline_parts
+FROM sky GROUP BY p_brand
+"""
+
+QUERIES["part_skyline"] = part_skyline
+ORACLES["part_skyline"] = _SKYLINE_SQL
+
