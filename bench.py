@@ -116,6 +116,11 @@ HEADLINE = [
     "value_moments_stats",
     "corpus_release_pipeline",
     "regional_revenue_share",
+    "value_ks_by_type",
+    "type_dow_chi2",
+    "click_attribution_stats",
+    "supplier_clustering",
+    "part_skyline",
 ]
 
 
