@@ -1614,6 +1614,139 @@ FROM scored GROUP BY user_id
 
 
 
+
+def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split 50/50 into arms by hash (pure
+    function of user_id — the same deterministic assignment a real
+    experiment platform uses), strict funnel conversion computed per arm,
+    and the 2×2 chi-squared statistic for purchase-conversion independence
+    of arm. One row per arm plus lift columns — the A/B analysis staple.
+
+    The funnel reuses funnel_flags (one user-keyed shuffle); the chi²
+    term arithmetic is exact integers over the 2×2 table (n·obs −
+    row·col form), summed in fixed arm order."""
+    from platform_etl_drug_disease_spark.operators.sampling import md5_bucket
+    from platform_etl_drug_disease_spark.operators.windows import funnel_flags
+
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    per_user = funnel_flags(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    ).withColumn(
+        "arm",
+        F.when(md5_bucket("user_id", 2, "ab1") == 0, "A").otherwise("B"),
+    )
+    d = "decimal(38,0)"
+    arms = per_user.where(F.col("reached_view")).groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d).alias("n_exposed"),
+        F.count(F.when(F.col("reached_purchase"), 1)).cast(d).alias("n_converted"),
+    ).persist()  # 2 rows; consumed by totals + the per-arm output
+    tot = arms.agg(
+        F.sum("n_exposed").alias("N"),
+        F.sum("n_converted").alias("C"),
+    )
+    j = arms.crossJoin(F.broadcast(tot))
+    # chi² over the 2×2 (converted vs not, arm A vs B): term per cell in
+    # (N·obs − row·col)²/(N·row·col) form; 4 cells = 2 per arm
+    conv_term_num = (
+        F.col("N") * F.col("n_converted") - F.col("n_exposed") * F.col("C")
+    )
+    nonc_term_num = (
+        F.col("N") * (F.col("n_exposed") - F.col("n_converted"))
+        - F.col("n_exposed") * (F.col("N") - F.col("C"))
+    )
+    # degenerate margins (all or none converted) contribute 0 — at sf0.01
+    # every viewer converts, so the N−C denominator would be literal zero
+    chi_arm = F.when(
+        F.col("C") > 0,
+        (conv_term_num * conv_term_num).cast("double")
+        / (F.col("N") * F.col("n_exposed") * F.col("C")).cast("double"),
+    ).otherwise(F.lit(0.0)) + F.when(
+        (F.col("N") - F.col("C")) > 0,
+        (nonc_term_num * nonc_term_num).cast("double")
+        / (F.col("N") * F.col("n_exposed") * (F.col("N") - F.col("C"))).cast(
+            "double"
+        ),
+    ).otherwise(F.lit(0.0))
+    rate = F.col("n_converted").cast("double") / F.col("n_exposed").cast("double")
+    base_rate = F.col("C").cast("double") / F.col("N").cast("double")
+    return j.select(
+        "arm",
+        F.col("n_exposed").cast("bigint").alias("n_exposed"),
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        dround(rate, 6).alias("conversion"),
+        dround(rate / base_rate, 6).alias("lift_vs_pooled"),
+        dround(chi_arm, 6).alias("chi2_contrib"),
+    )
+
+
+_AB_SQL = """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), f1 AS (
+    SELECT *,
+           (event_type = 'click' AND
+            SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER fr > 0)
+               AS q_click
+    FROM ev
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), f2 AS (
+    SELECT *,
+           (event_type = 'purchase' AND
+            SUM(CASE WHEN q_click THEN 1 ELSE 0 END) OVER fr > 0) AS q_purchase
+    FROM f1
+    WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), per_user AS (
+    SELECT user_id,
+           max(event_type = 'view') AS r_view,
+           max(q_purchase) AS r_purchase,
+           CASE WHEN CAST(('0x' || substr(md5('ab1' || CAST(user_id AS VARCHAR)),
+                            1, 7)) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END
+               AS arm
+    FROM f2 GROUP BY user_id
+), arms AS (
+    SELECT arm,
+           CAST(count(*) AS HUGEINT) AS n_exposed,
+           CAST(count(CASE WHEN r_purchase THEN 1 END) AS HUGEINT)
+               AS n_converted
+    FROM per_user WHERE r_view GROUP BY arm
+), tot AS (
+    SELECT SUM(n_exposed) AS N, SUM(n_converted) AS C FROM arms
+)
+SELECT arm,
+       CAST(n_exposed AS BIGINT) AS n_exposed,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       floor(CAST(n_converted AS DOUBLE) / CAST(n_exposed AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS conversion,
+       floor((CAST(n_converted AS DOUBLE) / CAST(n_exposed AS DOUBLE))
+             / (CAST(C AS DOUBLE) / CAST(N AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS lift_vs_pooled,
+       floor((CASE WHEN C > 0 THEN
+                CAST((N * n_converted - n_exposed * C)
+                     * (N * n_converted - n_exposed * C) AS DOUBLE)
+                / CAST(N * n_exposed * C AS DOUBLE) ELSE 0.0 END
+              + CASE WHEN N - C > 0 THEN
+                CAST((N * (n_exposed - n_converted) - n_exposed * (N - C))
+                     * (N * (n_exposed - n_converted) - n_exposed * (N - C))
+                     AS DOUBLE)
+                / CAST(N * n_exposed * (N - C) AS DOUBLE) ELSE 0.0 END)
+             * 1e6 + 0.5) / 1e6 AS chi2_contrib
+FROM arms CROSS JOIN tot
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1643,6 +1776,7 @@ QUERIES = {
     "value_ks_by_type": value_ks_by_type,
     "type_dow_chi2": type_dow_chi2,
     "click_attribution_stats": click_attribution_stats,
+    "ab_conversion_lift": ab_conversion_lift,
 }
 
 ORACLES = {
@@ -1674,4 +1808,5 @@ ORACLES = {
     "value_ks_by_type": _KS_SQL,
     "type_dow_chi2": _CHI2_SQL,
     "click_attribution_stats": _ATTRIB_SQL,
+    "ab_conversion_lift": _AB_SQL,
 }
