@@ -441,3 +441,25 @@ def test_transform_with_state_totals_match_legacy(spark, events_dir):
     )
     final = {r["user_id"]: (r["n"], r["v"]) for r in latest}
     assert final == {1: (3, 6.0), 2: (2, 9.0)}
+
+
+def test_stream_static_dimension_join(spark, events_dir):
+    """Stream-static enrichment: a file stream joined to a static in-memory
+    dimension (per-user tier) must produce the same enriched aggregate as
+    the batch join — completing the join matrix next to the stream-stream
+    interval join. The static side is broadcast per micro-batch; no state
+    store involved."""
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], ["user_id", "tier"]
+    )
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    enriched = stream.join(F.broadcast(dim), "user_id").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    got = {
+        r["tier"]: (r["n"], r["v"])
+        for r in run_to_memory_sink(
+            enriched, "t_stream_static", output_mode="complete"
+        ).collect()
+    }
+    assert got == {"gold": (3, 6.0), "basic": (2, 9.0)}
