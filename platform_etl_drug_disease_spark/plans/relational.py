@@ -1102,3 +1102,92 @@ FROM sky GROUP BY p_brand
 QUERIES["part_skyline"] = part_skyline
 ORACLES["part_skyline"] = _SKYLINE_SQL
 
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+def revenue_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the monthly revenue
+    series, as ONE deterministic left fold: state [level, trend] carried
+    through the month-sorted array (α=0.5, β=0.3; init level=x₀, trend=0),
+    then 1/2/3-month-ahead forecasts = level + h·trend. Smoothing is
+    inherently sequential — the fold over the post-agg series is exactly
+    the right place for it (84 points, driver-free, engine-deterministic
+    because both engines run the identical IEEE ops in the identical
+    order). The forecasting staple on top of the reporting stack."""
+    orders = load_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    d = "decimal(38,0)"
+    monthly = (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast(d)).alias("cents"))
+        .select("month", (F.col("cents").cast("double") / 100.0).alias("rev"))
+    )
+    series = monthly.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("month"), F.col("rev")))
+        ).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda st: st["rev"]).alias("xs"),
+        F.size("s").alias("n_months"),
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    merge = lambda acc, x: F.array(  # noqa: E731
+        F.lit(a) * x + F.lit(1 - a) * (acc[0] + acc[1]),
+        F.lit(b) * ((F.lit(a) * x + F.lit(1 - a) * (acc[0] + acc[1])) - acc[0])
+        + F.lit(1 - b) * acc[1],
+    )
+    state = F.aggregate(
+        F.slice(F.col("xs"), 2, 100000),
+        F.array(F.element_at(F.col("xs"), 1), F.lit(0.0)),
+        merge,
+    )
+    out = series.select(
+        "n_months",
+        state[0].alias("level"),
+        state[1].alias("trend"),
+    )
+    return out.select(
+        F.col("n_months").cast("bigint").alias("n_months"),
+        dround(F.col("level"), 4).alias("level"),
+        dround(F.col("trend") + F.lit(1e6), 4).alias("trend_p1m"),
+        dround(F.col("level") + F.col("trend"), 4).alias("forecast_1m"),
+        dround(F.col("level") + 2 * F.col("trend"), 4).alias("forecast_2m"),
+        dround(F.col("level") + 3 * F.col("trend"), 4).alias("forecast_3m"),
+    )
+
+
+_HOLT_SQL = f"""
+WITH monthly AS (
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE)
+               / 100.0 AS rev
+    FROM orders GROUP BY 1
+), series AS (
+    SELECT list(rev ORDER BY month) AS xs, count(*) AS n_months FROM monthly
+), folded AS (
+    SELECT n_months,
+           list_reduce(
+               list_prepend([xs[1], 0.0], list_transform(xs[2:], x -> [x, 0.0])),
+               (acc, e) -> [
+                   {_HOLT_ALPHA} * e[1] + {1 - _HOLT_ALPHA} * (acc[1] + acc[2]),
+                   {_HOLT_BETA} * (({_HOLT_ALPHA} * e[1]
+                       + {1 - _HOLT_ALPHA} * (acc[1] + acc[2])) - acc[1])
+                   + {1 - _HOLT_BETA} * acc[2]
+               ]) AS st
+    FROM series
+)
+SELECT CAST(n_months AS BIGINT) AS n_months,
+       floor(st[1] * 1e4 + 0.5) / 1e4 AS level,
+       floor((st[2] + 1e6) * 1e4 + 0.5) / 1e4 AS trend_p1m,
+       floor((st[1] + st[2]) * 1e4 + 0.5) / 1e4 AS forecast_1m,
+       floor((st[1] + 2 * st[2]) * 1e4 + 0.5) / 1e4 AS forecast_2m,
+       floor((st[1] + 3 * st[2]) * 1e4 + 0.5) / 1e4 AS forecast_3m
+FROM folded
+"""
+
+QUERIES["revenue_holt_forecast"] = revenue_holt_forecast
+ORACLES["revenue_holt_forecast"] = _HOLT_SQL
+
