@@ -430,3 +430,39 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_foreach_batch_deadletter(
+    stream_df: DataFrame,
+    good_path: str,
+    dead_path: str,
+    checkpoint: str,
+    invalid_predicate,
+) -> int:
+    """Dead-letter ingestion: every micro-batch splits on
+    ``invalid_predicate`` — clean rows land in ``good_path``, rejects land
+    in ``dead_path`` WITH the batch id for replay/forensics — both via the
+    per-batch idempotent writer, so a crash-replay overwrites instead of
+    duplicating. The production pattern that keeps one malformed record
+    from stalling a 100-TB ingest while still never silently dropping it.
+
+    Returns the number of batches processed."""
+    n_batches = {"n": 0}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        bad = batch_df.where(invalid_predicate)
+        good = batch_df.where(~invalid_predicate)
+        write_batch_idempotent(good, good_path, batch_id)
+        write_batch_idempotent(
+            bad.withColumn("__batch_id", F.lit(batch_id)), dead_path, batch_id
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

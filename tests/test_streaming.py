@@ -463,3 +463,29 @@ def test_stream_static_dimension_join(spark, events_dir):
         ).collect()
     }
     assert got == {"gold": (3, 6.0), "basic": (2, 9.0)}
+
+
+def test_deadletter_split_never_drops_rows(spark, events_dir, tmp_path):
+    """Dead-letter ingest: rows failing validation land in the dead-letter
+    sink with their batch id; clean rows land in the good sink; nothing is
+    dropped and the union equals the input."""
+    from platform_etl_drug_disease_spark.streaming.windows import (
+        run_foreach_batch_deadletter,
+    )
+
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=2)
+    good, dead = str(tmp_path / "good"), str(tmp_path / "dead")
+    n = run_foreach_batch_deadletter(
+        stream,
+        good,
+        dead,
+        str(tmp_path / "ckpt"),
+        invalid_predicate=F.col("value") > 3.5,  # events #4 (4.0) and #5 (5.0)
+    )
+    assert n >= 1
+    good_ids = {r["event_id"] for r in spark.read.parquet(good).collect()}
+    dead_rows = spark.read.parquet(dead).collect()
+    dead_ids = {r["event_id"] for r in dead_rows}
+    assert good_ids == {1, 2, 3}
+    assert dead_ids == {4, 5}
+    assert all(r["__batch_id"] is not None for r in dead_rows)
