@@ -231,3 +231,44 @@ def bm25_search(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         id_col, "score", "rank"
     )
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (doc, term, position) rows — the
+    structure phrase and proximity queries need on top of plain postings.
+    posexplode keeps the token's offset; the Generate-filter guard is not
+    needed here because the exploded array is the materialized token
+    column, not an inline expression."""
+    from platform_etl_drug_disease_spark.operators import text as tx
+
+    return (
+        df.withColumn("__toks", tx.tokens(text_col))
+        .select(id_col, F.posexplode("__toks").alias("pos", "term"))
+        .where(F.col("term").isNotNull() & (F.length("term") > 0))
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching via the positional index: each consecutive
+    term pair joins on (doc, position+1), so only the PHRASE TERMS'
+    postings move — the classic selective phrase plan (never a full-text
+    scan per query). Returns (doc, n_occurrences) for docs containing the
+    phrase."""
+    assert len(phrase_terms) >= 2
+    post = positional_postings(df, id_col, text_col)
+    cur = post.where(F.col("term") == phrase_terms[0]).select(
+        id_col, F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = post.where(F.col("term") == t).select(
+            id_col, (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, [id_col, "p0"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -500,3 +500,43 @@ _HYBRID_SQL = _hybrid_sql()
 
 QUERIES["hybrid_rrf_search"] = hybrid_rrf_search
 ORACLES["hybrid_rrf_search"] = _HYBRID_SQL
+
+def phrase_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("table hash") through the positional
+    inverted index: consecutive terms join on (doc, position+1), so only
+    the two query terms' postings ever move — the selective phrase plan of
+    a search engine, never a per-query full-text scan. Top 20 docs by
+    occurrence count."""
+    from platform_etl_drug_disease_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text"]), "doc_id"
+    )
+    hits = phrase_search(docs, ["table", "hash"])
+    return hits.orderBy(F.col("n_occurrences").desc(), "doc_id").limit(20)
+
+
+_PHRASE_SQL = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+), post AS (
+    SELECT doc_id, u.term, u.pos FROM t,
+    LATERAL (SELECT unnest(toks) AS term,
+                    unnest(range(1, len(toks) + 1)) AS pos) u
+), hits AS (
+    SELECT a.doc_id, count(*) AS n_occurrences
+    FROM (SELECT doc_id, pos FROM post WHERE term = 'table') a
+    JOIN (SELECT doc_id, pos FROM post WHERE term = 'hash') b
+      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+)
+SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM hits ORDER BY n_occurrences DESC, doc_id LIMIT 20
+"""
+
+QUERIES["phrase_search_stats"] = phrase_search_stats
+ORACLES["phrase_search_stats"] = _PHRASE_SQL
+
