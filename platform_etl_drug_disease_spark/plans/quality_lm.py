@@ -507,3 +507,89 @@ FROM j
 
 QUERIES["quality_psi_stats"] = quality_psi_stats
 ORACLES["quality_psi_stats"] = _PSI_SQL
+
+
+_BLM_LAMBDA = 0.7
+
+
+def quality_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under an interpolated BIGRAM corpus LM:
+    p(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N — the next step up from
+    the unigram perplexity filter (quality_lm_score): it penalizes
+    improbable token SEQUENCES, which is what separates shuffled-word
+    gibberish from fluent text that a unigram model scores identically.
+
+    Scale shape: pure word-count joins — per-document bigram counts
+    (aggregated before any join, so repeated bigrams never cross the
+    shuffle) joined to the corpus bigram and unigram tables on their keys;
+    no driver-side vocab, interpolation keeps every probability positive
+    (no <unk> machinery needed since the model IS the corpus)."""
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text"]), "doc_id"
+    )
+    toks = docs.withColumn("__t", tx.tokens("text"))
+    bg = toks.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(1, greatest(size(__t) - 1, 0)), "
+                "i -> struct(__t[i-1] AS w1, __t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).where(F.col("b").isNotNull()).select("doc_id", "b.w1", "b.w2")
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    lm_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    lm_uni = lm_bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni2 = lm_bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n_tot = lm_bg.agg(F.sum("c12").alias("n"))
+    lam = _BLM_LAMBDA
+    scored = (
+        doc_bg.join(lm_bg, ["w1", "w2"])
+        .join(lm_uni, "w1")
+        .join(uni2, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "lp",
+            F.log(
+                F.lit(lam) * F.col("c12").cast("double") / F.col("c1").cast("double")
+                + F.lit(1 - lam)
+                * F.col("c2").cast("double")
+                / F.col("n").cast("double")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        F.round(-F.sum(F.col("c") * F.col("lp")) / F.sum("c"), 6).alias("xent2"),
+    )
+
+
+_BIGRAM_LM_SQL = r"""
+WITH t AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+    FROM documents
+), bg AS (
+    SELECT doc_id, u.b.w1 AS w1, u.b.w2 AS w2 FROM t,
+    LATERAL (SELECT unnest(list_transform(range(1, len(toks)),
+        i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b) u
+), doc_bg AS (
+    SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3
+), lm_bg AS (SELECT w1, w2, SUM(c) AS c12 FROM doc_bg GROUP BY 1, 2),
+lm_uni AS (SELECT w1, SUM(c12) AS c1 FROM lm_bg GROUP BY 1),
+uni2 AS (SELECT w2, SUM(c12) AS c2 FROM lm_bg GROUP BY 1),
+nt AS (SELECT SUM(c12) AS n FROM lm_bg)
+SELECT d.doc_id,
+       CAST(SUM(d.c) AS BIGINT) AS n_bigrams,
+       round(-SUM(d.c * ln(0.7 * (b.c12 * 1.0 / u.c1)
+                           + 0.3 * (v.c2 * 1.0 / nt.n))) / SUM(d.c), 6)
+           AS xent2
+FROM doc_bg d
+JOIN lm_bg b USING (w1, w2)
+JOIN lm_uni u USING (w1)
+JOIN uni2 v USING (w2)
+CROSS JOIN nt
+GROUP BY d.doc_id
+"""
+
+QUERIES["quality_bigram_lm_score"] = quality_bigram_lm_score
+ORACLES["quality_bigram_lm_score"] = _BIGRAM_LM_SQL
