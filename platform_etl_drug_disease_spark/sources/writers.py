@@ -130,3 +130,61 @@ def compact_small_files(
     # by design so the write tasks are balanced regardless of input layout.
     df.repartition(n_out).write.mode("overwrite").parquet(out)
     return n_out
+
+
+def parquet_column_stats(path: str) -> list[dict]:
+    """Storage audit from parquet FOOTERS only (no data read): per column,
+    total compressed/uncompressed bytes, null count, and whether min/max
+    statistics are present (the prerequisite for skipping). The layout
+    check run after a write — a column whose stats are missing can never
+    be pruned, and a compression ratio near 1.0 flags encoding problems."""
+    import glob as _glob
+    import os
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    agg: dict[str, dict] = defaultdict(
+        lambda: {
+            "compressed": 0,
+            "uncompressed": 0,
+            "nulls": 0,
+            "n_chunks": 0,
+            "chunks_with_minmax": 0,
+        }
+    )
+    files = sorted(
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ) or ([path] if os.path.isfile(path) else [])
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                st = agg[col.path_in_schema]
+                st["compressed"] += col.total_compressed_size
+                st["uncompressed"] += col.total_uncompressed_size
+                st["n_chunks"] += 1
+                s = col.statistics
+                if s is not None:
+                    if s.null_count is not None:
+                        st["nulls"] += s.null_count
+                    if s.has_min_max:
+                        st["chunks_with_minmax"] += 1
+    return [
+        {
+            "column": name,
+            **vals,
+            "compression_ratio": round(
+                vals["compressed"] / vals["uncompressed"], 4
+            )
+            if vals["uncompressed"]
+            else None,
+            "skippable": vals["chunks_with_minmax"] == vals["n_chunks"]
+            and vals["n_chunks"] > 0,
+        }
+        for name, vals in sorted(agg.items())
+    ]

@@ -237,3 +237,24 @@ def test_json_reader_permissive_corrupt_records(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert len(good) == 2 and len(bad) == 1
     assert bad[0]["_corrupt_record"].startswith("THIS")
+
+
+def test_parquet_column_stats_footer_audit(spark, tmp_path):
+    from platform_etl_drug_disease_spark.sources.writers import (
+        parquet_column_stats,
+    )
+
+    out = str(tmp_path / "audited")
+    spark.range(0, 10000).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+        F.lit("constant-text").alias("c"),
+    ).repartition(4).write.parquet(out)
+    stats = {s["column"]: s for s in parquet_column_stats(out)}
+    assert set(stats) == {"id", "v", "c"}
+    assert stats["v"]["nulls"] == 2000
+    assert all(s["skippable"] for s in stats.values())
+    # the constant column is dictionary/RLE-encoded to almost nothing long
+    # before snappy sees it — its FOOTPRINT is tiny, though its compression
+    # RATIO can exceed 1.0 (nothing left for snappy to squeeze)
+    assert stats["c"]["compressed"] < stats["id"]["compressed"] / 10
