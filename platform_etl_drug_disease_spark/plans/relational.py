@@ -1191,3 +1191,48 @@ FROM folded
 QUERIES["revenue_holt_forecast"] = revenue_holt_forecast
 ORACLES["revenue_holt_forecast"] = _HOLT_SQL
 
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day EXACT median of daily revenue: the robust trend line
+    reporting overlays on noisy dailies (a mean window jumps on one whale
+    order; the median doesn't). Revenue reduces to one exact-cent row per
+    day first; each day's frame collects ≤7 values, sorts, and indexes the
+    order statistic — no interpolation, engine-identical. Frame state is
+    bounded by the window length, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    d = "decimal(38,0)"
+    daily = orders.groupBy(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast(d)).alias("cents"))
+    w = Window.partitionBy().orderBy("day").rowsBetween(-6, 0)
+    frame = F.sort_array(F.collect_list("cents").over(w))
+    med = F.element_at(frame, ((F.size(frame) + 1) / 2).cast("int"))
+    return daily.select(
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (med.cast("double") / 100.0).alias("median_7d"),
+        F.size(frame).cast("bigint").alias("n_in_frame"),
+    )
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH daily AS (
+    SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+           SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS cents
+    FROM orders GROUP BY 1
+), framed AS (
+    SELECT day, cents,
+           list_sort(list(cents) OVER (ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+    FROM daily
+)
+SELECT day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(fr[CAST(floor((len(fr) + 1) / 2) AS BIGINT)] AS DOUBLE) / 100.0
+           AS median_7d,
+       CAST(len(fr) AS BIGINT) AS n_in_frame
+FROM framed
+"""
+
+QUERIES["rolling_median_revenue"] = rolling_median_revenue
+ORACLES["rolling_median_revenue"] = _ROLLING_MEDIAN_SQL
+
