@@ -1236,3 +1236,83 @@ FROM framed
 QUERIES["rolling_median_revenue"] = rolling_median_revenue
 ORACLES["rolling_median_revenue"] = _ROLLING_MEDIAN_SQL
 
+def part_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directed part
+    pairs a→b with support ≥ 5 baskets, scored by confidence
+    supp(a,b)/supp(a) and lift confidence/P(b) — the recommendation
+    primitive ("customers who bought a also bought b"). Top 20 by lift.
+
+    Scale shape: pair generation is bounded by basket width (≤7 parts per
+    order); the support threshold prunes before any per-item join; item
+    supports are a |parts|-sized broadcast. The same shape as the
+    co-supplier graph builder — co-occurrence work scales with baskets,
+    never |parts|²."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    baskets = li.distinct().persist()  # pair build + item supports + N
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_baskets")
+    )
+    pairs = (
+        baskets.alias("x")
+        .join(baskets.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") != F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .where(F.col("supp_ab") >= 5)
+    )
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    sa = item.select(F.col("l_partkey").alias("a"), F.col("supp").alias("supp_a"))
+    sb = item.select(F.col("l_partkey").alias("b"), F.col("supp").alias("supp_b"))
+    scored = (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    conf = F.col("supp_ab").cast("double") / F.col("supp_a").cast("double")
+    lift = conf * F.col("n_baskets").cast("double") / F.col("supp_b").cast("double")
+    return (
+        scored.select(
+            "a",
+            "b",
+            "supp_ab",
+            dround(conf, 6).alias("confidence"),
+            dround(lift, 6).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+_ASSOC_SQL = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets
+          FROM baskets),
+pairs AS (
+    SELECT x.l_partkey AS a, y.l_partkey AS b,
+           CAST(count(*) AS BIGINT) AS supp_ab
+    FROM baskets x JOIN baskets y USING (l_orderkey)
+    WHERE x.l_partkey != y.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 5
+), item AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp
+    FROM baskets GROUP BY 1
+)
+SELECT p.a, p.b, p.supp_ab,
+       floor(CAST(p.supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE) * 1e6 + 0.5)
+           / 1e6 AS confidence,
+       floor(CAST(p.supp_ab AS DOUBLE) / CAST(ia.supp AS DOUBLE)
+             * CAST(nb.n_baskets AS DOUBLE) / CAST(ib.supp AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS lift
+FROM pairs p
+JOIN item ia ON ia.l_partkey = p.a
+JOIN item ib ON ib.l_partkey = p.b
+CROSS JOIN nb
+ORDER BY lift DESC, a, b LIMIT 20
+"""
+
+QUERIES["part_association_rules"] = part_association_rules
+ORACLES["part_association_rules"] = _ASSOC_SQL
+
