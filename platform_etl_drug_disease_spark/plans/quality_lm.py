@@ -537,8 +537,13 @@ def quality_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).where(F.col("b").isNotNull()).select("doc_id", "b.w1", "b.w2")
-    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    lm_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    # fan-outs: doc_bg feeds the LM build AND the scoring join; lm_bg
+    # feeds three marginals plus the join — persist both or the tokenizer
+    # re-runs five times (caught by plan_lint).
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    lm_bg = doc_bg.groupBy("w1", "w2").agg(F.sum("c").alias("c12")).persist()
     lm_uni = lm_bg.groupBy("w1").agg(F.sum("c12").alias("c1"))
     uni2 = lm_bg.groupBy("w2").agg(F.sum("c12").alias("c2"))
     n_tot = lm_bg.agg(F.sum("c12").alias("n"))
