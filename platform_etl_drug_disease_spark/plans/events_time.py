@@ -1747,6 +1747,94 @@ FROM arms CROSS JOIN tot
 
 
 
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting: active users decomposed into NEW (first
+    month), RETAINED (also active the previous month), RESURRECTED (active,
+    inactive last month, not new), plus CHURNED (last month's actives who
+    went dark) = active(m−1) − retained(m). The MAU bridge every growth
+    team reads.
+
+    Scale shape: the fact table reduces to distinct (user, month) once;
+    per-user lag/min windows run over that reduction; monthly states are a
+    |months|-row rollup, churn derived by joining the month series to
+    itself shifted one month (never re-touching the fact table)."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "user_id"])
+    um = (
+        ev.select(
+            "user_id", F.date_trunc("month", "ts").alias("m")
+        ).distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("m")
+    flags = (
+        um.withColumn("first_m", F.min("m").over(Window.partitionBy("user_id")))
+        .withColumn("prev_m", F.lag("m").over(w))
+        .withColumn("is_new", (F.col("m") == F.col("first_m")).cast("int"))
+        .withColumn(
+            "is_retained",
+            # when/otherwise, not a bare cast: prev_m is NULL on each
+            # user's first month and null comparisons propagate — a month
+            # of all-first-timers would sum is_retained to NULL
+            F.when(
+                F.col("prev_m") == F.col("m") - F.expr("INTERVAL 1 MONTH"), 1
+            ).otherwise(0),
+        )
+    )
+    monthly = flags.groupBy("m").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum("is_new").alias("new_users"),
+        F.sum("is_retained").alias("retained"),
+        F.sum(
+            1 - F.greatest(F.col("is_new"), F.col("is_retained"))
+        ).alias("resurrected"),
+    ).persist()  # consumed twice for the churn self-shift
+    prev = monthly.select(
+        (F.col("m") + F.expr("INTERVAL 1 MONTH")).alias("m"),
+        F.col("active").alias("prev_active"),
+    )
+    return (
+        monthly.join(prev, "m", "left")
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "active",
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.col("retained").cast("bigint").alias("retained"),
+            F.col("resurrected").cast("bigint").alias("resurrected"),
+            (F.coalesce(F.col("prev_active"), F.lit(0)) - F.col("retained"))
+            .cast("bigint")
+            .alias("churned"),
+        )
+    )
+
+
+_GROWTH_SQL = """
+WITH um AS (
+    SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events
+), flags AS (
+    SELECT user_id, m,
+           CASE WHEN m = MIN(m) OVER (PARTITION BY user_id) THEN 1 ELSE 0 END
+               AS is_new,
+           CASE WHEN lag(m) OVER (PARTITION BY user_id ORDER BY m)
+                     = m - INTERVAL 1 MONTH THEN 1 ELSE 0 END AS is_retained
+    FROM um
+), monthly AS (
+    SELECT m,
+           CAST(count(*) AS BIGINT) AS active,
+           CAST(SUM(is_new) AS BIGINT) AS new_users,
+           CAST(SUM(is_retained) AS BIGINT) AS retained,
+           CAST(SUM(1 - greatest(is_new, is_retained)) AS BIGINT)
+               AS resurrected
+    FROM flags GROUP BY m
+)
+SELECT strftime(c.m, '%Y-%m') AS month,
+       c.active, c.new_users, c.retained, c.resurrected,
+       COALESCE(p.active, 0) - c.retained AS churned
+FROM monthly c
+LEFT JOIN monthly p ON p.m = c.m - INTERVAL 1 MONTH
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1777,6 +1865,7 @@ QUERIES = {
     "type_dow_chi2": type_dow_chi2,
     "click_attribution_stats": click_attribution_stats,
     "ab_conversion_lift": ab_conversion_lift,
+    "growth_accounting": growth_accounting,
 }
 
 ORACLES = {
@@ -1809,4 +1898,5 @@ ORACLES = {
     "type_dow_chi2": _CHI2_SQL,
     "click_attribution_stats": _ATTRIB_SQL,
     "ab_conversion_lift": _AB_SQL,
+    "growth_accounting": _GROWTH_SQL,
 }
