@@ -1316,3 +1316,122 @@ ORDER BY lift DESC, a, b LIMIT 20
 QUERIES["part_association_rules"] = part_association_rules
 ORACLES["part_association_rules"] = _ASSOC_SQL
 
+_BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), as exact literals so
+# both engines bucket the same md5-uniform into the same weight
+_POIS_CDF = [
+    (0.36787944117144233, 0),
+    (0.7357588823428847, 1),
+    (0.9196986029286058, 2),
+    (0.9810118431238462, 3),
+    (0.9963401531726563, 4),
+]
+
+
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value: 32
+    resampling replicas, each weighting every order by a Poisson(1) draw
+    that is a PURE HASH FUNCTION of (replica, orderkey) — the one-pass
+    bootstrap that works at any scale because no replica ever materializes
+    a resampled dataset (the classic with-replacement bootstrap cannot
+    shuffle 100 TB 32 times; Poisson weights ride the original scan).
+    Output: point estimate, replica-mean spread (exact order statistics at
+    ranks 2 and 31 of 32 — ≈ a 90% interval).
+
+    Every replica's weighted sum is exact integer arithmetic; the 32
+    replica means sort exactly; no randomness at run time."""
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    d = "decimal(38,0)"
+    reps = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast(d).alias("cents"),
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("rep"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot"),
+                    F.col("rep").cast("string"),
+                    F.lit(":"),
+                    F.col("o_orderkey").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**52) + 1.0)
+    wexpr = F.lit(5)
+    for thr, k in reversed(_POIS_CDF):
+        wexpr = F.when(u < F.lit(thr), F.lit(k)).otherwise(wexpr)
+    weighted = reps.withColumn("w", wexpr.cast(d))
+    per_rep = weighted.groupBy("rep").agg(
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / F.sum("w").cast("double")
+            / 100.0
+        ).alias("mean_rep")
+    )
+    means = per_rep.agg(
+        F.array_sort(F.collect_list("mean_rep")).alias("ms")
+    )
+    base = orders.agg(
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast(d)).cast("double")
+            / F.count(F.lit(1))
+            / 100.0
+        ).alias("mean_point")
+    )
+    return base.crossJoin(means).select(
+        dround(F.col("mean_point"), 4).alias("mean_point"),
+        dround(F.element_at(F.col("ms"), 2), 4).alias("ci_low"),
+        dround(F.element_at(F.col("ms"), 31), 4).alias("ci_high"),
+        F.size("ms").cast("bigint").alias("n_replicas"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    cases = []
+    prev = None
+    for thr, k in _POIS_CDF:
+        cases.append(f"WHEN u < {thr!r} THEN {k}")
+    case = "CASE " + " ".join(cases) + " ELSE 5 END"
+    return f"""
+WITH reps AS (
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS HUGEINT) AS cents,
+           unnest(range(1, {_BOOT_B} + 1)) AS rep
+    FROM orders
+), drawn AS (
+    SELECT rep, cents,
+           (CAST(('0x' || substr(md5('boot' || CAST(rep AS VARCHAR) || ':'
+                || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+           / (4503599627370496.0 + 1.0) AS u
+    FROM reps
+), weighted AS (
+    SELECT rep, cents, CAST({case} AS HUGEINT) AS w FROM drawn
+), per_rep AS (
+    SELECT rep,
+           CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0
+               AS mean_rep
+    FROM weighted GROUP BY rep
+), ms AS (SELECT list_sort(list(mean_rep)) AS l FROM per_rep),
+base AS (
+    SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE)
+           / count(*) / 100.0 AS mean_point
+    FROM orders
+)
+SELECT floor(mean_point * 1e4 + 0.5) / 1e4 AS mean_point,
+       floor(l[2] * 1e4 + 0.5) / 1e4 AS ci_low,
+       floor(l[31] * 1e4 + 0.5) / 1e4 AS ci_high,
+       CAST(len(l) AS BIGINT) AS n_replicas
+FROM base CROSS JOIN ms
+"""
+
+
+QUERIES["bootstrap_revenue_ci"] = bootstrap_revenue_ci
+ORACLES["bootstrap_revenue_ci"] = _bootstrap_sql()
+
