@@ -1904,3 +1904,53 @@ FROM bins GROUP BY split
 
 QUERIES["corpus_release_pipeline"] = corpus_release_pipeline
 ORACLES["corpus_release_pipeline"] = _RELEASE_SQL
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality: confusion matrix of the marker-n-gram
+    classifier's prediction against the labeled lang column, plus per-cell
+    share of the true class — the text-side counterpart of
+    centroid_classifier_eval. One scan, |langs|² rollup."""
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"]),
+        "doc_id",
+    )
+    pred = docs.select("lang", tx.lang_id("text").alias("pred"))
+    cells = pred.groupBy("lang", "pred").agg(F.count(F.lit(1)).alias("n")).persist()
+    totals = cells.groupBy("lang").agg(F.sum("n").alias("n_true"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "pred",
+        F.col("n").cast("bigint").alias("n"),
+        dround(F.col("n").cast("double") / F.col("n_true").cast("double"), 6)
+        .alias("share_of_true"),
+    )
+
+_LANG_CONF_SQL = _TOKS_CTE + """
+, scored AS (
+    SELECT doc_id, lang,
+           [
+             {'score': len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))), 'lang': 'en'},
+             {'score': len(list_filter(t, x -> list_contains(['el','la','de','los','y'], x))), 'lang': 'es'},
+             {'score': len(list_filter(t, x -> list_contains(['le','la','les','des','et'], x))), 'lang': 'fr'},
+             {'score': len(list_filter(t, x -> list_contains(['der','die','das','und','ein'], x))), 'lang': 'de'}
+           ] AS pairs
+    FROM toks
+), best AS (
+    SELECT doc_id, lang,
+           list_aggregate(list_sort(pairs), 'max') AS b
+    FROM scored
+), cells AS (
+    SELECT lang,
+           CASE WHEN b['score'] > 0 THEN b['lang'] ELSE 'und' END AS pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM best GROUP BY 1, 2
+), totals AS (SELECT lang, SUM(n) AS n_true FROM cells GROUP BY lang)
+SELECT c.lang, c.pred, c.n,
+       floor(CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS share_of_true
+FROM cells c JOIN totals t USING (lang)
+"""
+
+QUERIES["lang_id_confusion"] = lang_id_confusion
+ORACLES["lang_id_confusion"] = _LANG_CONF_SQL
+
