@@ -1835,6 +1835,108 @@ LEFT JOIN monthly p ON p.m = c.m - INTERVAL 1 MONTH
 
 
 
+
+def ab_cuped_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: per-user outcome y =
+    second-half event count, pre-period covariate x = first-half event
+    count (split at mid-January — the fixture spans one month), θ =
+    cov(x,y)/var(x) from
+    POOLED exact integer moments, adjusted estimate per arm =
+    ȳ_arm − θ·(x̄_arm − x̄_pooled). Reports per arm the raw and adjusted
+    means plus the pooled ρ² (the fraction of outcome variance the
+    covariate removes) — the standard sensitivity upgrade every
+    experimentation platform applies before reading small lifts.
+
+    Per-user reduction first; every moment is an exact integer sum; θ and
+    the adjustments are a handful of IEEE ops on the 2-row arm table."""
+    from platform_etl_drug_disease_spark.operators.sampling import md5_bucket
+
+    ev = load_table(spark, sf_dir, "events", ["ts", "user_id"])
+    mid = F.to_timestamp(F.lit("2024-01-16"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < mid, 1)).alias("x"),
+        F.count(F.when(F.col("ts") >= mid, 1)).alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(md5_bucket("user_id", 2, "ab1") == 0, "A").otherwise("B"),
+    ).persist()  # pooled moments + per-arm rollup
+    d = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast(d).alias("n"),
+        F.sum("x").cast(d).alias("sx"),
+        F.sum("y").cast(d).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast(d).alias("sy2"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d).alias("na"),
+        F.sum("x").cast(d).alias("sxa"),
+        F.sum("y").cast(d).alias("sya"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double")
+    theta = num / denx
+    rho2 = (num / denx) * (num / deny)
+    mean_y = F.col("sya").cast("double") / F.col("na").cast("double")
+    mean_x = F.col("sxa").cast("double") / F.col("na").cast("double")
+    mean_x_pool = F.col("sx").cast("double") / F.col("n").cast("double")
+    return j.select(
+        "arm",
+        F.col("na").cast("bigint").alias("n_users"),
+        dround(mean_y, 6).alias("mean_raw"),
+        dround(mean_y - theta * (mean_x - mean_x_pool), 6).alias("mean_cuped"),
+        dround(theta + F.lit(10.0), 6).alias("theta_p10"),
+        dround(rho2, 6).alias("rho2_pooled"),
+    )
+
+
+_CUPED_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)
+                AS HUGEINT) AS x,
+           CAST(count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)
+                AS HUGEINT) AS y,
+           CASE WHEN CAST(('0x' || substr(md5('ab1' || CAST(user_id AS VARCHAR)),
+                            1, 7)) AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END
+               AS arm
+    FROM events GROUP BY user_id
+), pooled AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+           SUM(x*x) AS sx2, SUM(y*y) AS sy2
+    FROM per_user
+), arms AS (
+    SELECT arm, CAST(count(*) AS HUGEINT) AS na,
+           SUM(x) AS sxa, SUM(y) AS sya
+    FROM per_user GROUP BY arm
+)
+SELECT arm,
+       CAST(na AS BIGINT) AS n_users,
+       floor(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS mean_raw,
+       floor((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sx2 - sx * sx AS DOUBLE))
+                * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+                   - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6 + 0.5)
+           / 1e6 AS mean_cuped,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sx2 - sx * sx AS DOUBLE) + 10.0) * 1e6 + 0.5) / 1e6
+           AS theta_p10,
+       floor((CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sx2 - sx * sx AS DOUBLE))
+             * (CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sy2 - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           AS rho2_pooled
+FROM arms CROSS JOIN pooled
+"""
+
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1866,6 +1968,7 @@ QUERIES = {
     "click_attribution_stats": click_attribution_stats,
     "ab_conversion_lift": ab_conversion_lift,
     "growth_accounting": growth_accounting,
+    "ab_cuped_estimates": ab_cuped_estimates,
 }
 
 ORACLES = {
@@ -1899,4 +2002,5 @@ ORACLES = {
     "click_attribution_stats": _ATTRIB_SQL,
     "ab_conversion_lift": _AB_SQL,
     "growth_accounting": _GROWTH_SQL,
+    "ab_cuped_estimates": _CUPED_SQL,
 }
