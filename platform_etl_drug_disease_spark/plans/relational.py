@@ -1435,3 +1435,58 @@ FROM base CROSS JOIN ms
 QUERIES["bootstrap_revenue_ci"] = bootstrap_revenue_ci
 ORACLES["bootstrap_revenue_ci"] = _bootstrap_sql()
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation, market
+    segment, account-balance decile): equivalence-class size distribution
+    and the share of customers in classes smaller than k=5 — the
+    re-identification risk screen that runs before any "anonymized"
+    extract ships (PII redaction removes direct identifiers; k-anonymity
+    measures what the remaining columns still reveal). One aggregate to the
+    class table; the risk rollup runs on it."""
+    cust = load_table(
+        spark, sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    qid = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    classes = qid.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.min("sz").alias("min_class_size"),
+        F.count(F.when(F.col("sz") < 5, 1)).alias("classes_below_k5"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        dround(
+            F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)).cast("double")
+            / F.sum("sz").cast("double"),
+            6,
+        ).alias("risk_share"),
+    )
+
+
+_KANON_SQL = """
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS sz
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       MIN(sz) AS min_class_size,
+       CAST(count(CASE WHEN sz < 5 THEN 1 END) AS BIGINT) AS classes_below_k5,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       floor(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(sz) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS risk_share
+FROM classes
+"""
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+ORACLES["k_anonymity_audit"] = _KANON_SQL
+
