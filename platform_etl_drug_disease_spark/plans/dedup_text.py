@@ -1954,3 +1954,75 @@ FROM cells c JOIN totals t USING (lang)
 QUERIES["lang_id_confusion"] = lang_id_confusion
 ORACLES["lang_id_confusion"] = _LANG_CONF_SQL
 
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DATASET CARD for the corpus: size (docs, tokens, chars),
+    diversity (languages, sources), redundancy (exact-duplicate rate), and
+    central quality — the release-notes manifest that fronts a training
+    dataset. One tokenize pass feeds every stat; the dup rate rides a
+    content-hash window on the same scan."""
+    docs = ensure_compute_partitions(
+        load_table(
+            spark, sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
+        "doc_id",
+    )
+    t = F.col("__toks")
+    w = Window.partitionBy("__h")
+    staged = (
+        docs.withColumn("__toks", tx.tokens("text"))
+        .withColumn("__h", F.md5("text"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            tx.token_count_of(t).alias("n_tokens"),
+            tx.quality_score_of(t).alias("q"),
+            (F.min("doc_id").over(w) != F.col("doc_id")).cast("int").alias("dup"),
+        )
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        dround(
+            F.sum("dup").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("exact_dup_rate"),
+        dround(
+            F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
+_DATACARD_SQL = _TOKS_CTE + """
+, staged AS (
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           len(t) AS n_tokens,
+           round(0.4 * least(len(t) / 64.0, 1.0)
+               + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+               + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','of','and','to','in','is','it','for'], x)))
+                     * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6) AS q,
+           CASE WHEN MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) != d.doc_id
+                THEN 1 ELSE 0 END AS dup
+    FROM toks JOIN documents d USING (doc_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       floor(CAST(SUM(dup) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+           AS exact_dup_rate,
+       floor(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+             * 1e6 + 0.5) / 1e6 AS mean_quality
+FROM staged
+"""
+
+QUERIES["corpus_datacard"] = corpus_datacard
+ORACLES["corpus_datacard"] = _DATACARD_SQL
+
