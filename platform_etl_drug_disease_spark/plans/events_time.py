@@ -1937,6 +1937,103 @@ FROM arms CROSS JOIN pooled
 
 
 
+def next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training-example generation from the event log: for
+    every event with at least one predecessor, the (up-to-3-event context
+    window → next event type) pair a next-action model trains on. Reports,
+    per label: example count, distinct-context count, total context length,
+    and the single most frequent context (ties broken lexicographically) —
+    the dataset card a sequence-training pipeline emits before exporting
+    the examples themselves.
+
+    Scale shape: ONE user-keyed window shuffle builds all three lags at
+    once (the example set never materializes wider than the event row), one
+    (label, context) aggregation, then per-label totals + the argmax ride
+    the SAME small aggregate through one label-keyed window — no join-back
+    to the fact table. Context strings cap at 3 types, so the aggregate is
+    bounded by |types|^4 rows regardless of corpus size."""
+    ev = load_table(
+        spark, sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type", 1).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 3).over(w).alias("c3"),
+    ).where(F.col("c1").isNotNull())
+    # concat_ws skips NULLs in both engines -> oldest-first context string
+    ex = lagged.select(
+        "next_type",
+        F.concat_ws(">", "c3", "c2", "c1").alias("context"),
+        (
+            F.lit(1)
+            + F.col("c2").isNotNull().cast("int")
+            + F.col("c3").isNotNull().cast("int")
+        ).alias("ctx_len"),
+    )
+    per_ctx = ex.groupBy("next_type", "context", "ctx_len").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wtot = Window.partitionBy("next_type")
+    wrank = Window.partitionBy("next_type").orderBy(
+        F.col("n").desc(), "context"
+    )
+    return (
+        per_ctx.withColumn("n_examples", F.sum("n").over(wtot))
+        .withColumn("n_contexts", F.count(F.lit(1)).over(wtot))
+        .withColumn(
+            "sum_ctx_len", F.sum(F.col("n") * F.col("ctx_len")).over(wtot)
+        )
+        .withColumn("rk", F.row_number().over(wrank))
+        .where(F.col("rk") == 1)
+        .select(
+            "next_type",
+            F.col("n_examples").cast("bigint").alias("n_examples"),
+            F.col("n_contexts").cast("bigint").alias("n_contexts"),
+            F.col("sum_ctx_len").cast("bigint").alias("sum_ctx_len"),
+            F.col("context").alias("top_context"),
+            F.col("n").cast("bigint").alias("top_context_n"),
+        )
+    )
+
+
+_NEXT_EVENT_SQL = """
+WITH lagged AS (
+    SELECT event_type AS next_type,
+           lag(event_type, 1) OVER w AS c1,
+           lag(event_type, 2) OVER w AS c2,
+           lag(event_type, 3) OVER w AS c3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), ex AS (
+    SELECT next_type,
+           concat_ws('>', c3, c2, c1) AS context,
+           1 + CASE WHEN c2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END AS ctx_len
+    FROM lagged WHERE c1 IS NOT NULL
+), per_ctx AS (
+    SELECT next_type, context, ctx_len, count(*) AS n
+    FROM ex GROUP BY next_type, context, ctx_len
+), ranked AS (
+    SELECT next_type, context, n,
+           SUM(n) OVER (PARTITION BY next_type) AS n_examples,
+           COUNT(*) OVER (PARTITION BY next_type) AS n_contexts,
+           SUM(n * ctx_len) OVER (PARTITION BY next_type) AS sum_ctx_len,
+           row_number() OVER (PARTITION BY next_type
+                              ORDER BY n DESC, context) AS rk
+    FROM per_ctx
+)
+SELECT next_type,
+       CAST(n_examples AS BIGINT) AS n_examples,
+       CAST(n_contexts AS BIGINT) AS n_contexts,
+       CAST(sum_ctx_len AS BIGINT) AS sum_ctx_len,
+       context AS top_context,
+       CAST(n AS BIGINT) AS top_context_n
+FROM ranked WHERE rk = 1
+"""
+
+
 QUERIES = {
     "json_props_rollup": json_props_rollup,
     "typed_json_histogram": typed_json_histogram,
@@ -1969,6 +2066,7 @@ QUERIES = {
     "ab_conversion_lift": ab_conversion_lift,
     "growth_accounting": growth_accounting,
     "ab_cuped_estimates": ab_cuped_estimates,
+    "next_event_examples": next_event_examples,
 }
 
 ORACLES = {
@@ -2003,4 +2101,5 @@ ORACLES = {
     "ab_conversion_lift": _AB_SQL,
     "growth_accounting": _GROWTH_SQL,
     "ab_cuped_estimates": _CUPED_SQL,
+    "next_event_examples": _NEXT_EVENT_SQL,
 }

@@ -463,3 +463,23 @@ def test_node_clustering_known_graph(spark):
     assert got[2] == (3, 2, round(2 * 2 / (3 * 2), 6))
     assert got[3] == (2, 1, 1.0)
     assert got[4] == (2, 1, 1.0)
+
+
+def test_next_event_examples_invariants(spark):
+    from platform_etl_drug_disease_spark.plans.events_time import (
+        next_event_examples,
+    )
+
+    out = next_event_examples(spark, SF_SMOKE).collect()
+    assert out, "smoke fixture must yield at least one label"
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's first becomes exactly one example
+    assert sum(r.n_examples for r in out) == n_events - n_users
+    for r in out:
+        assert 1 <= r.top_context_n <= r.n_examples
+        assert 1 <= r.n_contexts <= r.n_examples
+        # context windows hold 1..3 predecessor events
+        assert r.n_examples <= r.sum_ctx_len <= 3 * r.n_examples
+        assert 1 <= len(r.top_context.split(">")) <= 3
