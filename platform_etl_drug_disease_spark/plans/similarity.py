@@ -1106,3 +1106,168 @@ FROM assigned GROUP BY label, pred_label
 
 QUERIES["centroid_classifier_eval"] = centroid_classifier_eval
 ORACLES["centroid_classifier_eval"] = _CENTROID_EVAL_SQL
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining: for each anchor (vec_id < 20)
+    take the IVF-approximate top-10 neighbours, split them by label into
+    the best POSITIVE (same label, highest cosine) and the hardest
+    NEGATIVE (different label, highest cosine), and report the triplet
+    margin pos_sim − neg_sim — the mining step that turns a labeled
+    embedding table into triplet-loss training data, where "hard" negatives
+    (high-similarity, wrong-label) are the examples that actually move the
+    model. Missing side → sentinel (-1 id, -2.0 sim), keeping the output
+    null-free (nullable ints land as float64 in pandas and break the
+    cross-engine hash).
+
+    Scale shape: candidate generation is the SAME index-build/serve split
+    as ``knn_cosine_ivf`` (√n cells, nprobe=2) — never a label-blocked or
+    all-pairs join. Label lookup then streams the big (vec_id, label)
+    projection past the broadcast mined-pair set (bounded |anchors|·k), so
+    the fact table is never shuffled; the pick/pivot runs on |anchors|·k
+    rows."""
+    from platform_etl_drug_disease_spark.operators.similarity import knn_ivf
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir).persist()
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    stride = emb.agg(
+        F.ceil(F.count(F.lit(1)) / F.ceil(F.sqrt(F.count(F.lit(1)))))
+        .cast("bigint")
+        .alias("__stride")
+    )
+    centroids = (
+        emb.crossJoin(F.broadcast(stride))
+        .where(F.col("vec_id") % F.col("__stride") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+    )
+    topk = knn_ivf(queries, candidates, centroids, k=10, nprobe=2).select(
+        "q_id", "c_id", "cosine_sim"
+    )
+    labels = emb.select("vec_id", "label")
+    with_c = labels.join(
+        F.broadcast(topk), labels["vec_id"] == topk["c_id"]
+    ).select("q_id", "c_id", "cosine_sim", F.col("label").alias("c_label"))
+    with_q = labels.join(
+        F.broadcast(with_c), labels["vec_id"] == with_c["q_id"]
+    ).select(
+        "q_id",
+        "c_id",
+        "cosine_sim",
+        "c_label",
+        F.col("label").alias("q_label"),
+    )
+    flagged = with_q.withColumn(
+        "is_pos", (F.col("q_label") == F.col("c_label")).cast("int")
+    )
+    w = Window.partitionBy("q_id", "is_pos").orderBy(
+        F.col("cosine_sim").desc(), "c_id"
+    )
+    picked = flagged.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    pos_sim = F.coalesce(
+        F.max(F.when(F.col("is_pos") == 1, F.col("cosine_sim"))), F.lit(-2.0)
+    )
+    neg_sim = F.coalesce(
+        F.max(F.when(F.col("is_pos") == 0, F.col("cosine_sim"))), F.lit(-2.0)
+    )
+    return picked.groupBy("q_id").agg(
+        F.max("q_label").alias("anchor_label"),
+        F.coalesce(
+            F.max(F.when(F.col("is_pos") == 1, F.col("c_id"))), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("pos_id"),
+        pos_sim.alias("pos_sim"),
+        F.coalesce(
+            F.max(F.when(F.col("is_pos") == 0, F.col("c_id"))), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("neg_id"),
+        neg_sim.alias("neg_sim"),
+        (pos_sim - neg_sim).alias("margin"),
+    )
+
+
+_HARD_NEG_SQL = f"""
+WITH {_UNIT_CTES},
+cents AS (
+    SELECT vec_id AS cent_id, nv AS cnv FROM n
+    WHERE vec_id % (SELECT CAST(CEIL(count(*) / CEIL(SQRT(count(*)))) AS BIGINT)
+                    FROM e) = 0
+),
+assign AS (
+    SELECT c.vec_id AS c_id, c.nv AS cvv, ct.cent_id,
+           row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY {_NDOT.format(a="c.nv", b="ct.cnv")} DESC, ct.cent_id
+           ) AS rn
+    FROM n c, cents ct
+),
+cells AS (SELECT c_id, cvv, cent_id FROM assign WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, nv AS qnv FROM n WHERE vec_id < 20),
+probes AS (
+    SELECT q_id, qnv, cent_id FROM (
+        SELECT q.q_id, q.qnv, ct.cent_id,
+               row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY {_NDOT.format(a="q.qnv", b="ct.cnv")} DESC, ct.cent_id
+               ) AS rn
+        FROM q, cents ct
+    ) WHERE rn <= 2
+),
+scored AS (
+    SELECT p.q_id, c.c_id,
+           {_NDOT.format(a="p.qnv", b="c.cvv")} AS cosine_sim
+    FROM probes p JOIN cells c USING (cent_id)
+    WHERE p.q_id != c.c_id
+),
+ranked AS (
+    SELECT q_id, c_id, cosine_sim,
+           row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine_sim DESC, c_id) AS rank
+    FROM scored
+),
+topk AS (SELECT q_id, c_id, cosine_sim FROM ranked WHERE rank <= 10),
+lab AS (
+    SELECT t.q_id, t.c_id, t.cosine_sim,
+           cl.label AS c_label, ql.label AS q_label
+    FROM topk t
+    JOIN e cl ON cl.vec_id = t.c_id
+    JOIN e ql ON ql.vec_id = t.q_id
+),
+picked AS (
+    SELECT *, CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS is_pos,
+           row_number() OVER (
+               PARTITION BY q_id, CASE WHEN q_label = c_label THEN 1 ELSE 0 END
+               ORDER BY cosine_sim DESC, c_id) AS rn
+    FROM lab
+)
+SELECT q_id,
+       MAX(q_label) AS anchor_label,
+       CAST(COALESCE(MAX(CASE WHEN is_pos = 1 THEN c_id END), -1) AS BIGINT)
+           AS pos_id,
+       COALESCE(MAX(CASE WHEN is_pos = 1 THEN cosine_sim END), -2.0)
+           AS pos_sim,
+       CAST(COALESCE(MAX(CASE WHEN is_pos = 0 THEN c_id END), -1) AS BIGINT)
+           AS neg_id,
+       COALESCE(MAX(CASE WHEN is_pos = 0 THEN cosine_sim END), -2.0)
+           AS neg_sim,
+       COALESCE(MAX(CASE WHEN is_pos = 1 THEN cosine_sim END), -2.0)
+         - COALESCE(MAX(CASE WHEN is_pos = 0 THEN cosine_sim END), -2.0)
+           AS margin
+FROM picked WHERE rn = 1
+GROUP BY q_id
+"""
+
+QUERIES["hard_negative_mining"] = hard_negative_mining
+ORACLES["hard_negative_mining"] = _HARD_NEG_SQL

@@ -483,3 +483,28 @@ def test_next_event_examples_invariants(spark):
         # context windows hold 1..3 predecessor events
         assert r.n_examples <= r.sum_ctx_len <= 3 * r.n_examples
         assert 1 <= len(r.top_context.split(">")) <= 3
+
+
+def test_hard_negative_mining_labels_and_margin(spark):
+    from platform_etl_drug_disease_spark.plans.similarity import (
+        hard_negative_mining,
+    )
+
+    out = hard_negative_mining(spark, SF_SMOKE).collect()
+    assert out
+    lab = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for r in out:
+        assert lab[r.q_id] == r.anchor_label
+        assert r.pos_id != r.q_id and r.neg_id != r.q_id
+        if r.pos_id != -1:  # a real positive carries the anchor's label
+            assert lab[r.pos_id] == r.anchor_label
+            assert -1.0 <= r.pos_sim <= 1.0 + 1e-9
+        if r.neg_id != -1:  # a real negative carries a different label
+            assert lab[r.neg_id] != r.anchor_label
+            assert -1.0 <= r.neg_sim <= 1.0 + 1e-9
+        assert abs(r.margin - (r.pos_sim - r.neg_sim)) < 1e-12
