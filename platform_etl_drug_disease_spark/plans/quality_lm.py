@@ -598,3 +598,79 @@ GROUP BY d.doc_id
 
 QUERIES["quality_bigram_lm_score"] = quality_bigram_lm_score
 ORACLES["quality_bigram_lm_score"] = _BIGRAM_LM_SQL
+
+
+def exact_auc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC (Mann-Whitney U) per source: how well
+    document length separates English documents from the rest. The
+    classifier-evaluation primitive every quality-filter pipeline needs —
+    computed EXACTLY as relational ops, no sampling and no sort of the raw
+    corpus: AUC counts (pos, neg) pairs with score_pos > score_neg plus
+    half the ties, so 2U = Σ_v (2·p_v·cum_neg_below + p_v·n_v) over the
+    per-distinct-score histogram, all integer arithmetic; the single IEEE
+    division 2U / (2·n_pos·n_neg) happens once per source.
+
+    Scale shape: one (source, score) aggregate collapses the corpus to the
+    distinct-score histogram; the cumulative-negatives window then runs per
+    source over at most |distinct scores| rows (same bounded-grid pattern as
+    value_ks_by_type). Sources with a degenerate class (no pos or no neg)
+    are excluded identically on both engines."""
+    docs = load_table(spark, sf_dir, "documents", ["source", "lang", "n_chars"])
+    hist = docs.groupBy("source", "n_chars").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("p"),
+        F.count(F.when(F.col("lang") != "en", 1)).alias("ng"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "cum_neg", F.coalesce(F.sum("ng").over(w), F.lit(0))
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.sum("p").cast("bigint").alias("n_pos"),
+            F.sum("ng").cast("bigint").alias("n_neg"),
+            F.sum(
+                F.lit(2) * F.col("p") * F.col("cum_neg")
+                + F.col("p") * F.col("ng")
+            )
+            .cast("bigint")
+            .alias("u2"),
+        )
+        .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .withColumn(
+            "auc",
+            F.col("u2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg")),
+        )
+    )
+
+
+_AUC_SQL = """
+WITH hist AS (
+    SELECT source, n_chars,
+           count(CASE WHEN lang = 'en' THEN 1 END) AS p,
+           count(CASE WHEN lang != 'en' THEN 1 END) AS ng
+    FROM documents GROUP BY source, n_chars
+), cum AS (
+    SELECT *, COALESCE(SUM(ng) OVER (PARTITION BY source ORDER BY n_chars
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_neg
+    FROM hist
+), agg AS (
+    SELECT source,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(ng) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * p * cum_neg + p * ng) AS BIGINT) AS u2
+    FROM cum GROUP BY source
+)
+SELECT source, n_pos, n_neg, u2,
+       CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+"""
+
+QUERIES["exact_auc_stats"] = exact_auc_stats
+ORACLES["exact_auc_stats"] = _AUC_SQL

@@ -508,3 +508,32 @@ def test_hard_negative_mining_labels_and_margin(spark):
             assert lab[r.neg_id] != r.anchor_label
             assert -1.0 <= r.neg_sim <= 1.0 + 1e-9
         assert abs(r.margin - (r.pos_sim - r.neg_sim)) < 1e-12
+
+
+def test_exact_auc_matches_bruteforce_pairs(spark):
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        exact_auc_stats,
+    )
+
+    out = {r.source: r for r in exact_auc_stats(spark, SF_SMOKE).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "lang", "n_chars")
+        .collect()
+    )
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, ([], []))[0 if d.lang == "en" else 1].append(
+            d.n_chars
+        )
+    for src, (pos, neg) in by_src.items():
+        if not pos or not neg:
+            assert src not in out
+            continue
+        u2 = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        r = out[src]
+        assert (r.n_pos, r.n_neg, r.u2) == (len(pos), len(neg), u2)
+        assert abs(r.auc - u2 / (2.0 * len(pos) * len(neg))) < 1e-12
+        assert 0.0 <= r.auc <= 1.0
