@@ -1271,3 +1271,98 @@ GROUP BY q_id
 
 QUERIES["hard_negative_mining"] = hard_negative_mining
 ORACLES["hard_negative_mining"] = _HARD_NEG_SQL
+
+
+def embedding_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separability audit for a labeled embedding table: per label the
+    within-class mean squared deviation (trace of the within-class scatter /
+    n), the squared shift of the class centroid from the global centroid
+    (trace of the between-class contribution), and their Fisher-style ratio
+    — the one-table answer to "are these labels actually separable in this
+    embedding space?", the go/no-go check before training a classifier on it.
+
+    Scale shape: ONE posexplode + (label, dim) aggregate collapses the
+    corpus to a |labels|×dims moment table (exact decimal sums, map-side
+    combined, order-independent); everything after — global centroid,
+    per-dim terms, the ordered left-fold over dims that keeps the float
+    reduction deterministic (same _NDOT fold contract) — runs on that tiny
+    table. The corpus is scanned once, shuffled never (the posexplode agg is
+    the only exchange)."""
+    from pyspark.sql import Window
+
+    emb = _load_emb(spark, sf_dir, ["vec_id", "embedding", "label"])
+    base = emb.select("label", F.posexplode(as_double("embedding")).alias("i", "x"))
+    d = "decimal(25,9)"
+    dm = base.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(d)).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(d)).alias("sx2"),
+    )
+    g = dm.groupBy("i").agg(
+        F.sum("n").alias("gn"), F.sum("sx").alias("gsx")
+    )
+    sxd = F.col("sx").cast("double")
+    terms = dm.join(g, "i").select(
+        "label",
+        "i",
+        "n",
+        (F.col("sx2").cast("double") - sxd * sxd / F.col("n")).alias("tw"),
+        (
+            (sxd / F.col("n") - F.col("gsx").cast("double") / F.col("gn"))
+            * (sxd / F.col("n") - F.col("gsx").cast("double") / F.col("gn"))
+        ).alias("sh"),
+    )
+    per = terms.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.array_sort(F.collect_list(F.struct("i", "tw"))).alias("twl"),
+        F.array_sort(F.collect_list(F.struct("i", "sh"))).alias("shl"),
+    )
+    fold = lambda arr, field: F.aggregate(
+        F.transform(arr, lambda s: s[field]), F.lit(0.0), lambda a, b: a + b
+    )
+    wmsd = F.round(fold(F.col("twl"), "tw") / F.col("n_vecs"), 6)
+    between2 = F.round(fold(F.col("shl"), "sh"), 6)
+    return per.select(
+        "label",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        wmsd.alias("wmsd"),
+        between2.alias("between2"),
+        F.round(between2 / F.nullif(wmsd, F.lit(0.0)), 6).alias("fisher"),
+    )
+
+
+_SEPARABILITY_SQL = f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v, label FROM embeddings),
+dm AS (
+    SELECT label, i, count(*) AS n,
+           SUM(CAST(v[i] AS DECIMAL(25,9))) AS sx,
+           SUM(CAST(v[i] * v[i] AS DECIMAL(25,9))) AS sx2
+    FROM e, range(1, {_DIM} + 1) AS r(i)
+    GROUP BY label, i
+),
+g AS (SELECT i, SUM(n) AS gn, SUM(sx) AS gsx FROM dm GROUP BY i),
+terms AS (
+    SELECT d.label, d.i, d.n,
+           CAST(d.sx2 AS DOUBLE)
+             - CAST(d.sx AS DOUBLE) * CAST(d.sx AS DOUBLE) / d.n AS tw,
+           (CAST(d.sx AS DOUBLE) / d.n - CAST(g.gsx AS DOUBLE) / g.gn)
+             * (CAST(d.sx AS DOUBLE) / d.n - CAST(g.gsx AS DOUBLE) / g.gn)
+               AS sh
+    FROM dm d JOIN g USING (i)
+),
+per AS (
+    SELECT label, MAX(n) AS n_vecs,
+           list(tw ORDER BY i) AS twl, list(sh ORDER BY i) AS shl
+    FROM terms GROUP BY label
+)
+SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+       round(list_reduce(twl, (x, y) -> x + y) / n_vecs, 6) AS wmsd,
+       round(list_reduce(shl, (x, y) -> x + y), 6) AS between2,
+       round(round(list_reduce(shl, (x, y) -> x + y), 6)
+             / nullif(round(list_reduce(twl, (x, y) -> x + y) / n_vecs, 6),
+                      0.0), 6) AS fisher
+FROM per
+"""
+
+QUERIES["embedding_separability"] = embedding_separability
+ORACLES["embedding_separability"] = _SEPARABILITY_SQL

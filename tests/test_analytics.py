@@ -537,3 +537,32 @@ def test_exact_auc_matches_bruteforce_pairs(spark):
         assert (r.n_pos, r.n_neg, r.u2) == (len(pos), len(neg), u2)
         assert abs(r.auc - u2 / (2.0 * len(pos) * len(neg))) < 1e-12
         assert 0.0 <= r.auc <= 1.0
+
+
+def test_embedding_separability_moment_identities(spark):
+    import numpy as np
+
+    from platform_etl_drug_disease_spark.plans.similarity import (
+        embedding_separability,
+    )
+
+    out = {r.label: r for r in embedding_separability(spark, SF_SMOKE).collect()}
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("embedding", "label")
+        .collect()
+    )
+    vecs = {}
+    for r in rows:
+        vecs.setdefault(r.label, []).append(np.array(r.embedding, dtype="f8"))
+    gmu = np.mean(np.vstack([v for vs in vecs.values() for v in vs]), axis=0)
+    for label, vs in vecs.items():
+        m = np.vstack(vs)
+        r = out[label]
+        assert r.n_vecs == len(vs)
+        wmsd = float(((m - m.mean(axis=0)) ** 2).sum(axis=1).mean())
+        between2 = float(((m.mean(axis=0) - gmu) ** 2).sum())
+        # exact-decimal sums vs numpy float sums: agree to ~1e-5
+        assert abs(r.wmsd - wmsd) < 1e-4 * max(1.0, wmsd)
+        assert abs(r.between2 - between2) < 1e-4 * max(1.0, between2)
+        assert r.wmsd > 0 and r.between2 >= 0
