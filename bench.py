@@ -121,6 +121,10 @@ HEADLINE = [
     "click_attribution_stats",
     "supplier_clustering",
     "part_skyline",
+    "next_event_examples",
+    "hard_negative_mining",
+    "exact_auc_stats",
+    "embedding_separability",
 ]
 
 
