@@ -674,3 +674,85 @@ FROM agg WHERE n_pos > 0 AND n_neg > 0
 
 QUERIES["exact_auc_stats"] = exact_auc_stats
 ORACLES["exact_auc_stats"] = _AUC_SQL
+
+
+def calibration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Brier score for a score used as a probability:
+    length-normalized score p = n_chars / max(n_chars) "predicting" English,
+    binned into 10 equal-width buckets; per bucket the mean prediction, the
+    observed positive rate, their calibration gap, and the exact Brier
+    contribution. The companion to exact_auc_stats: AUC checks ranking,
+    calibration checks whether the scores can be READ as probabilities.
+
+    Everything reduces to integer sums (Σy, Σc, Σc², Σy·c as decimal — c is
+    n_chars) per bucket, so one groupBy on the derived bucket key is the
+    only shuffle and every float is derived from exact integers by the same
+    IEEE expression on both engines. The global max is a broadcast
+    one-row aggregate, not a window."""
+    docs = load_table(spark, sf_dir, "documents", ["n_chars", "lang"])
+    mx = docs.agg(F.max("n_chars").alias("maxc"))
+    d = "decimal(38,0)"
+    binned = docs.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(F.col("n_chars") * 10 / F.col("maxc")), F.lit(9)
+        ).alias("bin"),
+        "n_chars",
+        "maxc",
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("n_chars").cast(d)).alias("sc"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast(d)).alias("sc2"),
+        F.sum((F.col("y") * F.col("n_chars")).cast(d)).alias("syc"),
+        F.max("maxc").alias("maxc"),
+    )
+    scd = F.col("sc").cast("double")
+    mean_p = scd / F.col("n") / F.col("maxc")
+    frac_pos = F.col("sy").cast("double") / F.col("n")
+    brier = (
+        F.col("sc2").cast("double") / (F.col("maxc") * F.col("maxc"))
+        - F.lit(2.0) * F.col("syc").cast("double") / F.col("maxc")
+        + F.col("sy").cast("double")
+    ) / F.col("n")
+    return agg.select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mean_p, 6).alias("mean_p"),
+        F.round(frac_pos, 6).alias("frac_pos"),
+        F.round(F.abs(mean_p - frac_pos), 6).alias("cal_gap"),
+        F.round(brier, 6).alias("brier"),
+    )
+
+
+_CALIBRATION_SQL = """
+WITH mx AS (SELECT MAX(n_chars) AS maxc FROM documents),
+binned AS (
+    SELECT LEAST(FLOOR(n_chars * 10 / maxc), 9) AS bin,
+           n_chars, maxc,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM documents CROSS JOIN mx
+),
+agg AS (
+    SELECT bin, count(*) AS n, SUM(y) AS sy,
+           SUM(CAST(n_chars AS HUGEINT)) AS sc,
+           SUM(CAST(n_chars * n_chars AS HUGEINT)) AS sc2,
+           SUM(CAST(y * n_chars AS HUGEINT)) AS syc,
+           MAX(maxc) AS maxc
+    FROM binned GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(n AS BIGINT) AS n,
+       round(CAST(sc AS DOUBLE) / n / maxc, 6) AS mean_p,
+       round(CAST(sy AS DOUBLE) / n, 6) AS frac_pos,
+       round(abs(CAST(sc AS DOUBLE) / n / maxc
+                 - CAST(sy AS DOUBLE) / n), 6) AS cal_gap,
+       round((CAST(sc2 AS DOUBLE) / (maxc * maxc)
+              - 2.0 * CAST(syc AS DOUBLE) / maxc
+              + CAST(sy AS DOUBLE)) / n, 6) AS brier
+FROM agg
+"""
+
+QUERIES["calibration_stats"] = calibration_stats
+ORACLES["calibration_stats"] = _CALIBRATION_SQL

@@ -566,3 +566,33 @@ def test_embedding_separability_moment_identities(spark):
         assert abs(r.wmsd - wmsd) < 1e-4 * max(1.0, wmsd)
         assert abs(r.between2 - between2) < 1e-4 * max(1.0, between2)
         assert r.wmsd > 0 and r.between2 >= 0
+
+
+def test_calibration_stats_identities(spark):
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        calibration_stats,
+    )
+
+    out = calibration_stats(spark, SF_SMOKE).collect()
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("n_chars", "lang")
+        .collect()
+    )
+    assert sum(r.n for r in out) == len(docs)
+    maxc = max(d.n_chars for d in docs)
+    for r in out:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 <= r.mean_p <= 1.0 + 1e-9
+        # mean prediction sits inside its own bucket's value range
+        assert r.bin / 10 - 1e-6 <= r.mean_p <= (r.bin + 1) / 10 + 1e-6 or (
+            r.bin == 9 and r.mean_p <= 1.0 + 1e-9
+        )
+        assert 0.0 <= r.brier <= 1.0 + 1e-9
+    # exact global Brier equals the bin-weighted average
+    brier_bf = sum(
+        ((d.n_chars / maxc) - (1 if d.lang == "en" else 0)) ** 2 for d in docs
+    ) / len(docs)
+    brier_binned = sum(r.brier * r.n for r in out) / sum(r.n for r in out)
+    assert abs(brier_binned - brier_bf) < 1e-5
