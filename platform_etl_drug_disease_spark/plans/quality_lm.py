@@ -756,3 +756,84 @@ FROM agg
 
 QUERIES["calibration_stats"] = calibration_stats
 ORACLES["calibration_stats"] = _CALIBRATION_SQL
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling design: split a 10k-document
+    annotation/eval budget across sources proportional to N_h·σ_h (stratum
+    size × length standard deviation) — the allocation that minimizes the
+    variance of the estimated corpus mean, vs naive proportional-to-size.
+    Quotas are integers and sum to EXACTLY the budget via the same
+    largest-remainder apportionment as source_quota_allocation.
+
+    N_h·σ_h = sqrt(N·Σx² − (Σx)²) comes straight off exact integer moments
+    (one groupBy, map-side combined); the sqrt→floor makes the weight
+    integral so the apportionment stays pure integer div/mod. Everything
+    after the moment pass runs on the |sources|-row aggregate."""
+    from platform_etl_drug_disease_spark.operators.sampling import (
+        apportion_quota,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", ["source", "n_chars"])
+    d = "decimal(38,0)"
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast(d)).alias("sx"),
+        F.sum((F.col("n_chars") * F.col("n_chars")).cast(d)).alias("sx2"),
+    )
+    w = m.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_docs").cast(d) * F.col("sx2")
+                    - F.col("sx") * F.col("sx")
+                ).cast("double")
+            )
+        ).alias("neyman_w"),
+    ).persist()  # feeds both the apportionment and the output join
+    quotas = apportion_quota(w, "source", "neyman_w", total=10_000)
+    return (
+        w.join(F.broadcast(quotas), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("neyman_w").cast("bigint").alias("neyman_w"),
+            F.col("quota").cast("bigint").alias("quota"),
+        )
+    )
+
+
+_NEYMAN_SQL = """
+WITH m AS (
+    SELECT source, count(*) AS n_docs,
+           SUM(CAST(n_chars AS HUGEINT)) AS sx,
+           SUM(CAST(n_chars * n_chars AS HUGEINT)) AS sx2
+    FROM documents GROUP BY source
+), w AS (
+    SELECT source, n_docs,
+           CAST(FLOOR(SQRT(CAST(n_docs * sx2 - sx * sx AS DOUBLE)))
+                AS HUGEINT) AS wt
+    FROM m
+), t AS (SELECT SUM(wt) AS tw FROM w),
+j AS (SELECT w.source, w.n_docs, w.wt, t.tw, w.wt * 10000 AS num
+      FROM w CROSS JOIN t),
+b AS (
+    SELECT source, n_docs, wt, num // tw AS base, num % tw AS rem
+    FROM j
+), r AS (
+    SELECT *, SUM(base) OVER () AS sb,
+           row_number() OVER (ORDER BY rem DESC, source) AS rk
+    FROM b
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(wt AS BIGINT) AS neyman_w,
+       CAST(base + CASE WHEN rk <= 10000 - sb THEN 1 ELSE 0 END AS BIGINT)
+           AS quota
+FROM r
+"""
+
+QUERIES["neyman_allocation"] = neyman_allocation
+ORACLES["neyman_allocation"] = _NEYMAN_SQL

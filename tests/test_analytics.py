@@ -596,3 +596,31 @@ def test_calibration_stats_identities(spark):
     ) / len(docs)
     brier_binned = sum(r.brier * r.n for r in out) / sum(r.n for r in out)
     assert abs(brier_binned - brier_bf) < 1e-5
+
+
+def test_neyman_allocation_budget_and_optimality(spark):
+    import math
+
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        neyman_allocation,
+    )
+
+    out = neyman_allocation(spark, SF_SMOKE).collect()
+    assert sum(r.quota for r in out) == 10_000  # exact budget
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append(d.n_chars)
+    for r in out:
+        xs = by_src[r.source]
+        assert r.n_docs == len(xs)
+        n, sx, sx2 = len(xs), sum(xs), sum(x * x for x in xs)
+        assert r.neyman_w == math.floor(math.sqrt(n * sx2 - sx * sx))
+    # within-1 fair share: largest-remainder never drifts more than a unit
+    tw = sum(r.neyman_w for r in out)
+    for r in out:
+        assert abs(r.quota - 10_000 * r.neyman_w / tw) < 1.0
