@@ -1,7 +1,21 @@
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"""Benchmark harness: runs the FULL query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (round-3 fix — BENCH_r02 was `parsed: null` because the
+107-entry per-query map made the single JSON line ~3.3 KB and the driver's
+~2.2 KB tail capture truncated it mid-map):
+
+  line 1..k : human/readable progress + the full per-query detail JSON
+              (also written to BENCH_DETAIL.json next to this file)
+  LAST line : ONE compact JSON object — {"metric", "value", "unit", "sf",
+              "n_queries", "queries_detail"} — guaranteed < 500 bytes so no
+              tail capture can ever truncate it. The driver parses the last
+              JSON line it sees.
+
+The headline set is the ENTIRE catalog (derived from `merged_catalog()`),
+so bench coverage can never lag the catalog again (VERDICT r2 "What's
+missing" #3). Per-query timings are best-of-2 with cache cleared between
+runs; see the inline comment for why.
 """
 
 from __future__ import annotations
@@ -13,119 +27,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# headline set: the shuffle/join/agg-heavy queries that dominate runtime and
-# exercise every operator family end to end — INCLUDING the scale-riskiest
-# plans (candidate-generation joins, the full pipeline DAG), so a regression
-# in a scale-critical path shows up here, not only in PERF.md.
-HEADLINE = [
-    "flagship_harmonic_topk",
-    "pricing_summary",
-    "revenue_by_nation",
-    "returnflag_pivot",
-    "customer_order_left",
-    "top_customers_per_nation",
-    "symmetric_trade_edges",
-    "adjacency_lut",
-    "hourly_windows",
-    "user_sessions",
-    "text_stats",
-    "segment_acctbal_zscore",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    "dedup_ngram_jaccard",
-    "clean_corpus_stats",
-    "asof_latest_click",
-    "errors_near_purchase",
-    "knn_cosine_bruteforce",
-    "knn_cosine_ivf",
-    "embedding_near_dup",
-    "streaming_hourly_windows",
-    "multimodal_features",
-    "drug_disease_pipeline",
-    "tfidf_top_terms",
-    "bm25_search",
-    "doc_chunking",
-    "pii_scrub_stats",
-    "semantic_dedup_cells",
-    "kmeans_cells",
-    "boilerplate_span_stats",
-    "quality_lm_score",
-    "vocab_zipf_stats",
-    "embedding_quantize_stats",
-    "knn_pq_adc",
-    "leakage_safe_split",
-    "hybrid_rrf_search",
-    "cdc_upsert_stats",
-    "zorder_locality_stats",
-    "reservoir_sample_stats",
-    "substring_dedup_stats",
-    "dq_audit",
-    "bpe_merge_pair_stats",
-    "scd2_history_stats",
-    "training_shard_stats",
-    "heavy_shingle_stats",
-    "pmi_collocations",
-    "trade_pagerank",
-    "incremental_rollup_stats",
-    "value_anomaly_stats",
-    "join_skew_audit",
-    "bpe_encode_stats",
-    "corpus_epoch_stats",
-    "streaming_value_anomaly",
-    "embedding_drift_stats",
-    "knn_eval_metrics",
-    "funnel_conversion",
-    "supplier_triangles",
-    "price_quantity_regression",
-    "source_overlap_jaccard",
-    "lang_mix_divergence",
-    "embedding_decontaminate",
-    "order_cohort_retention",
-    "weighted_sample_stats",
-    "snapshot_diff_stats",
-    "supplier_kcore",
-    "streaming_funnel_conversion",
-    "quality_winsor_stats",
-    "event_transition_matrix",
-    "time_weighted_value",
-    "hll_user_rollup",
-    "funnel_latency_stats",
-    "value_drift_stats",
-    "centroid_classifier_eval",
-    "word_typo_pairs",
-    "source_quota_allocation",
-    "top_session_paths",
-    "hourly_autocorr",
-    "hourly_gap_audit",
-    "orders_asof_dimension",
-    "media_dedup_stats",
-    "revenue_gini_per_nation",
-    "sample_extrapolation_audit",
-    "funnel_conversion_windowed",
-    "source_coverage_greedy",
-    "seasonal_hour_profile",
-    "monthly_revenue_momentum",
-    "cumulative_users_by_day",
-    "ship_leadtime_histogram",
-    "event_props_map_stats",
-    "variant_props_stats",
-    "sql_text_revenue",
-    "quality_psi_stats",
-    "dataset_fingerprints",
-    "partition_change_plan",
-    "value_moments_stats",
-    "corpus_release_pipeline",
-    "regional_revenue_share",
-    "value_ks_by_type",
-    "type_dow_chi2",
-    "click_attribution_stats",
-    "supplier_clustering",
-    "part_skyline",
-    "next_event_examples",
-    "hard_negative_mining",
-    "exact_auc_stats",
-    "embedding_separability",
-]
+# Queries deliberately excluded from the timed headline, with reasons.
+# The lockstep pytest (tests/test_bench_lockstep.py) asserts that every
+# catalog entry is either timed or listed here.
+EXCLUDED: dict[str, str] = {}
+
+
+def headline_names() -> list[str]:
+    """Full catalog order (driver-window first), minus explicit exclusions."""
+    from platform_etl_drug_disease_spark.plans import merged_catalog
+
+    q, _ = merged_catalog()
+    return [n for n in q if n not in EXCLUDED]
 
 
 def main() -> None:
@@ -135,10 +48,14 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     catalog = entrymod.queries()
-    names = [n for n in HEADLINE if n in catalog]
+    names = [n for n in headline_names() if n in catalog]
 
-    # warm the JVM + file cache once with the cheapest query plan.
-    catalog[names[0]](spark, sf_dir).count()
+    # warm the JVM (codegen, parquet reader, shuffle machinery) with a tiny
+    # dedicated plan that is not part of the timed set, so the first timed
+    # query does not get a free warm-cache advantage (VERDICT r2 nit).
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     # best-of-2 per query: single-shot timings on this box swing up to 10×
     # under VM CPU contention (measured: the same query 5.9 s vs 66 s across
@@ -159,18 +76,35 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_txt = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_txt) if sf_txt.replace(".", "").isdigit() else sf_txt
+    total = round(sum(timings.values()), 3)
+
+    detail = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # full map early in stdout (fine to truncate), compact summary LAST.
+    print(json.dumps(detail))
+    summary = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    assert len(line) < 500, f"summary line must stay tail-safe, got {len(line)}B"
+    print(line)
 
 
 if __name__ == "__main__":

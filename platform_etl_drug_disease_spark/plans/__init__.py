@@ -5,17 +5,23 @@ and ``ORACLES: dict[str, str]`` (DuckDB ANSI SQL over the same parquet
 tables). ``__spark_entry__.py`` merges them for the driver's correctness gate.
 
 Ordering matters: the driver records CORRECTNESS rows for the FIRST 50
-``queries()`` entries only. ``_DRIVER_WINDOW`` pins those 50 explicitly —
-the reference-parity pipeline gates, every LLM-pipeline extension (text/
-corpus, dedup, similarity, streaming, multimodal, lakehouse maintenance,
-sink round-trip), and a relational core chosen so that every SURVEY §2
-operator id is exercised by at least one in-window query. Every in-window
-entry carries a full value-hash oracle (the rows-only-by-design variants —
-HLL, SimHash, LSH-kNN — sit in the tail with their accuracy/subset pytest
-checks). Tail entries are either such by-design cases or near-duplicate
-variants whose operator ids are already proven in-window (right-outer
-mirrors left-outer, CUBE mirrors ROLLUP); all remain fully implemented and
-verified locally by ``tools/oracle_check.py`` over the whole catalog.
+``queries()`` entries only. ``_DRIVER_WINDOW`` pins those 50 explicitly.
+
+Rotation policy (round 3+, per VERDICT r2 item 2): the window is 50/round
+but the catalog is 178 queries, so each round keeps ~5 pinned gates (the
+reference-parity pipeline, its whitelist variant, the flagship, the
+LLM-side flagship DAG, and the sink round-trip) and fills the remaining
+~45 slots with queries that have NEVER had a driver CORRECTNESS row —
+pushing the ever-driver-proven union (r1∪r2 = 76) toward full catalog
+coverage. SURVEY §2 operator ids exercised only by previously-rotated-out
+queries stay driver-proven via their green rows in the committed
+CORRECTNESS_r0{1,2}.json artifacts; tests/test_catalog_contract.py asserts
+every §2 id has an exercising query in (window ∪ ever-driver-proven).
+Every in-window entry carries a full value-hash oracle; the rows-only-by-
+design variants (HLL estimate values, SimHash planted-pair subsets,
+BPE greedy encode) keep their accuracy pytests and sit in the tail. The
+whole catalog — window and tail — is verified every round by
+``tools/oracle_check.py`` (177/177 at r2).
 """
 
 from __future__ import annotations
@@ -26,77 +32,71 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# The 50 driver-scored queries, in scoring order. Every SURVEY §2 operator id
-# and every LLM-extension capability has an exercising entry in this list.
+# The 50 driver-scored queries, in scoring order. Round-3 rotation: 5 pinned
+# gates + 45 first-time-checked entries (see module docstring). All 50 carry
+# full value-hash oracles.
 _DRIVER_WINDOW = [
-    # reference-parity pipeline gates (sim.sc:476, 511)
+    # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
+    # S5/S6 write->read-back)
     "drug_disease_pipeline",
     "drug_disease_pipeline_whitelist",
-    # flagship + relational core (each carries distinct operator ids)
     "flagship_harmonic_topk",
-    "pricing_summary",
-    "revenue_by_nation",
-    "returnflag_pivot",
-    "customer_order_left",
-    "customers_with_open_orders",
-    "symmetric_trade_edges",
-    # U2 (unionByName) moved with its exercising query: scd2_history_stats
-    # builds its feed with unionByName; order_value_buckets (same id) is now
-    # a tail entry still verified by tools/oracle_check.py.
-    "scd2_history_stats",
-    "segment_set_algebra",
-    "user_sessions",
-    "hof_acctbal_pipeline",
-    "priority_set_algebra",
-    "region_segment_flatten",
-    "nested_struct_rollup",
-    "part_id_synthesis",
-    "json_props_rollup",
-    "asof_latest_click",
-    "errors_near_purchase",
-    "segment_acctbal_zscore",
-    "adjacency_lut",
-    "region_descendants",
-    "propagate_scores",
-    # text analysis / corpus curation
-    "text_stats",
-    "lang_id_heuristic",
-    "token_fingerprints",
-    "leakage_safe_split",
-    "quality_lm_score",
-    # corpus_release_pipeline SUPERSEDES clean_corpus_stats in the scored
-    # window: it contains the same dedup-keeper + quality gate and adds the
-    # split + packing stages (the LLM-side flagship DAG). clean_corpus_stats
-    # remains a tail entry verified by tools/oracle_check.py.
     "corpus_release_pipeline",
-    "corpus_mix_stats",
-    "token_bin_packing",
-    # deduplication
-    "dedup_exact",
-    "semantic_dedup_cells",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    "cdc_upsert_stats",
-    # similarity search
-    "knn_cosine_bruteforce",
-    "knn_pq_adc",
-    "knn_cosine_ivf",
-    "embedding_near_dup",
-    # structured streaming (hourly windows proves the engine in-window; the
-    # session/stateful/stream-stream variants are tail entries verified by
-    # tools/oracle_check.py — same family, driver slots freed for retrieval)
-    "streaming_hourly_windows",
-    # multimodal (frame sampling is a tail entry for the same reason)
-    "multimodal_features",
-    # retrieval + text preparation
-    "tfidf_top_terms",
-    "bm25_search",
-    "hybrid_rrf_search",
-    "doc_chunking",
-    "pii_scrub_stats",
-    # sink write→read-back round trip (S5/S6)
     "sink_roundtrip",
+    # structured streaming twins (stream == batch == oracle), first driver rows
+    "streaming_session_windows",
+    "streaming_user_totals",
+    "streaming_click_purchase_join",
+    "streaming_cdc_upsert",
+    "streaming_incremental_dedup",
+    "streaming_value_anomaly",
+    "streaming_funnel_conversion",
+    # graph suite
+    "trade_pagerank",
+    "supplier_triangles",
+    "supplier_kcore",
+    "supplier_clustering",
+    "adjacency_degree_audit",
+    # similarity / embeddings
+    "knn_cosine_ivf_kmeans",
+    "knn_eval_metrics",
+    "hard_negative_mining",
+    "embedding_decontaminate",
+    "embedding_drift_stats",
+    "centroid_classifier_eval",
+    "embedding_separability",
+    # lakehouse maintenance
+    "snapshot_diff_stats",
+    "dataset_fingerprints",
+    "incremental_backfill_stats",
+    "orders_asof_dimension",
+    # statistics / evaluation batch
+    "exact_auc_stats",
+    "calibration_stats",
+    "neyman_allocation",
+    "quality_winsor_stats",
+    "quality_psi_stats",
+    # retrieval / text-quality
+    "phrase_search_stats",
+    "quality_bigram_lm_score",
+    "lang_id_confusion",
+    "corpus_datacard",
+    "vocab_zipf_stats",
+    "pmi_collocations",
+    "lang_mix_divergence",
+    # dedup family, first driver rows
+    "dedup_simhash",
+    "dedup_cluster_components_star",
+    "dedup_incremental",
+    "source_overlap_jaccard",
+    "bpe_merge_pair_stats",
+    "decontaminate_stats",
+    # multimodal
+    "multimodal_frame_sample",
+    # events + SQL surface (S7: the same SQL text on both engines)
+    "event_transition_matrix",
+    "variant_props_stats",
+    "sql_text_revenue",
 ]
 
 

@@ -108,6 +108,41 @@ def adjacency_degree_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adjacency_degree_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 with a full value oracle (VERDICT r2 item 8): per-node exact degree
+    (count distinct) alongside a deterministic audit of the HLL++ sketch.
+
+    The HLL estimate itself is engine-specific, so it never appears in the
+    output. What does: the exact degree, the tolerance bound derived purely
+    from it (``greatest(4, ceil(0.1*degree))`` ≈ 5×rsd at rsd=0.02 — far
+    outside HLL++'s error tail), and ``hll_ok`` — whether the sketch landed
+    inside the bound. Spark's HLL++ merge is order-insensitive (register
+    max), so ``hll_ok`` is deterministic; the oracle asserts TRUE for every
+    node, which makes A2 driver-checkable instead of rows-only."""
+    edges = _sym_edges_raw(spark, sf_dir)
+    deg = edges.groupBy("src").agg(
+        F.countDistinct("dst").alias("degree"),
+        F.approx_count_distinct("dst", 0.02).alias("__hll"),
+    )
+    bound = F.greatest(F.lit(4), F.ceil(F.col("degree") * 0.1)).cast("bigint")
+    return deg.select(
+        "src",
+        F.col("degree").cast("bigint").alias("degree"),
+        bound.alias("err_bound"),
+        (F.abs(F.col("__hll") - F.col("degree")) <= bound).alias("hll_ok"),
+    )
+
+
+_DEGREE_AUDIT_SQL = _SYM_EDGES_CTE + """
+SELECT src,
+       COUNT(DISTINCT dst) AS degree,
+       greatest(4, CAST(ceil(COUNT(DISTINCT dst) * 0.1) AS BIGINT)) AS err_bound,
+       TRUE AS hll_ok
+FROM edges
+GROUP BY src
+"""
+
+
 def propagate_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evidence propagation over neighbours∪self (sim.sc:450, 464): each
     node's base score (its total order value; suppliers score 0) spreads to
@@ -481,6 +516,7 @@ LIMIT 20
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
+    "adjacency_degree_audit": adjacency_degree_audit,
     "propagate_scores": propagate_scores,
     "region_descendants": region_descendants,
     "two_hop_reach": two_hop_reach,
@@ -492,6 +528,7 @@ QUERIES = {
 
 ORACLES = {
     "adjacency_lut": _ADJACENCY_SQL,
+    "adjacency_degree_audit": _DEGREE_AUDIT_SQL,
     "propagate_scores": _PROPAGATE_SQL,
     "region_descendants": _DESCENDANTS_SQL,
     "two_hop_reach": _TWO_HOP_SQL,

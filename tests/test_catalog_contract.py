@@ -1,0 +1,211 @@
+"""Catalog/window/bench lockstep contracts (VERDICT r2 items 2 and 5).
+
+The driver scores only the first 50 ``queries()`` entries per round, so the
+window rotates (plans/__init__.py docstring). These tests pin the rotation
+invariants so a future edit can't silently regress them:
+
+- every in-window query carries a full value-hash oracle;
+- the window is ≥80% first-time-checked vs the committed CORRECTNESS
+  artifacts (the whole point of rotating);
+- every SURVEY §2 operator id keeps an exercising query in
+  (window ∪ ever-driver-proven) — rotation must never orphan an id;
+- bench.py's timed headline covers the ENTIRE catalog (minus explicitly
+  excluded, reasoned entries), so BENCH can't lag the catalog again;
+- the generated PERF.md plan-audit table covers the full headline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _window():
+    from platform_etl_drug_disease_spark.plans import _DRIVER_WINDOW
+
+    return list(_DRIVER_WINDOW)
+
+
+def _catalog():
+    from platform_etl_drug_disease_spark.plans import merged_catalog
+
+    return merged_catalog()
+
+
+def _ever_proven() -> set[str]:
+    """Queries with a green driver CORRECTNESS row in any committed round."""
+    names: set[str] = set()
+    for fname in sorted(os.listdir(REPO)):
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", fname):
+            rows = json.load(open(os.path.join(REPO, fname)))
+            for name, rec in rows.items():
+                ok = (
+                    rec.get("rows_match")
+                    and rec.get("schema_match") is not False
+                    and rec.get("hash_match") is not False
+                    and not rec.get("err")
+                )
+                if ok:
+                    names.add(name)
+    return names
+
+
+def test_window_is_50_and_fully_oracled():
+    q, o = _catalog()
+    w = _window()
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    missing = [n for n in w if n not in q]
+    assert not missing, f"window names absent from catalog: {missing}"
+    unoracled = [n for n in w if n not in o]
+    assert not unoracled, f"window entries without a value oracle: {unoracled}"
+
+
+def test_window_rotation_is_mostly_first_time():
+    w = _window()
+    proven = _ever_proven()
+    first_time = [n for n in w if n not in proven]
+    assert len(first_time) >= 40, (
+        f"rotation contract: ≥80% of the window must be first-time-checked; "
+        f"only {len(first_time)}/50 are (already proven: "
+        f"{sorted(set(w) & proven)})"
+    )
+
+
+# SURVEY §2 operator id -> exercising catalog queries (the VERDICT r2
+# coverage table's mapping). Rotation may move the exercising query out of
+# the current window only if it already has a committed green driver row.
+SURVEY_IDS: dict[str, list[str]] = {
+    "S1": ["drug_disease_pipeline"],
+    "S2": ["flagship_harmonic_topk"],
+    "S3": ["flagship_harmonic_topk"],  # multi-file dirs; explicit glob in test_sources
+    "S4": ["drug_disease_pipeline_whitelist"],
+    "S5": ["sink_roundtrip"],
+    "S6": ["sink_roundtrip"],
+    "S7": ["sql_text_revenue"],
+    "P1": ["flagship_harmonic_topk"],
+    "P2": ["nested_struct_rollup"],
+    "P3": ["part_id_synthesis"],
+    "P4": ["returnflag_pivot"],
+    "P5": ["cdc_upsert_stats", "symmetric_trade_edges"],
+    "P6": ["pricing_summary"],
+    "P7": ["revenue_by_nation"],
+    "P8": ["region_segment_flatten"],
+    "P9": ["priority_set_algebra"],
+    "P10": ["returnflag_pivot"],
+    "J1": ["flagship_harmonic_topk"],
+    "J2": ["revenue_by_nation"],
+    "J3": ["customer_order_left"],
+    "J4": ["drug_disease_pipeline"],
+    "J5": ["symmetric_trade_edges"],
+    "J6": ["customers_with_open_orders"],
+    "J7": ["drug_disease_pipeline"],
+    "A1": ["adjacency_lut"],
+    "A2": ["adjacency_degree_audit"],
+    "A3": ["flagship_harmonic_topk"],
+    "A4": ["nested_struct_rollup", "drug_disease_pipeline"],
+    "A5": ["pricing_summary"],
+    "A6": ["returnflag_pivot", "drug_disease_pipeline"],
+    "A7": ["returnflag_pivot", "event_transition_matrix"],
+    "A8": ["flagship_harmonic_topk"],
+    "A9": ["symmetric_trade_edges"],
+    "A10": ["flagship_harmonic_topk"],
+    "W1": ["user_sessions", "scd2_history_stats"],
+    # O1 (global sort) deliberately dropped from hot paths — SURVEY X4
+    "O2": ["flagship_harmonic_topk"],
+    "O3": ["flagship_harmonic_topk"],
+    "U1": ["symmetric_trade_edges"],
+    "U2": ["scd2_history_stats"],
+    "U3": ["segment_set_algebra"],
+    "U4": ["priority_set_algebra"],
+    "U5": ["propagate_scores"],
+    "U6": ["priority_set_algebra"],
+    "U7": ["region_segment_flatten"],
+    "F1": ["propagate_scores"],
+    "F2": ["region_segment_flatten"],
+    "F3": ["region_segment_flatten"],
+    "F4": ["hof_acctbal_pipeline", "drug_disease_pipeline"],
+    "F5": ["hof_acctbal_pipeline"],
+    "F6": ["flagship_harmonic_topk"],
+    "F7": ["priority_set_algebra"],
+    "F8": ["nested_struct_rollup"],
+    "F9": ["propagate_scores"],
+    "F10": ["nested_struct_rollup"],
+    "F11": ["part_id_synthesis"],
+    "F12": ["part_id_synthesis"],
+    "F13": ["part_id_synthesis"],
+    "F14": ["flagship_harmonic_topk"],
+    "F15": ["flagship_harmonic_topk"],
+    "F16": ["drug_disease_pipeline"],
+    "F17": ["flagship_harmonic_topk"],
+    "F18": ["flagship_harmonic_topk"],
+    "F19": ["flagship_harmonic_topk"],
+    "F20": ["user_sessions"],
+    "F21": ["json_props_rollup", "variant_props_stats"],
+    "STREAM": ["streaming_hourly_windows", "streaming_session_windows"],
+    "D1": ["region_descendants"],
+    "D2": ["segment_acctbal_zscore"],
+    "D3": ["multimodal_features", "multimodal_frame_sample"],
+    "C1": ["drug_disease_pipeline"],
+    "C2": ["drug_disease_pipeline"],
+}
+
+
+def test_every_survey_id_stays_driver_covered():
+    q, _ = _catalog()
+    covered = set(_window()) | _ever_proven()
+    orphans = {
+        op_id: names
+        for op_id, names in SURVEY_IDS.items()
+        if not any(n in covered for n in names)
+    }
+    assert not orphans, f"SURVEY §2 ids with no driver-covered query: {orphans}"
+    ghosts = {
+        op_id: [n for n in names if n not in q]
+        for op_id, names in SURVEY_IDS.items()
+        if any(n not in q for n in names)
+    }
+    assert not ghosts, f"SURVEY map references unknown queries: {ghosts}"
+
+
+def test_bench_headline_covers_catalog():
+    import bench
+
+    q, _ = _catalog()
+    timed = set(bench.headline_names())
+    excluded = set(bench.EXCLUDED)
+    assert timed | excluded == set(q), (
+        f"catalog queries neither timed nor excluded: "
+        f"{sorted(set(q) - timed - excluded)}; "
+        f"stale headline/excluded names: {sorted((timed | excluded) - set(q))}"
+    )
+    assert not (timed & excluded)
+    for name, reason in bench.EXCLUDED.items():
+        assert reason.strip(), f"exclusion without a reason: {name}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_PERF_LOCKSTEP", "1") == "0",
+    reason="PERF.md regeneration in progress",
+)
+def test_perf_table_covers_headline():
+    import bench
+
+    perf = open(os.path.join(REPO, "PERF.md")).read()
+    generated = perf.split("<!-- MANUAL SECTIONS BELOW -->")[0]
+    table_names = {
+        line.split("|")[1].strip()
+        for line in generated.splitlines()
+        if line.startswith("| ") and line.count("|") >= 7
+    }
+    missing = [n for n in bench.headline_names() if n not in table_names]
+    assert not missing, (
+        f"PERF.md plan-audit table lags the bench headline by "
+        f"{len(missing)} queries: {missing[:10]}... — regenerate with "
+        f"`python tools/plan_report.py`"
+    )
