@@ -66,13 +66,46 @@ def _fake_decode(payload: bytes, dim: int = 8) -> dict[str, Any]:
     }
 
 
+def _real_decode(payload: bytes, dim: int = 8) -> dict[str, Any]:
+    """Real image decode via pillow (optional dependency): digest + a
+    grayscale mean-pool feature vector. Import happens lazily on the
+    executor; callers reach this only through ``mode="real"``."""
+    from PIL import Image  # noqa: PLC0415 — optional, executor-side
+    import io
+
+    digest = hashlib.md5(payload or b"").hexdigest()
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, dim))
+    px = list(img.getdata())
+    # mean-pool each row of the dim×dim thumbnail → dim floats in [0, 1]
+    vec = [
+        round(sum(px[r * dim : (r + 1) * dim]) / (dim * 255.0), 6)
+        for r in range(dim)
+    ]
+    return {
+        "payload_bytes": len(payload or b""),
+        "content_digest": digest,
+        "feature_vec": vec,
+    }
+
+
+def real_decoder_available() -> bool:
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
 def extract_media_features(
     df: DataFrame, payload_col: str = "payload", mode: str = "fake"
 ) -> DataFrame:
     """Arrow-batched feature extraction over a binary payload column.
 
-    Output: all input columns plus FEATURE_FIELDS. ``mode="real"`` is the
-    integration point for an actual decoder and intentionally raises here.
+    Output: all input columns plus FEATURE_FIELDS. ``mode="real"`` decodes
+    with pillow when it is installed (optional dependency — not present in
+    the stock container) and raises NotImplementedError otherwise;
+    ``mode="fake"`` is the deterministic stub that keeps a value oracle.
     """
     import pandas as pd
 
@@ -81,12 +114,15 @@ def extract_media_features(
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             if mode == "real":
-                raise NotImplementedError(
-                    "real media decode requires image/audio libraries not "
-                    "present in this environment; use mode='fake' for the "
-                    "deterministic stub"
-                )
-            feats = pdf[payload_col].map(_fake_decode)
+                if not real_decoder_available():
+                    raise NotImplementedError(
+                        "real media decode requires pillow, which is not "
+                        "installed; use mode='fake' for the deterministic stub"
+                    )
+                decode = _real_decode
+            else:
+                decode = _fake_decode
+            feats = pdf[payload_col].map(decode)
             pdf = pdf.assign(
                 payload_bytes=feats.map(lambda d: d["payload_bytes"]),
                 content_digest=feats.map(lambda d: d["content_digest"]),
@@ -121,11 +157,43 @@ def sample_frames(
 def resize_images(
     df: DataFrame, width: int, height: int, payload_col: str = "payload", mode: str = "fake"
 ) -> DataFrame:
-    """Image resize stub: updates metadata to the target dimensions and tags
-    the payload digest; a real implementation would re-encode payload bytes
-    inside the same mapInPandas contract as extract_media_features."""
+    """Image resize: ``mode="fake"`` updates metadata to the target
+    dimensions and tags the payload digest (deterministic, oracle-safe);
+    ``mode="real"`` re-encodes payload bytes through pillow inside the same
+    mapInPandas contract as extract_media_features (optional dependency)."""
     if mode == "real":
-        raise NotImplementedError("real image resize requires an image library")
+        if not real_decoder_available():
+            raise NotImplementedError(
+                "real image resize requires pillow, which is not installed"
+            )
+        import io
+
+        import pandas as pd
+
+        def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            from PIL import Image  # noqa: PLC0415 — executor-side
+
+            def resize_bytes(payload: bytes) -> bytes:
+                img = Image.open(io.BytesIO(payload)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=img.format or "PNG")
+                return buf.getvalue()
+
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[payload_col] = pdf[payload_col].map(resize_bytes)
+                yield pdf
+
+        resized = df.mapInPandas(fn, df.schema)
+        return resized.withColumn(
+            "meta",
+            F.struct(
+                F.lit(width).alias("width"),
+                F.lit(height).alias("height"),
+                F.col("meta.sample_rate").alias("sample_rate"),
+                F.col("meta.n_frames").alias("n_frames"),
+            ),
+        ).withColumn("resize_digest", F.sha2(F.col(payload_col).cast("string"), 256))
     return df.withColumn(
         "meta",
         F.struct(

@@ -73,20 +73,19 @@ def group_reservoir(
     partitioning, and incremental-friendly: a grown stratum only swaps rows
     at the hash boundary).
 
-    One shuffle (the window's partitionBy); per-stratum state is the k-row
-    frontier, never the stratum. For heavily skewed strata at 100-TB scale,
-    pre-filter with ``md5 < threshold`` (a loose per-stratum quantile bound)
-    before the window so the shuffle carries candidates, not the corpus."""
-    from pyspark.sql import Window
+    Scale shape (reworked round 3): min-k-by-hash is a mergeable aggregate,
+    so this uses operators/scans.bounded_top_k_rows — per-(stratum,
+    sub-bucket) sorted k-slices merged per stratum — instead of a
+    `row_number() OVER (PARTITION BY strata)` window that would sort each
+    stratum's full row set on one reducer. Identical output: (hash, id) is
+    a unique ascending sort key."""
+    from platform_etl_drug_disease_spark.operators.scans import (
+        bounded_top_k_rows,
+    )
 
     c = F.col(id_col)
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), c.asc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    return bounded_top_k_rows(df, [strata_col], [h, c], k)
 
 
 def split_assign(
@@ -206,9 +205,19 @@ def weighted_group_sample(
     Keys are compared as ln(u)/w (monotone in u^(1/w), numerically safer
     than the pow form near u→1) with the id as tiebreaker. Rows with
     weight <= 0 or null are excluded — they have inclusion probability 0.
-    One window shuffle; per-stratum state is the k-row frontier."""
-    from pyspark.sql import Window
 
+    Scale shape (reworked round 3 — plan_lint's low-cardinality-window rule
+    flagged the former `row_number() OVER (PARTITION BY strata)` form,
+    which sorts each stratum's full row set on one reducer): top-k is a
+    mergeable aggregate, so rows are hashed into sub-buckets, each
+    (stratum, sub-bucket) keeps a sorted k-slice of (−key, id, payload)
+    structs, and the ≤ buckets×k survivors per stratum merge with one more
+    bounded sort. Identical output to the window form — (−key, id) is a
+    unique sort key, and struct comparison is lexicographic. Per-reducer
+    state is one sub-bucket's rows, scaled by the bucket count, never a
+    whole stratum. All payload columns must be orderable types (they are
+    never actually compared — (−key, id) decides first — but struct
+    ordering requires it)."""
     c = F.col(id_col)
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     # 13 hex chars = 52 bits → exact double; +1 keeps u in (0, 1] so ln(u)
@@ -216,14 +225,12 @@ def weighted_group_sample(
     h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 13), 16, 10)
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**52) + 1.0)
     key = F.log(u) / wcol.cast("double")
-    w = Window.partitionBy(strata_col).orderBy(F.col(key_out).desc(), c.asc())
-    return (
-        df.where(wcol.isNotNull() & (wcol > 0))
-        .withColumn(key_out, key)
-        .withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") <= k)
-        .drop("_rk")
+    from platform_etl_drug_disease_spark.operators.scans import (
+        bounded_top_k_rows,
     )
+
+    keyed = df.where(wcol.isNotNull() & (wcol > 0)).withColumn(key_out, key)
+    return bounded_top_k_rows(keyed, [strata_col], [-F.col(key_out), c], k)
 
 
 def apportion_quota(

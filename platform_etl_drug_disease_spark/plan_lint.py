@@ -77,12 +77,93 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan)))
 
 
+# Columns known to have O(10) distinct values in this schema. An ordered
+# window partitioned ONLY by these over an unaggregated table funnels the
+# whole input through that many reducers (single-core sort each) — the
+# VERDICT-r2 class of 100-TB serialization points. Fix with the two-phase
+# scans in operators/scans.py.
+LOW_CARDINALITY_COLS = frozenset(
+    {
+        "lang",
+        "split",
+        "source",
+        "event_type",
+        "l_returnflag",
+        "l_linestatus",
+        "r_name",
+        "n_name",
+        "c_mktsegment",
+        "o_orderpriority",
+        "o_orderstatus",
+        "media_type",
+        "quality_band",
+    }
+)
+
+
+def low_card_running_windows(
+    df: DataFrame, low_card: frozenset[str] = LOW_CARDINALITY_COLS
+) -> list[str]:
+    """Ordered Window nodes over unaggregated input whose entire partition
+    spec is known-low-cardinality columns. Works on the optimized logical
+    plan: a Window whose subtree contains an Aggregate is running over a
+    (bounded) aggregated table and is cleared; one running straight over a
+    relation scan is flagged."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[A-Za-z]", line)
+        return m.start() if m else 0
+
+    hits: list[str] = []
+    for i, line in enumerate(lines):
+        d = depth(line)
+        if not line[d:].startswith("Window "):
+            continue
+        # bracket groups at top level: [exprs], [partition], [order] — the
+        # order group carries ASC/DESC; the partition group (if any) sits
+        # between exprs and order.
+        groups = re.findall(r"\[([^\[\]]*(?:\[[^\]]*\][^\[\]]*)*)\]", line[d:])
+        if len(groups) < 3:
+            continue  # no partition spec, or no order spec
+        part, order = groups[-2], groups[-1]
+        if " ASC" not in order and " DESC" not in order:
+            continue  # unordered window — not a per-key sort
+        part_cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", part))
+        if not part_cols or not part_cols <= low_card:
+            continue
+        subtree = []
+        for j in range(i + 1, len(lines)):
+            if depth(lines[j]) <= d:
+                break
+            subtree.append(lines[j])
+        # window over an aggregated (bounded) table is fine. A persisted
+        # aggregate shows up as InMemoryRelation whose *cached physical
+        # plan* is printed inline — so accept the physical agg spellings
+        # too (HashAggregate/SortAggregate/ObjectHashAggregate), otherwise
+        # this rule false-positives whenever an upstream persist() is
+        # already materialized in the session.
+        agg_marks = ("Aggregate [", "HashAggregate", "SortAggregate", "ObjectHashAggregate")
+        if any(m in s for s in subtree for m in agg_marks):
+            continue
+        hits.append(
+            f"ordered window partitioned only by low-cardinality "
+            f"{sorted(part_cols)} over unaggregated input — a per-key global "
+            f"sort at scale; use operators/scans.py two-phase forms"
+        )
+    return hits
+
+
 def lint(df: DataFrame) -> list[str]:
     """Return human-readable warnings for scale anti-patterns in the plan."""
     plan = explain_string(df)
     warnings = [
         f"{pat}: {why}" for pat, why in ANTIPATTERNS.items() if pat in plan
     ]
+    warnings.extend(low_card_running_windows(df))
     # repeated scans of the SAME file = an uncached fan-out (multi-table
     # joins legitimately scan many different files once each)
     locations = [

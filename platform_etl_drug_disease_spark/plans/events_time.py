@@ -248,11 +248,19 @@ GROUP BY p.event_id
 
 def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 lag/lead: per event-type inter-arrival gap stats (min/max/avg µs) —
-    the time-series delta idiom over a keyed window."""
-    ev = load_table(spark, sf_dir, "events", ["event_type", "ts"])
-    w = Window.partitionBy("event_type").orderBy("ts")
-    gap = (F.unix_micros("ts") - F.unix_micros(F.lag("ts", 1).over(w))).alias("gap")
-    gaps = ev.select("event_type", gap).where(F.col("gap").isNotNull())
+    the time-series delta idiom over a keyed window.
+
+    Scale note (VERDICT r2 #4): `lag OVER (PARTITION BY event_type ORDER BY
+    ts)` on the raw log sorts the whole table through ~|types| reducers.
+    operators/scans.keyed_lag_delta computes the identical gap multiset with
+    local lags inside time-range buckets plus per-bucket boundary stitches
+    (tiny first/last aggregate) — shuffle key (type, bucket)."""
+    from platform_etl_drug_disease_spark.operators.scans import keyed_lag_delta
+
+    ev = load_table(spark, sf_dir, "events", ["event_type", "ts"]).select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    gaps = keyed_lag_delta(ev, ["event_type"], "us", n_buckets=64)
     return gaps.groupBy("event_type").agg(
         F.min("gap").alias("gap_min_us"),
         F.max("gap").alias("gap_max_us"),

@@ -355,11 +355,16 @@ def quality_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholding on a per-source quality signal (a handful of spam or
     truncated docs should not move a source's score budget).
 
-    Scale shape: percentile bounds come from ONE per-source percent_rank
-    window (per-stratum sort, spillable); the bounds table is |sources|
-    rows → broadcast back, and the means are decimal-exact sums. For
-    strata too large to sort, the bounded-state path is approx_percentile
-    (see price_tdigest_quantiles) with identical downstream clipping."""
+    Scale shape (reworked round 3 — the plan_lint low-cardinality-window
+    rule flagged the former per-source percent_rank over raw docs): exact
+    percentile bounds come from the per-(source, q) value histogram — one
+    aggregate over the corpus, then rank arithmetic on the (bounded,
+    score-resolution-sized) histogram. percent_rank of the last row with
+    value q is (cum-1)/(n-1) and of the first row (cum-c)/(n-1) under
+    (q, doc_id) ordering, so:  lo = min q with cum-1 ≥ .05(n-1)  and
+    hi = max q with cum-c ≤ .95(n-1)  — identical to the window form.
+    The bounds table is |sources| rows → broadcast back; means are
+    decimal-exact sums over the persisted narrow (source, q) projection."""
     docs = ensure_compute_partitions(
         load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]),
         "doc_id",
@@ -368,14 +373,31 @@ def quality_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         tx.quality_score("text").alias("q"),
+    ).persist()  # fan-out: histogram pass + clipped-means pass
+    counts = scored.groupBy("source", "q").agg(F.count(F.lit(1)).alias("c"))
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w = Window.partitionBy("source").orderBy("q", "doc_id")
-    ranked = scored.withColumn("pr", F.percent_rank().over(w))
-    bounds = ranked.groupBy("source").agg(
-        F.min(F.when(F.col("pr") >= 0.05, F.col("q"))).alias("lo"),
-        F.max(F.when(F.col("pr") <= 0.95, F.col("q"))).alias("hi"),
+    hist = counts.withColumn("cum", F.sum("c").over(cum_w))
+    sizes = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    hist = hist.join(F.broadcast(sizes), "source")
+    bounds = hist.groupBy("source").agg(
+        F.min(
+            F.when(
+                (F.col("n") > 1)
+                & (F.col("cum") - 1 >= 0.05 * (F.col("n") - 1)),
+                F.col("q"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("cum") - F.col("c") <= 0.95 * (F.col("n") - 1), F.col("q")
+            )
+        ).alias("hi"),
     )
-    clipped = ranked.join(F.broadcast(bounds), "source").withColumn(
+    clipped = scored.join(F.broadcast(bounds), "source").withColumn(
         "qw", F.least(F.greatest(F.col("q"), F.col("lo")), F.col("hi"))
     )
     return clipped.groupBy("source").agg(

@@ -254,10 +254,31 @@ def test_extract_features_schema_and_determinism(spark):
     assert rows[1]["feature_vec"] == again[1]["feature_vec"]
 
 
-def test_extract_features_real_mode_is_stubbed(spark):
-    out = extract_media_features(_media(spark), mode="real")
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        out.collect()
+def test_extract_features_real_mode_guard_or_decode(spark):
+    from platform_etl_drug_disease_spark.operators.multimodal import (
+        real_decoder_available,
+    )
+
+    if not real_decoder_available():
+        out = extract_media_features(_media(spark), mode="real")
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            out.collect()
+        return
+    # pillow present: a real PNG round-trips through decode + feature pool
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), color=(200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, "image", png, (16, 16, None, None))], MEDIA_SCHEMA
+    )
+    row = extract_media_features(df, mode="real").collect()[0]
+    assert row["payload_bytes"] == len(png)
+    assert len(row["feature_vec"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in row["feature_vec"])
 
 
 def test_sample_frames_explodes_video_rows(spark):
@@ -272,8 +293,13 @@ def test_resize_updates_meta(spark):
     out = resize_images(_media(spark).where(F.col("kind") == "image"), 224, 224)
     for r in out.collect():
         assert r["meta"]["width"] == 224 and r["meta"]["height"] == 224
-    with pytest.raises(NotImplementedError):
-        resize_images(_media(spark), 224, 224, mode="real")
+    from platform_etl_drug_disease_spark.operators.multimodal import (
+        real_decoder_available,
+    )
+
+    if not real_decoder_available():
+        with pytest.raises(NotImplementedError):
+            resize_images(_media(spark), 224, 224, mode="real")
 
 
 def test_connected_components_chain_and_island(spark):
