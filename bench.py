@@ -49,6 +49,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     catalog = entrymod.queries()
     names = [n for n in headline_names() if n in catalog]
+    if len(sys.argv) > 1:  # optional subset: python bench.py q1 q2 ...
+        subset = set(sys.argv[1:])
+        unknown = subset - set(names)
+        if unknown:
+            raise SystemExit(f"unknown query names: {sorted(unknown)}")
+        names = [n for n in names if n in subset]
 
     # warm the JVM (codegen, parquet reader, shuffle machinery) with a tiny
     # dedicated plan that is not part of the timed set, so the first timed
@@ -62,8 +68,12 @@ def main() -> None:
     # runs with identical plans); the min of two executions reports engine
     # cost, not noisy-neighbor cost. Cache is cleared between runs, so both
     # executions are cold — this is not a warm-cache measurement.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
     timings: dict[str, float] = {}
-    for name in names:
+    for i, name in enumerate(names):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -75,6 +85,10 @@ def main() -> None:
             # GC pressure.
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+        print(f"[{i + 1}/{len(names)}] {name}: {timings[name]}s", file=sys.stderr)
+        # checkpoint the partial map so a killed long run still leaves data
+        with open(detail_path + ".partial", "w") as fh:
+            json.dump(timings, fh, indent=1, sort_keys=True)
 
     sf_txt = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_txt) if sf_txt.replace(".", "").isdigit() else sf_txt
@@ -87,11 +101,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    if os.path.exists(detail_path + ".partial"):
+        os.remove(detail_path + ".partial")
     # full map early in stdout (fine to truncate), compact summary LAST.
     print(json.dumps(detail))
     summary = {

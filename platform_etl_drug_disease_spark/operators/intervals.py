@@ -57,3 +57,48 @@ def merge_intervals(
         .agg(F.min(start).alias(start), F.max(end).alias(end))
         .drop("_island")
     )
+
+
+def point_in_interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_days: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact rows (a DATE column) to every interval containing them —
+    the dimension-calendar / validity-period lookup (promo windows, SCD
+    validity ranges, maintenance periods) without a quadratic theta-join.
+
+    A naive ``f.ts BETWEEN i.start AND i.end`` join has no equi-key, so
+    Spark plans BroadcastNestedLoopJoin — every fact row tests every
+    interval. Bucketing restores an equi-key: each interval explodes to
+    the ``bucket_days``-wide day buckets it overlaps (an interval of length
+    L covers ≤ L/bucket_days + 1 buckets — bounded, tiny for dimension
+    tables), each fact row computes its single bucket, the engines
+    equi-join on the bucket id, and the exact BETWEEN filter drops false
+    candidates. The exploded interval side stays dimension-sized and is
+    broadcast, so at 100 TB the fact table is never shuffled — the join is
+    map-side and the bucket id never leaves the codegen stage.
+
+    Inclusive bounds on both ends (BETWEEN semantics). Column names of the
+    two inputs must be disjoint.
+    """
+    day = F.datediff(F.col(ts_col), F.lit("1970-01-01"))
+    s_day = F.datediff(F.col(start_col), F.lit("1970-01-01"))
+    e_day = F.datediff(F.col(end_col), F.lit("1970-01-01"))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_day / F.lit(bucket_days)), F.floor(e_day / F.lit(bucket_days))
+            )
+        ),
+    )
+    f = facts.withColumn("__bucket", F.floor(day / F.lit(bucket_days)))
+    joined = f.join(F.broadcast(iv), on="__bucket", how=how).drop("__bucket")
+    return joined.where(
+        F.col(ts_col).between(F.col(start_col), F.col(end_col))
+    )

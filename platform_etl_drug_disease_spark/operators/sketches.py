@@ -33,7 +33,7 @@ name, orders of magnitude below the distinct-key cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -95,3 +95,106 @@ def cms_heavy_hitters(
         .where(F.col("n_occurrences") >= F.col("thr"))
         .select(key_col, "n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    keys: DataFrame, key: str, m_bits: int = 1 << 16, k_hashes: int = 5
+) -> DataFrame:
+    """Mergeable Bloom filter over ``keys[key]`` as ONE row holding an
+    ``array<long>`` bitmap of ``m_bits / 64`` words.
+
+    This is the big-big join pruning primitive Spark itself injects with
+    runtime bloom filters (SPARK-32268): when the build side is filtered
+    but still too large to broadcast as rows, its *bitmap* (fixed
+    ``m_bits/8`` bytes — 8 KB at the 2^16 default — regardless of key
+    count) can be broadcast instead and probe-side rows dropped BEFORE the
+    join shuffle. At 100 TB the shuffle saved on a selective join dwarfs
+    the bitmap cost.
+
+    Build is fully distributed and mergeable: each key sets ``k_hashes``
+    bit positions (``pmod(xxhash64(key, seed), m_bits)`` — pmod avoids the
+    abs(Long.MIN_VALUE) trap); positions group to ≤ ``m_bits/64`` words
+    combined with the ``bit_or`` aggregate (map-side partial merge), and
+    the word map is re-assembled into a dense array. No driver collect.
+    """
+    n_words = m_bits // 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits)).alias(
+                        f"_p{i}"
+                    )
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("_p")
+    )
+    words = pos.groupBy(F.floor(F.col("_p") / 64).cast("int").alias("_w")).agg(
+        # call_function: the Python shiftleft() wrapper only takes an int
+        # bit count; the SQL function itself accepts a column expression.
+        F.bit_or(
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.pmod(F.col("_p"), 64).cast("int")
+            )
+        ).alias("_bits")
+    )
+    return words.agg(
+        F.map_from_arrays(F.collect_list("_w"), F.collect_list("_bits")).alias("_mw")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            # _mw is a MAP keyed by word index — element_at looks up the key
+            # itself (the 1-based convention applies to arrays only).
+            lambda w: F.coalesce(F.element_at(F.col("_mw"), w.cast("int")), F.lit(0).cast("long")),
+        ).alias("bloom")
+    )
+
+
+def bloom_might_contain(
+    bloom: Column, key: Column, m_bits: int = 1 << 16, k_hashes: int = 5
+) -> Column:
+    """Membership predicate against a :func:`bloom_build` bitmap column.
+
+    All ``k_hashes`` bits must be set. No false negatives by construction;
+    false-positive rate ≈ (1 - e^(-k·n/m))^k (n = distinct build keys).
+    Pure codegen'd long arithmetic — no UDF in the probe path.
+    """
+    conds = None
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(bloom, F.floor(p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, 64).cast("int")
+        )
+        c = word.bitwiseAND(bit) != 0
+        conds = c if conds is None else (conds & c)
+    return conds
+
+
+def bloom_prune(
+    probe: DataFrame,
+    probe_key: str,
+    build_keys: DataFrame,
+    build_key: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Drop ``probe`` rows whose key cannot be in ``build_keys`` — a
+    map-side pre-shuffle semi-filter (superset of the exact semi-join; pair
+    with an exact join downstream for exact results).
+
+    The 1-row bitmap joins in via a broadcast nested loop (one row — free);
+    the probe predicate evaluates inside the probe scan's codegen stage, so
+    surviving rows are the only ones that ever reach the join shuffle.
+    """
+    bloom = bloom_build(build_keys, build_key, m_bits, k_hashes)
+    probed = probe.join(F.broadcast(bloom))
+    keep = bloom_might_contain(
+        F.col("bloom"), F.col(probe_key), m_bits, k_hashes
+    )
+    return probed.where(keep).drop("bloom")

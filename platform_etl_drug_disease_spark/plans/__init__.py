@@ -115,6 +115,7 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         retrieval,
         scalar_fns,
+        scale_joins,
         similarity,
         sinks,
         streaming_media,
@@ -135,6 +136,7 @@ def merged_catalog() -> tuple[dict[str, QueryFn], dict[str, str]]:
         retrieval,
         streaming_media,
         pipeline_catalog,
+        scale_joins,
         sinks,
     ):
         all_queries.update(mod.QUERIES)

@@ -118,10 +118,18 @@ def adjacency_degree_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside HLL++'s error tail), and ``hll_ok`` — whether the sketch landed
     inside the bound. Spark's HLL++ merge is order-insensitive (register
     max), so ``hll_ok`` is deterministic; the oracle asserts TRUE for every
-    node, which makes A2 driver-checkable instead of rows-only."""
-    edges = _sym_edges_raw(spark, sf_dir)
+    node, which makes A2 driver-checkable instead of rows-only.
+
+    Plan note (round-3 fix; 27× scaling in BENCH_sf1): a DISTINCT
+    aggregate next to a regular one makes Spark duplicate every input row
+    through an Expand before the shuffle. Deduplicating (src, dst) first
+    — map-side combinable, and co-occurrence edges carry heavy duplicate
+    mass — turns both into plain aggregates over the distinct edge set
+    (HLL is duplicate-insensitive: identical registers, identical
+    estimate)."""
+    edges = _sym_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(
-        F.countDistinct("dst").alias("degree"),
+        F.count("dst").alias("degree"),
         F.approx_count_distinct("dst", 0.02).alias("__hll"),
     )
     bound = F.greatest(F.lit(4), F.ceil(F.col("degree") * 0.1)).cast("bigint")

@@ -1328,6 +1328,15 @@ _POIS_CDF = [
 ]
 
 
+def _poisson_weight(u):
+    """Poisson(1) inverse-CDF bucketing of a uniform column (shared by the
+    Spark plan; the oracle emits the identical CASE ladder)."""
+    wexpr = F.lit(5)
+    for thr, k in reversed(_POIS_CDF):
+        wexpr = F.when(u < F.lit(thr), F.lit(k)).otherwise(wexpr)
+    return wexpr
+
+
 def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean order value: 32
     resampling replicas, each weighting every order by a Poisson(1) draw
@@ -1338,97 +1347,118 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: point estimate, replica-mean spread (exact order statistics at
     ranks 2 and 31 of 32 — ≈ a 90% interval).
 
+    Scale form (round-3 rework; the r2 explode form was the worst scaler
+    in BENCH_sf1 at 59× — its cost was one md5 per (replica, row), 48 M
+    hashes at sf≈1): each md5 now yields EIGHT independent 16-bit draws,
+    so a row hashes 4× instead of 32×. The four hex digests concatenate
+    into one 128-char string, `regexp_extract_all('.{4}')` slices out the
+    32 draws, and ONE posexplode + ONE small CASE ladder turns them into
+    (replica, weight) rows — the expression tree stays tiny (32 copies of
+    the ladder made every fresh plan pay ~10 s of codegen). Partial sums
+    are plain longs keyed by (replica, hash-bucket) — map-side combined
+    to ≤ 32·1024 rows, long-overflow-safe because a bucket holds ~1/1024
+    of the rows — and only the 32 K bucket subtotals are re-summed as
+    decimals (wide decimals never touch the per-row path; they were the
+    other r2 cost). 16-bit uniforms quantize the Poisson CDF by ≤ 2^-16 —
+    bootstrap-irrelevant, and bit-identical in the oracle (same hex
+    slices, same arithmetic).
+
     Every replica's weighted sum is exact integer arithmetic; the 32
     replica means sort exactly; no randomness at run time."""
     orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     d = "decimal(38,0)"
-    reps = orders.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast(d).alias("cents"),
-        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("rep"),
-    )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("boot"),
-                    F.col("rep").cast("string"),
-                    F.lit(":"),
-                    F.col("o_orderkey").cast("string"),
+    base = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(1024)).alias("bkt"),
+        F.concat(
+            *[
+                F.md5(
+                    F.concat(
+                        F.lit(f"boot{g}:"), F.col("o_orderkey").cast("string")
+                    )
                 )
-            ),
-            1,
-            13,
+                for g in range(_BOOT_B // 8)
+            ]
+        ).alias("hh"),
+    )
+    slices = base.select(
+        "cents",
+        "bkt",
+        F.posexplode(F.expr("regexp_extract_all(hh, '.{4}', 0)")).alias(
+            "rep0", "hex4"
         ),
-        16,
-        10,
     )
-    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**52) + 1.0)
-    wexpr = F.lit(5)
-    for thr, k in reversed(_POIS_CDF):
-        wexpr = F.when(u < F.lit(thr), F.lit(k)).otherwise(wexpr)
-    weighted = reps.withColumn("w", wexpr.cast(d))
-    per_rep = weighted.groupBy("rep").agg(
+    v = F.conv(F.col("hex4"), 16, 10)
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(65536.0)
+    weighted = slices.select(
+        "cents", "bkt", "rep0", _poisson_weight(u).cast("long").alias("w")
+    )
+    part = weighted.groupBy("rep0", "bkt").agg(
+        F.sum(F.col("w") * F.col("cents")).alias("wc"),
+        F.sum("w").alias("wsum"),
+        F.sum("cents").alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    per_rep = part.groupBy("rep0").agg(
         (
-            F.sum(F.col("w") * F.col("cents")).cast("double")
-            / F.sum("w").cast("double")
+            F.sum(F.col("wc").cast(d)).cast("double")
+            / F.sum(F.col("wsum").cast(d)).cast("double")
             / 100.0
-        ).alias("mean_rep")
+        ).alias("mean_rep"),
+        F.sum(F.col("c").cast(d)).alias("tot"),
+        F.sum("n").alias("nn"),
     )
-    means = per_rep.agg(
-        F.array_sort(F.collect_list("mean_rep")).alias("ms")
+    row = per_rep.agg(
+        F.array_sort(F.collect_list("mean_rep")).alias("ms"),
+        F.first(F.col("tot").cast("double")).alias("tot"),
+        F.first("nn").alias("n"),
     )
-    base = orders.agg(
-        (
-            F.sum(F.round(F.col("o_totalprice") * 100).cast(d)).cast("double")
-            / F.count(F.lit(1))
-            / 100.0
-        ).alias("mean_point")
-    )
-    return base.crossJoin(means).select(
-        dround(F.col("mean_point"), 4).alias("mean_point"),
-        dround(F.element_at(F.col("ms"), 2), 4).alias("ci_low"),
-        dround(F.element_at(F.col("ms"), 31), 4).alias("ci_high"),
+    return row.select(
+        dround(F.col("tot") / F.col("n") / 100.0, 4).alias("mean_point"),
+        dround(F.element_at("ms", 2), 4).alias("ci_low"),
+        dround(F.element_at("ms", _BOOT_B - 1), 4).alias("ci_high"),
         F.size("ms").cast("bigint").alias("n_replicas"),
     )
 
 
 def _bootstrap_sql() -> str:
-    cases = []
-    prev = None
-    for thr, k in _POIS_CDF:
-        cases.append(f"WHEN u < {thr!r} THEN {k}")
-    case = "CASE " + " ".join(cases) + " ELSE 5 END"
+    def case_for(g: int, j: int) -> str:
+        u = (
+            f"(CAST(('0x' || substr(h{g}, {4 * j + 1}, 4)) AS INTEGER) + 0.5)"
+            " / 65536.0"
+        )
+        whens = " ".join(f"WHEN {u} < {thr!r} THEN {k}" for thr, k in _POIS_CDF)
+        return f"CAST(CASE {whens} ELSE 5 END AS HUGEINT)"
+
+    hashes = ", ".join(
+        f"md5('boot{g}:' || CAST(o_orderkey AS VARCHAR)) AS h{g}"
+        for g in range(_BOOT_B // 8)
+    )
+    weights = ", ".join(
+        f"{case_for(g, j)} AS w{8 * g + j}"
+        for g in range(_BOOT_B // 8)
+        for j in range(8)
+    )
+    mean_items = ", ".join(
+        f"CAST(SUM(w{i} * cents) AS DOUBLE) / CAST(SUM(w{i}) AS DOUBLE) / 100.0"
+        for i in range(_BOOT_B)
+    )
     return f"""
-WITH reps AS (
-    SELECT o_orderkey,
-           CAST(round(o_totalprice * 100) AS HUGEINT) AS cents,
-           unnest(range(1, {_BOOT_B} + 1)) AS rep
+WITH base AS (
+    SELECT CAST(round(o_totalprice * 100) AS HUGEINT) AS cents, {hashes}
     FROM orders
-), drawn AS (
-    SELECT rep, cents,
-           (CAST(('0x' || substr(md5('boot' || CAST(rep AS VARCHAR) || ':'
-                || CAST(o_orderkey AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
-           / (4503599627370496.0 + 1.0) AS u
-    FROM reps
 ), weighted AS (
-    SELECT rep, cents, CAST({case} AS HUGEINT) AS w FROM drawn
-), per_rep AS (
-    SELECT rep,
-           CAST(SUM(w * cents) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0
-               AS mean_rep
-    FROM weighted GROUP BY rep
-), ms AS (SELECT list_sort(list(mean_rep)) AS l FROM per_rep),
-base AS (
-    SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE)
-           / count(*) / 100.0 AS mean_point
-    FROM orders
+    SELECT cents, {weights} FROM base
+), agg AS (
+    SELECT CAST(SUM(cents) AS DOUBLE) / count(*) / 100.0 AS mean_point,
+           list_sort([{mean_items}]) AS l
+    FROM weighted
 )
 SELECT floor(mean_point * 1e4 + 0.5) / 1e4 AS mean_point,
        floor(l[2] * 1e4 + 0.5) / 1e4 AS ci_low,
-       floor(l[31] * 1e4 + 0.5) / 1e4 AS ci_high,
-       CAST(len(l) AS BIGINT) AS n_replicas
-FROM base CROSS JOIN ms
+       floor(l[{_BOOT_B - 1}] * 1e4 + 0.5) / 1e4 AS ci_high,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicas
+FROM agg
 """
 
 

@@ -49,6 +49,19 @@ def write_bucketed_table(
     per-bucket merge. Bucketing requires the table catalog (saveAsTable) —
     plain ``.parquet(path)`` writes cannot carry bucket metadata.
     """
+    # A managed table's location can outlive the metastore entry (fresh
+    # derby metastore, old warehouse dir — every new local session), and
+    # saveAsTable then fails with LOCATION_ALREADY_EXISTS even in overwrite
+    # mode. Drop the entry AND clear an orphaned location (Hadoop FS API,
+    # so the cleanup works on any storage scheme) before writing.
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
