@@ -2036,3 +2036,53 @@ FROM staged
 QUERIES["corpus_datacard"] = corpus_datacard
 ORACLES["corpus_datacard"] = _DATACARD_SQL
 
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered twin of ``decontaminate_stats`` — same flags, same
+    oracle, different physical strategy: the probe structure broadcast to
+    every task is a CONSTANT-SIZE Bloom bitmap (32 KB at m=2^18) instead
+    of the exact shingle set.
+
+    Why it exists: the exact-set broadcast is fine while the eval suite is
+    small, but a production decontamination sweep probes dozens of
+    benchmarks × all their n-grams — hundreds of MB of broadcast state.
+    The bitmap never grows; corpus (doc, shingle) pairs failing the
+    membership test die inside their scan stage, and only the tiny
+    bloom-surviving remainder reaches the exact semi-join that removes
+    false positives (so the output — and the oracle — is exactly the
+    n-gram-overlap answer, regardless of the filter's FP rate)."""
+    from platform_etl_drug_disease_spark.operators.sketches import bloom_prune
+    from platform_etl_drug_disease_spark.plans.retrieval import _load_docs
+
+    docs = _load_docs(spark, sf_dir, ["doc_id", "text", "source"])
+    sh = tx.with_shingles(docs, "text", 3).persist()
+    probe_sh = (
+        sh.where(F.col("doc_id") % 100 == 0)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 100 != 0)
+    pairs = train.select("doc_id", F.explode("sh").alias("shingle"))
+    survivors = bloom_prune(
+        pairs, "shingle", probe_sh, "shingle", m_bits=1 << 18, k_hashes=5
+    )
+    contaminated = (
+        survivors.join(F.broadcast(probe_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__flag", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.col("__flag")).alias("n_contaminated"),
+        )
+    )
+
+
+QUERIES["decontaminate_bloom"] = decontaminate_bloom
+ORACLES["decontaminate_bloom"] = _DECONTAM_SQL

@@ -1520,3 +1520,222 @@ FROM classes
 QUERIES["k_anonymity_audit"] = k_anonymity_audit
 ORACLES["k_anonymity_audit"] = _KANON_SQL
 
+
+
+def rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window + rank-family functions (the W1 surface the
+    catalog didn't yet exercise): per (nation, day) revenue with a trailing
+    7-day RANGE BETWEEN sum — a VALUE frame, so days missing from the data
+    are genuinely absent from the window, unlike a ROWS frame — plus
+    percent_rank and cume_dist of the day's revenue within its nation.
+
+    Determinism: daily revenue aggregates to exact integer cents before
+    any window math; the rank ordering key (cents, day) is unique per
+    partition, so percent_rank/cume_dist are tie-free; both engines
+    compute (rank-1)/(n-1) and rank/n as the same IEEE doubles.
+
+    Scale shape: the only full-data shuffle is the (nation, day) groupBy —
+    high-cardinality, map-side combinable. The windows run over the
+    aggregated daily table (dimension-bounded: nations × days), which is
+    the documented-safe place for a low-cardinality partition key.
+    """
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w_range = (
+        Window.partitionBy("nk").orderBy("day").rangeBetween(-6, Window.currentRow)
+    )
+    w_rank = Window.partitionBy("nk").orderBy("cents", "day")
+    return daily.select(
+        "nk",
+        F.col("day").cast("bigint").alias("day"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        (F.sum("cents").over(w_range).cast("double") / 100.0).alias("rolling_7d"),
+        "n_orders",
+        F.percent_rank().over(w_rank).alias("pr"),
+        F.cume_dist().over(w_rank).alias("cd"),
+    )
+
+
+_ROLLING_RANGE_SQL = """
+WITH daily AS (
+    SELECT c_nationkey AS nk,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY nk, day
+)
+SELECT nk, day,
+       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       CAST(SUM(cents) OVER (PARTITION BY nk ORDER BY day
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS rolling_7d,
+       n_orders,
+       percent_rank() OVER (PARTITION BY nk ORDER BY cents, day) AS pr,
+       cume_dist() OVER (PARTITION BY nk ORDER BY cents, day) AS cd
+FROM daily
+"""
+
+QUERIES["rolling_range_revenue"] = rolling_range_revenue
+ORACLES["rolling_range_revenue"] = _ROLLING_RANGE_SQL
+
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way fact join with disjoint date predicates on both fact
+    tables (TPC-H Q3 flavor): BUILDING-segment customers, orders placed
+    before 1995-03-15, lineitems shipped after it; top-10 orders by
+    revenue. Exercises multi-join planning with filters pushed into all
+    three scans (plan-lint: every scan carries PushedFilters) and a
+    TakeOrderedAndProject instead of a global sort."""
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"]).where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).where(F.to_date("o_orderdate") < F.lit("1995-03-15"))
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).where(F.to_date("l_shipdate") > F.lit("1995-03-15"))
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        joined.groupBy(
+            "o_orderkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("o_date"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY o_orderkey, o_date
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def volume_shipping_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-national trade volume (TPC-H Q7 flavor): for every ordered pair
+    of nations (supplier nation → customer nation, only pairs with flow),
+    yearly revenue shipped 1995-1996. Five-way join where BOTH dimension
+    chains (supplier→nation, customer→nation via orders) broadcast; the
+    single fact-fact join is lineitem⋈orders."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).where(F.to_date("l_shipdate").between(F.lit("1995-01-01"), F.lit("1996-12-31")))
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    supp = load_table(spark, sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = load_table(spark, sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp_n = supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust_n = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year(F.to_date("l_shipdate")).alias("l_year")
+    ).agg(
+        dsum(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join with a HAVING gate (TPC-H Q18 flavor): orders
+    whose total quantity exceeds 300, annotated with their customer. The
+    scale-relevant property: the HAVING filter runs on the AGGREGATED
+    per-order rows (one shuffle on the fact key), and only the few
+    surviving orders join back to dimensions — never the raw lineitems."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .where(F.col("qty") > 300)
+    )
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_name"])
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").alias("total_price"),
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, o_orderkey, o_totalprice AS total_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, o_orderkey, total_price
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+"""
+
+QUERIES["shipping_priority_topk"] = shipping_priority_topk
+ORACLES["shipping_priority_topk"] = _Q3_SQL
+QUERIES["volume_shipping_matrix"] = volume_shipping_matrix
+ORACLES["volume_shipping_matrix"] = _Q7_SQL
+QUERIES["large_volume_customers"] = large_volume_customers
+ORACLES["large_volume_customers"] = _Q18_SQL
