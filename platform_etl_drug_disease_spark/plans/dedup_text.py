@@ -102,7 +102,12 @@ FROM toks
 def token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting + order-sensitive rolling-hash document
     fingerprint (whitespace tokens tokenized once, *_of form)."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    # compute-shaped partitioning: the per-token fold below is the cost,
+    # and a single-file corpus scan would run it on one core (21x wall at
+    # 10x data in BENCH_sf1 before this fix).
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text"]), "doc_id"
+    )
     t = F.col("__toks")
     return docs.withColumn("__toks", tx.tokens("text")).select(
         "doc_id",
@@ -127,7 +132,9 @@ FROM toks JOIN documents d USING (doc_id)
 
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-vocabulary language ID (n-gram heuristic) vs the labeled lang."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"]), "doc_id"
+    )
     detected = docs.withColumn("__toks", tx.tokens("text")).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

@@ -101,7 +101,12 @@ def adjacency_degree_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: HLL++ degree (approx_count_distinct, sim.sc:74). Engine-specific
     sketch values → no SQL oracle; the driver records rows-only. Accuracy vs
     exact degree is asserted in tests/test_graph.py instead. Raw edges: the
-    HLL sketch absorbs duplicates, no distinct shuffle needed."""
+    HLL sketch absorbs duplicates, no distinct shuffle needed — measured
+    round 3: dedup-first is a wash here (7.35 vs 7.39 s at sf≈1; this
+    graph's duplicate mass is low, so the extra shuffle buys nothing and
+    register updates dominate either way). The audit twin's win came from
+    removing the countDistinct-induced Expand, which this sketch-only form
+    never had."""
     edges = _sym_edges_raw(spark, sf_dir)
     return edges.groupBy("src").agg(
         F.approx_count_distinct("dst", 0.02).alias("degree_approx")
@@ -120,13 +125,14 @@ def adjacency_degree_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     max), so ``hll_ok`` is deterministic; the oracle asserts TRUE for every
     node, which makes A2 driver-checkable instead of rows-only.
 
-    Plan note (round-3 fix; 27× scaling in BENCH_sf1): a DISTINCT
-    aggregate next to a regular one makes Spark duplicate every input row
-    through an Expand before the shuffle. Deduplicating (src, dst) first
-    — map-side combinable, and co-occurrence edges carry heavy duplicate
-    mass — turns both into plain aggregates over the distinct edge set
-    (HLL is duplicate-insensitive: identical registers, identical
-    estimate)."""
+    Plan note (round-3 fix; 27× scaling in BENCH_sf1, 24.9 → 8.8 s): a
+    DISTINCT aggregate next to a regular one makes Spark duplicate every
+    input row through an Expand before the shuffle — ×2 volume on 12 M
+    edges at sf≈1. Deduplicating (src, dst) first turns both into plain
+    aggregates over the distinct edge set (HLL is duplicate-insensitive:
+    identical registers, identical estimate); the win is Expand removal,
+    not dup-mass collapse (this graph's duplicate mass is low — see the
+    sketch-only twin above, where dedup-first measured as a wash)."""
     edges = _sym_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(
         F.count("dst").alias("degree"),
