@@ -203,3 +203,44 @@ def resize_images(
             F.col("meta.n_frames").alias("n_frames"),
         ),
     ).withColumn("resize_digest", F.sha2(F.col(payload_col).cast("string"), 256))
+
+
+def extract_media_features_arrow(
+    df: DataFrame, payload_col: str = "payload", mode: str = "fake"
+) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_media_features` — identical
+    output, different transfer path: batches stay ``pyarrow.RecordBatch``
+    end to end, so binary payloads are never copied into pandas object
+    arrays (one python object + refcount per payload) on the way in. For
+    multimedia columns the pandas hop is pure overhead — the decode
+    consumes raw bytes — which makes this the preferred form when batches
+    are large blobs; the pandas form remains for pipelines that genuinely
+    want a DataFrame per batch. Equality with the pandas path is pinned in
+    tests/test_analytics.py."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(list(df.schema.fields) + FEATURE_FIELDS)
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        if mode == "real" and not real_decoder_available():
+            raise NotImplementedError(
+                "real media decode requires pillow, which is not "
+                "installed; use mode='fake' for the deterministic stub"
+            )
+        decode = _real_decode if mode == "real" else _fake_decode
+        for batch in batches:
+            payloads = batch.column(payload_col).to_pylist()
+            feats = [decode(p) for p in payloads]
+            arrays = list(batch.columns)
+            names = list(batch.schema.names)
+            arrays.append(pa.array([f["payload_bytes"] for f in feats], pa.int64()))
+            names.append("payload_bytes")
+            arrays.append(pa.array([f["content_digest"] for f in feats], pa.string()))
+            names.append("content_digest")
+            arrays.append(
+                pa.array([f["feature_vec"] for f in feats], pa.list_(pa.float32()))
+            )
+            names.append("feature_vec")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(fn, out_schema)

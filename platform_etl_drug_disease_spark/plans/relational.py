@@ -1739,3 +1739,29 @@ QUERIES["volume_shipping_matrix"] = volume_shipping_matrix
 ORACLES["volume_shipping_matrix"] = _Q7_SQL
 QUERIES["large_volume_customers"] = large_volume_customers
 ORACLES["large_volume_customers"] = _Q18_SQL
+
+
+_PORTABLE_LATERAL_SQL = """
+SELECT n_name, t.c_name, t.c_acctbal
+FROM nation, LATERAL (
+    SELECT c_name, c_acctbal FROM customer
+    WHERE c_nationkey = n_nationkey
+    ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+"""
+
+
+def sql_text_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7, correlated form: the same LATERAL subquery TEXT runs on both
+    engines — per-nation top-3 customers by balance, expressed as the
+    correlated per-row table the SQL-first user would write. Catalyst
+    decorrelates it into a window-ranked join rather than executing
+    per-nation probes, so the portable text still gets a set-oriented
+    plan. Deterministic: (c_acctbal DESC, c_name) is a unique ordering."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_LATERAL_SQL)
+
+
+QUERIES["sql_text_lateral_topk"] = sql_text_lateral_topk
+ORACLES["sql_text_lateral_topk"] = _PORTABLE_LATERAL_SQL

@@ -624,3 +624,25 @@ def test_neyman_allocation_budget_and_optimality(spark):
     tw = sum(r.neyman_w for r in out)
     for r in out:
         assert abs(r.quota - 10_000 * r.neyman_w / tw) < 1.0
+
+
+def test_media_features_arrow_equals_pandas(spark):
+    """The mapInArrow transfer path must produce exactly the mapInPandas
+    output (same schema, same values) — it only changes how batches move."""
+    from platform_etl_drug_disease_spark.operators.multimodal import (
+        extract_media_features,
+        extract_media_features_arrow,
+    )
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents", ["doc_id", "text"])
+    media = docs.limit(50).select(
+        docs.doc_id.alias("media_id"),
+        docs.text.cast("binary").alias("payload"),
+    )
+    a = extract_media_features_arrow(media, "payload").drop("payload")
+    p = extract_media_features(media, "payload").drop("payload")
+    assert a.schema == p.schema
+    ra = sorted((r.media_id, r.payload_bytes, r.content_digest, tuple(r.feature_vec)) for r in a.collect())
+    rp = sorted((r.media_id, r.payload_bytes, r.content_digest, tuple(r.feature_vec)) for r in p.collect())
+    assert ra == rp

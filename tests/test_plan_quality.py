@@ -223,3 +223,21 @@ def test_single_fact_shuffle_window_family(spark):
     # custkey exchange on the fact path (sizes branch reads the persisted
     # cohort-sized aggregate)
     assert fact_hash_exchanges(order_cohort_retention(spark, SF_SMOKE)) <= 2
+
+
+def test_corpus_text_scans_have_compute_partitions(spark):
+    """Regression (round 3): token_fingerprints and lang_id_heuristic ran
+    their per-token folds on the single partition the one-file fixture
+    scan dictated (21x/13x wall at 10x data). ensure_compute_partitions
+    must widen the scan before the expensive projection."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        lang_id_heuristic,
+        token_fingerprints,
+    )
+
+    # AQE legitimately coalesces the tiny smoke-sf shuffle back down, so
+    # assert the REPARTITION exchange exists in the plan (it sizes with the
+    # data at real scale) rather than the runtime partition count.
+    for q in (token_fingerprints, lang_id_heuristic):
+        plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY" in plan, f"{q.__name__} scan not widened before the token fold"
