@@ -527,6 +527,75 @@ LIMIT 20
 """
 
 
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA), 3 fixed rounds, deterministic
+    tie-break — community detection on the trade graph with a full value
+    oracle (the oracle unrolls the same 3 rounds as CTEs).
+
+    Update rule: a node adopts the most frequent label among its
+    neighbours; ties break to the SMALLEST label, so every round is a
+    pure function of the previous labelling — no engine-order dependence.
+    Per round the plan is two aggregates, no window: count (dst, label)
+    votes, then per-dst argmax via min(struct(-votes, label)) — both
+    map-side combinable. Edges persist pre-partitioned on src so the
+    per-round join reuses one layout (same discipline as trade_pagerank);
+    labels stay (node, label) pairs — at 100 TB nothing materializes
+    beyond 2|V| rows per round. Output: community sizes (size >= 2) with
+    their min-node representative.
+    """
+    edges = _sym_edges(spark, sf_dir).repartition(F.col("src")).persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        labels = votes.groupBy(F.col("dst").alias("node")).agg(
+            F.min(F.struct((-F.col("votes")).alias("nv"), F.col("label").alias("l")))
+            .getField("l")
+            .alias("label")
+        )
+        labels = labels.localCheckpoint()  # cut the lineage between rounds
+    out = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )
+    edges.unpersist()
+    return out.where(F.col("n_nodes") >= 2)
+
+
+def _lpa_sql() -> str:
+    rounds = ["SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM edges) t"]
+    body = ""
+    prev = "l0"
+    body += f", l0 AS ({rounds[0]})"
+    for i in range(1, 4):
+        body += f""",
+v{i} AS (
+    SELECT e.dst, l.label, COUNT(*) AS votes
+    FROM edges e JOIN {prev} l ON e.src = l.node
+    GROUP BY e.dst, l.label
+),
+l{i} AS (
+    SELECT dst AS node, label
+    FROM (SELECT dst, label,
+                 row_number() OVER (PARTITION BY dst ORDER BY votes DESC, label) AS rn
+          FROM v{i})
+    WHERE rn = 1
+)"""
+        prev = f"l{i}"
+    return _SYM_EDGES_CTE + body + f"""
+SELECT label, COUNT(*) AS n_nodes, MIN(node) AS min_node
+FROM {prev}
+GROUP BY label
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
@@ -538,6 +607,7 @@ QUERIES = {
     "supplier_triangles": supplier_triangles,
     "supplier_kcore": supplier_kcore,
     "supplier_clustering": supplier_clustering,
+    "label_propagation_communities": label_propagation_communities,
 }
 
 ORACLES = {
@@ -550,5 +620,6 @@ ORACLES = {
     "supplier_triangles": _TRIANGLE_SQL,
     "supplier_kcore": _kcore_sql(),
     "supplier_clustering": _CLUSTERING_SQL,
+    "label_propagation_communities": _lpa_sql(),
     # adjacency_degree_approx: sketch-based, rows-only by design
 }
