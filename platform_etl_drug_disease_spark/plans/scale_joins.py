@@ -256,3 +256,67 @@ FROM orders GROUP BY o_orderpriority
 
 QUERIES["python_sink_roundtrip"] = python_sink_roundtrip
 ORACLES["python_sink_roundtrip"] = _PY_SINK_SQL
+
+
+def partitioned_prune_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned read — the other
+    half of the storage-layout story next to bucketing: orders land
+    partitioned by o_orderstatus, and the filtered read back touches ONLY
+    the matching directory (PartitionFilters in the scan, asserted in
+    tests/test_scale_joins.py — at 100 TB this is the difference between
+    scanning one partition and scanning the table). Output aggregates the
+    pruned slice; the oracle filters the logical table directly."""
+    orders = load_table(
+        spark, sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    out = os.path.join("/tmp/spark_graft_part", _sf_tag(sf_dir))
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, o_orderstatus string"
+    ).parquet(out)
+    pruned = back.where(F.col("o_orderstatus") == "F")
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+        F.count_distinct(F.col("o_orderstatus")).alias("n_statuses"),
+    )
+
+
+_PART_PRUNE_SQL = """
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source under the value-hash oracle (the readers are
+    pytest-covered; this puts the full write→read loop on the driver
+    gate). Doubles survive because Spark writes shortest-round-trip
+    decimal text and the schema'd read parses it back to the same bits."""
+    agg = (
+        load_table(spark, sf_dir, "orders", ["o_orderstatus", "o_totalprice"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+    out = os.path.join("/tmp/spark_graft_csv", _sf_tag(sf_dir))
+    agg.repartition(1).write.mode("overwrite").option("header", "true").csv(out)
+    return spark.read.schema(
+        "o_orderstatus string, n_orders bigint, total_price double"
+    ).option("header", "true").csv(out)
+
+
+_CSV_SINK_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+QUERIES["partitioned_prune_revenue"] = partitioned_prune_revenue
+ORACLES["partitioned_prune_revenue"] = _PART_PRUNE_SQL
+QUERIES["csv_sink_roundtrip"] = csv_sink_roundtrip
+ORACLES["csv_sink_roundtrip"] = _CSV_SINK_SQL

@@ -242,3 +242,26 @@ def test_python_datasource_streaming_matches_batch(spark, tmp_path):
     )
     assert len(rows) >= 150
     assert rows[:150] == [lcg_row(i) for i in range(150)]
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The filtered read of the Hive-partitioned layout must carry the
+    predicate as a PartitionFilter (directory pruning), not a data
+    filter over a full scan."""
+    import os
+
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    orders = load_table(
+        spark, SF_SMOKE, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    )
+    out = "/tmp/spark_graft_part/test_prune"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, o_orderstatus string"
+    ).parquet(out)
+    pruned = back.where(F.col("o_orderstatus") == "F")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+    # and the directory listing confirms the layout is really partitioned
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
