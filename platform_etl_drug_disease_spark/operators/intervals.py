@@ -66,7 +66,6 @@ def point_in_interval_join(
     start_col: str,
     end_col: str,
     bucket_days: int = 16,
-    how: str = "inner",
 ) -> DataFrame:
     """Join fact rows (a DATE column) to every interval containing them —
     the dimension-calendar / validity-period lookup (promo windows, SCD
@@ -84,7 +83,10 @@ def point_in_interval_join(
     map-side and the bucket id never leaves the codegen stage.
 
     Inclusive bounds on both ends (BETWEEN semantics). Column names of the
-    two inputs must be disjoint.
+    two inputs must be disjoint. Inner-join semantics only: the exact
+    BETWEEN filter runs after the bucket join, so an outer variant would
+    need unmatched facts re-added after the filter (a left form is
+    facts.join(this_result, ..., "left") at the call site).
     """
     day = F.datediff(F.col(ts_col), F.lit("1970-01-01"))
     s_day = F.datediff(F.col(start_col), F.lit("1970-01-01"))
@@ -98,7 +100,7 @@ def point_in_interval_join(
         ),
     )
     f = facts.withColumn("__bucket", F.floor(day / F.lit(bucket_days)))
-    joined = f.join(F.broadcast(iv), on="__bucket", how=how).drop("__bucket")
+    joined = f.join(F.broadcast(iv), on="__bucket", how="inner").drop("__bucket")
     return joined.where(
         F.col(ts_col).between(F.col(start_col), F.col(end_col))
     )

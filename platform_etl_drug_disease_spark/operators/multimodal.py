@@ -174,9 +174,14 @@ def resize_images(
             from PIL import Image  # noqa: PLC0415 — executor-side
 
             def resize_bytes(payload: bytes) -> bytes:
-                img = Image.open(io.BytesIO(payload)).resize((width, height))
+                src = Image.open(io.BytesIO(payload))
+                # capture the container format BEFORE resize: PIL's
+                # .resize() returns a new Image with format=None, so
+                # reading it after would silently transcode every input
+                # to the PNG fallback.
+                fmt = src.format or "PNG"
                 buf = io.BytesIO()
-                img.save(buf, format=img.format or "PNG")
+                src.resize((width, height)).save(buf, format=fmt)
                 return buf.getvalue()
 
             for pdf in batches:

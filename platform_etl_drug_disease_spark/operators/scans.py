@@ -29,30 +29,38 @@ bucket id is deterministic by construction.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _order_buckets(
-    df: DataFrame, order_col: str, n_buckets: int
-) -> tuple[DataFrame, bool]:
+def _order_buckets(df: DataFrame, order_col: str, n_buckets: int) -> DataFrame:
     """Attach a deterministic, monotone-in-`order_col` bucket id `__bkt`.
 
-    Returns (bucketed_df, empty). `order_col` must be numeric (cast
-    timestamps with unix_micros first)."""
-    mm = df.select(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-    ).first()
-    if mm is None or mm.lo is None:
-        return df.withColumn("__bkt", F.lit(0)), True
-    width = max(1, math.ceil((int(mm.hi) - int(mm.lo) + 1) / n_buckets))
+    Lazy by construction: the bucket bounds are a broadcast 1-row
+    aggregate JOINED into the plan (scalar-subquery shape), not a driver
+    `.first()` — merely BUILDING a query that uses these primitives must
+    never execute the upstream pipeline (plan inspection, lint, and bench
+    construction stay free; the bounds scan runs with the job itself).
+    All-null or empty `order_col` degenerates to one bucket via the
+    coalesce. `order_col` must be numeric (cast timestamps with
+    unix_micros first)."""
+    bounds = df.select(
+        F.min(F.col(order_col)).cast("long").alias("__lo"),
+        F.max(F.col(order_col)).cast("long").alias("__hi"),
+    )
+    width = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("__hi") - F.col("__lo") + F.lit(1)) / F.lit(n_buckets)),
+    )
     return (
-        df.withColumn(
-            "__bkt", F.floor((F.col(order_col) - F.lit(int(mm.lo))) / F.lit(width))
-        ),
-        False,
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            "__bkt",
+            F.coalesce(
+                F.floor((F.col(order_col) - F.col("__lo")) / width), F.lit(0)
+            ),
+        )
+        .drop("__lo", "__hi")
     )
 
 
@@ -72,9 +80,7 @@ def keyed_running_sum(
     The input is scanned twice (local window + per-bucket totals); pass a
     pruned/persisted projection if upstream columns are expensive to
     recompute."""
-    bdf, empty = _order_buckets(df, order_col, n_buckets)
-    if empty:
-        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    bdf = _order_buckets(df, order_col, n_buckets)
     local_w = (
         Window.partitionBy(*keys, "__bkt")
         .orderBy(order_col)
@@ -112,9 +118,7 @@ def keyed_lag_delta(
 
     Ties in `order_col` are fine — equal values give the same delta
     multiset under any tie order. Returns `keys + [gap]`."""
-    bdf, empty = _order_buckets(df, order_col, n_buckets)
-    if empty:
-        return df.select(*keys, F.lit(None).cast("long").alias("gap")).limit(0)
+    bdf = _order_buckets(df, order_col, n_buckets)
     local_w = Window.partitionBy(*keys, "__bkt").orderBy(order_col)
     local = (
         bdf.select(

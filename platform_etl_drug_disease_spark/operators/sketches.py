@@ -121,6 +121,11 @@ def bloom_build(
     combined with the ``bit_or`` aggregate (map-side partial merge), and
     the word map is re-assembled into a dense array. No driver collect.
     """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        # a partial final word would silently drop its set bits from the
+        # dense array (and probes of those positions would read null),
+        # turning the no-false-negative guarantee into false negatives.
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     n_words = m_bits // 64
     pos = keys.select(
         F.explode(

@@ -135,19 +135,40 @@ def low_card_running_windows(
         part_cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", part))
         if not part_cols or not part_cols <= low_card:
             continue
-        subtree = []
+        # window over an aggregated (bounded) table is fine — but the
+        # aggregate must be ON THE PATH the data flows through, not merely
+        # somewhere in the subtree: a raw fact table joined to a broadcast
+        # aggregated dimension still funnels the whole fact table through
+        # the low-cardinality sort (an any-node check misses exactly that).
+        # Walk the subtree tracking, per path, whether an aggregate
+        # ancestor was seen; flag if any RAW relation leaf is reachable
+        # without one. A persisted aggregate shows up as InMemoryRelation
+        # whose cached physical plan prints inline, so the physical agg
+        # spellings count too. LocalRelation/OneRowRelation leaves are
+        # driver-sized literals, never a scale risk.
+        agg_marks = (
+            "Aggregate [", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        )
+        safe_leaves = ("LocalRelation", "OneRowRelation", "LocalTableScan")
+        raw_leaves = ("Relation", "FileScan", "Scan ")
+        raw_reachable = False
+        agg_depths: list[int] = []
         for j in range(i + 1, len(lines)):
-            if depth(lines[j]) <= d:
+            dj = depth(lines[j])
+            if dj <= d:
                 break
-            subtree.append(lines[j])
-        # window over an aggregated (bounded) table is fine. A persisted
-        # aggregate shows up as InMemoryRelation whose *cached physical
-        # plan* is printed inline — so accept the physical agg spellings
-        # too (HashAggregate/SortAggregate/ObjectHashAggregate), otherwise
-        # this rule false-positives whenever an upstream persist() is
-        # already materialized in the session.
-        agg_marks = ("Aggregate [", "HashAggregate", "SortAggregate", "ObjectHashAggregate")
-        if any(m in s for s in subtree for m in agg_marks):
+            # keep only aggregate ancestors of the current node
+            agg_depths = [a for a in agg_depths if a < dj]
+            body = lines[j][dj:]
+            if any(m in lines[j] for m in agg_marks):
+                agg_depths.append(dj)
+                continue
+            if any(body.startswith(m) for m in safe_leaves):
+                continue
+            if any(body.startswith(m) for m in raw_leaves) and not agg_depths:
+                raw_reachable = True
+                break
+        if not raw_reachable:
             continue
         hits.append(
             f"ordered window partitioned only by low-cardinality "

@@ -257,8 +257,13 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny first/last aggregate) — shuffle key (type, bucket)."""
     from platform_etl_drug_disease_spark.operators.scans import keyed_lag_delta
 
-    ev = load_table(spark, sf_dir, "events", ["event_type", "ts"]).select(
-        "event_type", F.unix_micros("ts").alias("us")
+    # persist the 2-column projection: the two-phase scan consumes it three
+    # times (bounds aggregate, local lags, per-bucket ends) and the bounds
+    # aggregate is in-plan (lazy) — without the cache the scan repeats.
+    ev = (
+        load_table(spark, sf_dir, "events", ["event_type", "ts"])
+        .select("event_type", F.unix_micros("ts").alias("us"))
+        .persist()
     )
     gaps = keyed_lag_delta(ev, ["event_type"], "us", n_buckets=64)
     return gaps.groupBy("event_type").agg(

@@ -139,8 +139,16 @@ try:  # pyspark >= 4.0
         """
 
         def __init__(self, options: dict, overwrite: bool) -> None:
+            import uuid
+
             self.path = options["path"]
             self.overwrite = overwrite
+            # one id per WRITE JOB (generated on the driver, shipped to all
+            # tasks): temp files carry it so commit/abort can tell this
+            # job's temps from a crashed predecessor's, and final part
+            # names carry it so append mode can never clobber a previous
+            # job's parts.
+            self.job_id = uuid.uuid4().hex[:12]
 
         def write(self, iterator) -> _JsonlCommit:
             import json
@@ -148,7 +156,7 @@ try:  # pyspark >= 4.0
             import uuid
 
             os.makedirs(self.path, exist_ok=True)
-            tmp = f"_tmp_{uuid.uuid4().hex}.jsonl"
+            tmp = f"_tmp_{self.job_id}_{uuid.uuid4().hex}.jsonl"
             n = 0
             with open(os.path.join(self.path, tmp), "w") as fh:
                 for row in iterator:
@@ -161,17 +169,30 @@ try:  # pyspark >= 4.0
             import os
 
             if self.overwrite:
+                # clear committed parts AND any stale temps from crashed
+                # prior jobs (this job's temps carry self.job_id and are
+                # about to be renamed, so they are exempt).
                 for f in os.listdir(self.path):
-                    if f.startswith("part-") or f == "_SUCCESS":
+                    stale_tmp = f.startswith("_tmp_") and not f.startswith(
+                        f"_tmp_{self.job_id}_"
+                    )
+                    if f.startswith("part-") or f == "_SUCCESS" or stale_tmp:
                         os.remove(os.path.join(self.path, f))
             manifest = []
             for i, msg in enumerate(messages):
-                final = f"part-{i:05d}.jsonl"
+                # job-id in the final name: append-mode jobs can never
+                # clobber a previous job's part files.
+                final = f"part-{self.job_id}-{i:05d}.jsonl"
                 os.rename(
                     os.path.join(self.path, msg.tmp_name),
                     os.path.join(self.path, final),
                 )
                 manifest.append({"file": final, "rows": msg.rows})
+            if not self.overwrite and os.path.exists(
+                os.path.join(self.path, "_SUCCESS")
+            ):
+                prior = json.load(open(os.path.join(self.path, "_SUCCESS")))
+                manifest = prior.get("files", []) + manifest
             with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
                 json.dump({"files": manifest}, fh)
 

@@ -265,3 +265,24 @@ def test_partitioned_read_prunes_partitions(spark):
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
     # and the directory listing confirms the layout is really partitioned
     assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
+
+
+def test_jsonl_dir_writer_append_never_clobbers(spark, tmp_path):
+    """Append-mode jobs get job-unique part names: a second append must
+    add rows, not silently replace the first job's part files."""
+    from platform_etl_drug_disease_spark.sources.python_datasource import (
+        register_jsonl_dir,
+    )
+
+    register_jsonl_dir(spark)
+    out = str(tmp_path / "jsonl_append")
+    df = spark.range(0, 20).select(F.col("id"), F.lit("x").alias("grp")).repartition(1)
+    df.write.format("jsonl_dir").mode("append").save(out)
+    df.write.format("jsonl_dir").mode("append").save(out)
+    back = spark.read.schema("id bigint, grp string").json(out)
+    assert back.count() == 40  # both jobs' rows survive
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(e["rows"] for e in manifest["files"]) == 40

@@ -144,3 +144,24 @@ def test_rewritten_plans_pass_lint(spark, name):
     q, _ = merged_catalog()
     df = q[name](spark, SF_SMOKE)
     assert low_card_running_windows(df) == []
+
+
+def test_lint_not_fooled_by_broadcast_aggregated_dimension(spark):
+    """Round-3 fix: an aggregate ANYWHERE in the window's subtree used to
+    clear the rule — but a raw fact table joined to a broadcast aggregated
+    dimension still funnels the whole fact table through the
+    low-cardinality sort. The rule must track the aggregate along the data
+    path, not merely find one in the tree."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", F.length("text").alias("n")
+    )
+    dim = docs.groupBy("lang").agg(F.count("*").alias("lang_total"))
+    joined = docs.join(F.broadcast(dim), "lang")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = joined.withColumn("cum", F.sum("n").over(w))
+    hits = low_card_running_windows(df)
+    assert hits and "low-cardinality" in hits[0]
