@@ -1765,3 +1765,33 @@ def sql_text_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_text_lateral_topk"] = sql_text_lateral_topk
 ORACLES["sql_text_lateral_topk"] = _PORTABLE_LATERAL_SQL
+
+
+_PORTABLE_CORRELATED_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer c1
+WHERE c_acctbal > (SELECT 2.0 * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                              / COUNT(*)
+                   FROM customer c2
+                   WHERE c2.c_nationkey = c1.c_nationkey)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c1.c_custkey)
+"""
+
+
+def sql_text_correlated_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7, decorrelation stress: the same SQL text with a correlated
+    SCALAR subquery (per-nation exact average in the WHERE) and a
+    correlated EXISTS runs on both engines. Catalyst rewrites the scalar
+    subquery into an aggregate+join and the EXISTS into a left-semi join —
+    the SQL-first user writes row-at-a-time logic and still gets a
+    set-oriented plan. The threshold aggregate uses the portable
+    decimal-detour spelling so the filter boundary is bit-identical
+    cross-engine (a raw AVG(double) differs in low bits and can flip
+    boundary rows)."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_CORRELATED_SQL)
+
+
+QUERIES["sql_text_correlated_outliers"] = sql_text_correlated_outliers
+ORACLES["sql_text_correlated_outliers"] = _PORTABLE_CORRELATED_SQL
