@@ -93,6 +93,68 @@ def pagerank(
     return ranks.select(F.col("src").alias("node"), "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank: teleportation goes ONLY to the seed set
+    (p(v) = 1/|S| for seeds, 0 elsewhere), so rank measures proximity to
+    the seeds — the recommendation/relevance variant of :func:`pagerank`.
+
+    Same plan discipline as the global form (edges persisted pre-
+    partitioned on src; one groupBy(dst) shuffle per round; exact decimal
+    contribution sums), with two deltas: the per-node teleport vector p
+    rides the persisted base table, and the rank update is a LEFT join so
+    zero-rank nodes stay in the frontier (they acquire rank as mass
+    reaches them). Same out-degree ≥ 1 precondition."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    sd = seeds.select(F.col(seed_col).alias("src")).distinct()
+    ns = sd.agg(F.count(F.lit(1)).alias("ns"))
+    base = (
+        deg.join(F.broadcast(sd.withColumn("__seed", F.lit(1))), "src", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "src",
+            "deg",
+            (
+                F.coalesce(F.col("__seed"), F.lit(0)).cast("double") / F.col("ns")
+            ).alias("p"),
+        )
+        .persist()
+    )
+    ranks = base.select("src", "deg", "p", F.col("p").alias("rank"))
+    for _ in range(n_iters):
+        contribs = (
+            ranks.join(e, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum((F.col("rank") / F.col("deg")).cast(_DEC))
+                .cast("double")
+                .alias("c")
+            )
+        )
+        ranks = base.join(contribs, base.src == contribs.dst, "left").select(
+            "src",
+            "deg",
+            "p",
+            (
+                (F.lit(1.0) - F.lit(damping)) * F.col("p")
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select(F.col("src").alias("node"), "rank")
+
+
 def orient_by_degree(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
     """Orient each undirected edge (given once as ``u < v`` pairs) from its
     lower-(degree, id) endpoint to the higher one → columns (src, dst).

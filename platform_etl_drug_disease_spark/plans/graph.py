@@ -596,6 +596,75 @@ HAVING COUNT(*) >= 2
 """
 
 
+
+
+def personalized_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by personalized PageRank seeded at nation-0 customers
+    — "which graph nodes are most relevant to this buyer cohort", the
+    recommendation-flavored variant of trade_pagerank. Teleport mass goes
+    only to seeds; the oracle replays the 3 iterations (decimal
+    contribution sums, IEEE teleport arithmetic) as unrolled CTEs."""
+    from platform_etl_drug_disease_spark.operators.graph_algos import (
+        personalized_pagerank,
+    )
+
+    edges = _sym_edges(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .join(
+            F.broadcast(cust.where(F.col("c_nationkey") == 0)),
+            F.col("node") == F.col("c_custkey"),
+            "left_semi",
+        )
+    )
+    pr = personalized_pagerank(edges, seeds, n_iters=3, damping=0.85)
+    out = pr.select("node", dround("rank", 9).alias("rank"))
+    top = out.orderBy(F.col("rank").desc(), "node").limit(20)
+    w = Window.orderBy(F.col("rank").desc(), "node")
+    return top.select(F.row_number().over(w).alias("rk"), "node", "rank")
+
+
+def _ppr_sql() -> str:
+    step = """
+    SELECT b.src, b.deg, b.p,
+           0.15 * b.p
+             + 0.85 * COALESCE(CAST(SUM(CAST(t.rank / t.deg AS DECIMAL(28,12)))
+                                    AS DOUBLE), 0.0) AS rank
+    FROM base b LEFT JOIN (
+        SELECT e.dst, r.rank, r.deg FROM {ranks} r JOIN edges e ON r.src = e.src
+    ) t ON b.src = t.dst
+    GROUP BY b.src, b.deg, b.p
+    """
+    return _SYM_EDGES_CTE + f"""
+, deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+seeds AS (
+    SELECT DISTINCT d.src AS node
+    FROM deg d JOIN customer ON d.src = c_custkey
+    WHERE c_nationkey = 0
+),
+ns AS (SELECT count(*) AS n FROM seeds),
+base AS (
+    SELECT d.src, d.deg,
+           CASE WHEN s.node IS NOT NULL
+                THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS p
+    FROM deg d LEFT JOIN seeds s ON d.src = s.node
+),
+r0 AS (SELECT src, deg, p, p AS rank FROM base),
+r1 AS ({step.format(ranks="r0")}),
+r2 AS ({step.format(ranks="r1")}),
+r3 AS ({step.format(ranks="r2")})
+SELECT CAST(row_number() OVER (ORDER BY rank DESC, node) AS INTEGER) AS rk,
+       node, rank
+FROM (
+    SELECT src AS node, floor(rank * 1e9 + 0.5) / 1e9 AS rank FROM r3
+)
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+
+
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
@@ -608,6 +677,7 @@ QUERIES = {
     "supplier_kcore": supplier_kcore,
     "supplier_clustering": supplier_clustering,
     "label_propagation_communities": label_propagation_communities,
+    "personalized_pagerank_topk": personalized_pagerank_topk,
 }
 
 ORACLES = {
@@ -621,5 +691,6 @@ ORACLES = {
     "supplier_kcore": _kcore_sql(),
     "supplier_clustering": _CLUSTERING_SQL,
     "label_propagation_communities": _lpa_sql(),
+    "personalized_pagerank_topk": _ppr_sql(),
     # adjacency_degree_approx: sketch-based, rows-only by design
 }
