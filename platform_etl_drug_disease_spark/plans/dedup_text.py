@@ -2093,3 +2093,83 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["decontaminate_bloom"] = decontaminate_bloom
 ORACLES["decontaminate_bloom"] = _DECONTAM_SQL
+
+
+def quality_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation feature frame — the wide table a quality
+    classifier trains on, assembling the stack's per-doc signals in one
+    pass over the corpus: token/diversity/stopword stats, the C4-style
+    quality blend, detected language, raw PII hit count, and exact-dup
+    group size. Everything is JVM codegen except nothing: two scans of
+    the persisted 4-column projection (feature projection + md5 group
+    sizes), one high-cardinality join on the content hash.
+    """
+    from platform_etl_drug_disease_spark.operators.pii import pii_counts
+
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "source", "lang", "text"]),
+        "doc_id",
+    ).persist()
+    t = F.col("__toks")
+    pii = pii_counts(F.col("text"))
+    n_pii = None
+    for c in pii.values():
+        n_pii = c if n_pii is None else n_pii + c
+    feats = docs.withColumn("__toks", tx.tokens("text")).select(
+        "doc_id",
+        "source",
+        F.col("lang").alias("labeled_lang"),
+        tx.lang_id_of(t).alias("detected_lang"),
+        tx.token_count_of(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.round(tx.stopword_ratio_of(t), 6).alias("stopword_ratio"),
+        tx.quality_score_of(t).alias("quality"),
+        n_pii.cast("int").alias("n_pii"),
+        F.md5("text").alias("__h"),
+    )
+    sizes = docs.groupBy(F.md5("text").alias("__h")).agg(
+        F.count(F.lit(1)).alias("dup_group_size")
+    )
+    return feats.join(sizes, "__h").drop("__h")
+
+
+_FEATURE_MATRIX_SQL = _TOKS_CTE + r"""
+, scored AS (
+    SELECT doc_id,
+           [
+             {'score': len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))), 'lang': 'en'},
+             {'score': len(list_filter(t, x -> list_contains(['el','la','de','los','y'], x))), 'lang': 'es'},
+             {'score': len(list_filter(t, x -> list_contains(['le','la','les','des','et'], x))), 'lang': 'fr'},
+             {'score': len(list_filter(t, x -> list_contains(['der','die','das','und','ein'], x))), 'lang': 'de'}
+           ] AS pairs
+    FROM toks
+), sizes AS (
+    SELECT md5(text) AS h, COUNT(*) AS dup_group_size FROM documents GROUP BY 1
+)
+SELECT k.doc_id, k.source, k.lang AS labeled_lang,
+       CASE WHEN list_aggregate(list_sort(s.pairs), 'max')['score'] > 0
+            THEN list_aggregate(list_sort(s.pairs), 'max')['lang']
+            ELSE 'und' END AS detected_lang,
+       CAST(len(k.t) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(k.t)) AS INTEGER) AS n_distinct_tokens,
+       round(len(list_filter(k.t, x -> list_contains(
+             ['the','a','an','of','and','to','in','is','it','for'], x)))
+             * 1.0 / nullif(len(k.t), 0), 6) AS stopword_ratio,
+       round(0.4 * least(len(k.t) / 64.0, 1.0)
+           + 0.4 * coalesce(len(list_distinct(k.t)) * 1.0 / nullif(len(k.t), 0), 0.0)
+           + 0.2 * least(coalesce(len(list_filter(k.t, x -> list_contains(
+                 ['the','a','an','of','and','to','in','is','it','for'], x)))
+                 * 1.0 / nullif(len(k.t), 0), 0.0) * 4.0, 1.0), 6) AS quality,
+       CAST(len(regexp_extract_all(d.text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,4}'))
+          + len(regexp_extract_all(d.text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+          + len(regexp_extract_all(d.text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
+          AS INTEGER) AS n_pii,
+       z.dup_group_size
+FROM toks k
+JOIN scored s USING (doc_id)
+JOIN documents d USING (doc_id)
+JOIN sizes z ON md5(d.text) = z.h
+"""
+
+QUERIES["quality_feature_matrix"] = quality_feature_matrix
+ORACLES["quality_feature_matrix"] = _FEATURE_MATRIX_SQL

@@ -286,3 +286,18 @@ def test_jsonl_dir_writer_append_never_clobbers(spark, tmp_path):
 
     manifest = json.load(open(os.path.join(out, "_SUCCESS")))
     assert sum(e["rows"] for e in manifest["files"]) == 40
+
+
+def test_bucketed_table_aggregation_is_exchange_free(spark):
+    """Bucket layout satisfies not only joins but also groupBy on the
+    bucket key: the aggregate runs per-bucket with no shuffle at all —
+    the pay-once layout keeps paying on every keyed aggregation."""
+    from platform_etl_drug_disease_spark.schemas import load_table
+    from platform_etl_drug_disease_spark.sources.writers import write_bucketed_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem", ["l_orderkey", "l_quantity"])
+    write_bucketed_table(li, "t_sj_agg", ["l_orderkey"], 4)
+    agg = spark.table("t_sj_agg").groupBy("l_orderkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "bucketed groupBy must not shuffle"
+    assert agg.count() == li.select("l_orderkey").distinct().count()
