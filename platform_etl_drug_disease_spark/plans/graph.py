@@ -608,7 +608,10 @@ def personalized_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         personalized_pagerank,
     )
 
-    edges = _sym_edges(spark, sf_dir)
+    # persist: both the seed derivation and the operator's pre-partitioned
+    # edge table consume this (without the cache the lineitem⋈orders edge
+    # join recomputes for each — flagged by the repeated-scan lint).
+    edges = _sym_edges(spark, sf_dir).persist()
     cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
     seeds = (
         edges.select(F.col("src").alias("node"))
