@@ -37,11 +37,21 @@ def _catalog():
     return merged_catalog()
 
 
-def _ever_proven() -> set[str]:
-    """Queries with a green driver CORRECTNESS row in any committed round."""
+def _ever_proven(before_round: int | None = None) -> set[str]:
+    """Queries with a green driver CORRECTNESS row in any committed round.
+
+    ``before_round`` restricts to artifacts from rounds STRICTLY BEFORE it.
+    The rotation test must pass it (plans.WINDOW_ROUND): the driver deposits
+    CORRECTNESS_r{WINDOW_ROUND}.json covering exactly the current window, so
+    counting that artifact would flip "first-time" to 0 the moment the round
+    is scored (the r3 post-scoring red, VERDICT r3 "What's wrong" #1).
+    """
     names: set[str] = set()
     for fname in sorted(os.listdir(REPO)):
-        if re.fullmatch(r"CORRECTNESS_r\d+\.json", fname):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if m:
+            if before_round is not None and int(m.group(1)) >= before_round:
+                continue
             rows = json.load(open(os.path.join(REPO, fname)))
             for name, rec in rows.items():
                 ok = (
@@ -67,14 +77,37 @@ def test_window_is_50_and_fully_oracled():
 
 
 def test_window_rotation_is_mostly_first_time():
+    from platform_etl_drug_disease_spark.plans import WINDOW_ROUND
+
     w = _window()
-    proven = _ever_proven()
+    # Compare only against rounds before the window's own round — the driver
+    # deposits CORRECTNESS_r{WINDOW_ROUND}.json covering exactly this window,
+    # which must not count as "already proven" for rotation purposes.
+    proven = _ever_proven(before_round=WINDOW_ROUND)
     first_time = [n for n in w if n not in proven]
     assert len(first_time) >= 40, (
         f"rotation contract: ≥80% of the window must be first-time-checked; "
         f"only {len(first_time)}/50 are (already proven: "
         f"{sorted(set(w) & proven)})"
     )
+
+
+def test_window_round_tracks_artifacts():
+    """WINDOW_ROUND must be bumped with each rotation: it may never lag an
+    artifact that is NOT exactly this window (a stale round number would make
+    the rotation test compare against the wrong artifact set)."""
+    from platform_etl_drug_disease_spark.plans import WINDOW_ROUND
+
+    w = set(_window())
+    for fname in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", fname)
+        if m and int(m.group(1)) >= WINDOW_ROUND:
+            rows = json.load(open(os.path.join(REPO, fname)))
+            assert set(rows) == w, (
+                f"{fname} (round {m.group(1)}) >= WINDOW_ROUND "
+                f"{WINDOW_ROUND} but covers a different window — rotate "
+                f"_DRIVER_WINDOW and bump WINDOW_ROUND together"
+            )
 
 
 # SURVEY §2 operator id -> exercising catalog queries (the VERDICT r2
