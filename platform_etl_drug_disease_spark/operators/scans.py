@@ -156,9 +156,11 @@ def bounded_top_k_rows(
     negating the column.
 
     Two-phase: hash the sort key into `n_buckets` sub-groups, keep a sorted
-    k-slice of (sort key, payload-struct) per (key, sub-group) — per-reducer
-    state is one sub-bucket, scaled by the bucket count — then merge the
-    ≤ n_buckets×k survivors per key with one more bounded sort. Payload
+    k-slice of (sort key, payload-struct) per (key, sub-group) — per-REDUCER
+    state is one sub-bucket (rows/n_buckets expected), though the map-side
+    partial collect_list before the slice is bounded by the task's rows for
+    that sub-group, not by k — then merge the ≤ n_buckets×k survivors per
+    key with one more bounded sort. Payload
     columns ride in a nested struct that lexicographic struct comparison
     never reaches (the sort key decides first), but they must still be
     orderable types (no maps)."""
@@ -197,8 +199,13 @@ def bounded_min_k(
     every key's full value set through one reducer; but min-k is a
     mergeable aggregate, so: hash `value_col` into `n_buckets` sub-groups,
     take a bounded sorted top-k array per (key, sub-group), then merge the
-    ≤ n_buckets×k survivors per key with one more bounded sort. Both
-    aggregates are partial-aggregation-friendly (arrays capped at k).
+    ≤ n_buckets×k survivors per key with one more bounded sort. Memory
+    bound, precisely: the FIRST aggregate's map-side partial state is an
+    uncapped collect_list per (key, sub-group) — bounded by that task's
+    rows for the sub-group (expected rows/n_buckets under the hash), NOT by
+    k; the slice to k happens at the final aggregation. Only the SECOND
+    (merge) aggregate's inputs are genuinely k-capped arrays. Size
+    n_buckets so rows-per-(key,sub-group,task) fits executor memory.
 
     Exact same result as the window form for distinct values; ties beyond
     position k resolve identically because the value itself is the sort key.

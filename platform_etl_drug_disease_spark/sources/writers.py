@@ -52,16 +52,27 @@ def write_bucketed_table(
     # A managed table's location can outlive the metastore entry (fresh
     # derby metastore, old warehouse dir — every new local session), and
     # saveAsTable then fails with LOCATION_ALREADY_EXISTS even in overwrite
-    # mode. Drop the entry AND clear an orphaned location (Hadoop FS API,
-    # so the cleanup works on any storage scheme) before writing.
+    # mode. Only in OVERWRITE mode: drop the entry AND clear an orphaned
+    # location (resolved from the catalog when the table exists, so a custom
+    # LOCATION is honoured; Hadoop FS API so cleanup works on any storage
+    # scheme). Append must never touch existing data or the catalog entry.
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
-    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    if mode == "overwrite":
+        loc_uri = None
+        if spark.catalog.tableExists(table):
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            loc_uri = next(
+                (r.data_type for r in detail if r.col_name == "Location"), None
+            )
+        if loc_uri is None:
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            loc_uri = f"{warehouse.rstrip('/')}/{table.lower()}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(loc_uri)
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -125,6 +125,40 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS b_dim")
 
 
+def test_bucketed_table_append_preserves_existing_rows(spark):
+    """ADVICE r3: append mode must NOT drop the table or delete its location
+    (previously both batches' data was silently lost); overwrite must still
+    replace cleanly even with an orphaned location left by a prior session."""
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    batch2 = spark.createDataFrame([(3, "c")], "k bigint, v string")
+    try:
+        write_bucketed_table(batch1, "b_app", ["k"], 4)
+        write_bucketed_table(batch2, "b_app", ["k"], 4, mode="append")
+        got = {(r["k"], r["v"]) for r in spark.table("b_app").collect()}
+        assert got == {(1, "a"), (2, "b"), (3, "c")}
+        # overwrite after appends replaces everything
+        write_bucketed_table(batch2, "b_app", ["k"], 4, mode="overwrite")
+        assert {tuple(r) for r in spark.table("b_app").collect()} == {(3, "c")}
+        # orphaned-location recovery (fresh metastore + old warehouse dir):
+        # simulate by dropping the entry and re-creating stale files at the
+        # location — overwrite must succeed, not LOCATION_ALREADY_EXISTS
+        loc = (
+            spark.sql("DESCRIBE TABLE EXTENDED b_app")
+            .where("col_name = 'Location'")
+            .collect()[0]["data_type"]
+        )
+        spark.sql("DROP TABLE b_app")
+        assert loc.startswith("file:")
+        local = loc[len("file:") :]
+        os.makedirs(local, exist_ok=True)
+        with open(os.path.join(local, "stale-orphan.parquet"), "w") as f:
+            f.write("stale")
+        write_bucketed_table(batch1, "b_app", ["k"], 4)
+        assert spark.table("b_app").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_app")
+
+
 def test_write_json_target_partitions(spark, tmp_path):
     df = spark.createDataFrame([(i,) for i in range(100)], "id bigint")
     path = str(tmp_path / "sized_json")
