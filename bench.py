@@ -28,9 +28,23 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Queries deliberately excluded from the timed headline, with reasons.
-# The lockstep pytest (tests/test_bench_lockstep.py) asserts that every
-# catalog entry is either timed or listed here.
-EXCLUDED: dict[str, str] = {}
+# The lockstep pytest (tests/test_catalog_contract.py) asserts that every
+# catalog entry is either timed or listed here, and that every exclusion
+# carries a reason.
+EXCLUDED: dict[str, str] = {
+    "dedup_ngram_jaccard": (
+        "output-tracking cost: delivered pairs grow ~2,948x at sf~1 on the "
+        "adversarial duplicate-heavy corpus (wall 1.79s -> 23.3s, the one "
+        "superlinear scaler in BENCH_sf1), and the verify fan-out is "
+        "proportional to delivered output by design — a cap would bound the "
+        "output sort, not the verify join that dominates. The documented "
+        "scale path for near-dup at 100 TB is MinHash+LSH; "
+        "dedup_minhash_lsh is the timed representative (4.9s at sf~1). "
+        "Correctness stays fully gated: the query remains in queries()/"
+        "oracle_sql() and tools/oracle_check runs it every round "
+        "(driver-proven green in CORRECTNESS_r02)."
+    ),
+}
 
 
 def headline_names() -> list[str]:
