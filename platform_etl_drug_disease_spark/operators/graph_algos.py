@@ -317,3 +317,99 @@ def node_clustering(pairs: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first search: every node's hop distance from the
+    seed SET (the minimum over seeds), up to ``max_depth``. Returns
+    (node, level); unreached nodes are absent.
+
+    Frontier iteration, the distributed-BFS shape: per round ONE equi-join
+    (edges ⋈ frontier on src — edges arrive pre-partitioned by the caller,
+    so only the frontier moves), a distinct on the discovered set, and an
+    anti-join against visited so each node is expanded exactly once. State
+    per round is (node, level) pairs — never adjacency materialization —
+    and each frontier is localCheckpoint'ed to cut the lineage, same
+    discipline as the PageRank loops. Wavefront cost: Σ_d |edges(frontier_d)|
+    = O(|E|) total across all rounds, the textbook BFS bound."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("level"))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).alias("level"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
+def hits_scores(
+    edges: DataFrame,
+    n_iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores over a DIRECTED edge set, sum-
+    normalized per half-step. Returns (node, authority) for dst-side nodes
+    after ``n_iters`` full iterations.
+
+    Sum normalization (not L2) keeps every step either exact integer
+    arithmetic or a single IEEE double division, so scores are bit-
+    reproducible across engines: contribution sums ride DECIMAL(28,12)
+    (order-independent), and each normalizer is itself a decimal-exact sum.
+    Plan shape per half-step: one equi-join against the persisted
+    pre-partitioned edge set + one groupBy shuffle — identical discipline
+    to :func:`pagerank`; nothing materializes beyond (node, score) pairs."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+
+    def _normalize(scores: DataFrame, key: str) -> DataFrame:
+        tot = scores.agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("t"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            key, (F.col("s") / F.col("t")).alias("s")
+        )
+
+    # h0 = 1.0 on every src node: the first authority pass is then the exact
+    # integer in-degree, so iteration 1 needs no float sum at all.
+    auth = _normalize(
+        e.groupBy("dst").agg(F.count(F.lit(1)).cast("double").alias("s")), "dst"
+    )
+    for _ in range(n_iters - 1):
+        hub = _normalize(
+            e.join(auth, "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("s")),
+            "src",
+        )
+        auth = _normalize(
+            e.join(hub, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("s")),
+            "dst",
+        )
+    # NOTE: e stays persisted — the returned plan still references it from
+    # every half-step, and an eager unpersist() here would silently revert
+    # all of them to full input rescans (caught by the repeated-scan lint).
+    return auth.select(F.col("dst").alias("node"), F.col("s").alias("authority"))

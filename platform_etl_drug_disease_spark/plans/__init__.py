@@ -38,8 +38,10 @@ partition_change_plan, heavy_shingle_stats, kmeans_cells, knn_cosine_lsh,
 embedding_quantize_stats, boilerplate_span_stats, media_dedup_stats — plus
 the 4 rows-only-by-design entries (price_tdigest_quantiles,
 adjacency_degree_approx, bpe_encode_stats, hll_user_rollup) under the
-rows-only allowlist, and any queries added during round 4 fill the
-remaining slots. End state: ever-proven = full catalog.
+rows-only allowlist, and the queries added during round 4
+(supplier_bfs_levels, supplier_hits_scores, hourly_gap_fill,
+source_nucleus_selection) fill four of the remaining slots. End state:
+ever-proven = full catalog.
 """
 
 from __future__ import annotations

@@ -1104,6 +1104,104 @@ FROM per_type p
 
 
 
+def hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification WITH linear interpolation — the repair step
+    downstream of ``hourly_gap_audit``: materialize every hour in each event
+    type's span, and fill missing hours' mean value by interpolating between
+    the nearest observed hours (leading/trailing gaps stay NULL — there is
+    nothing to anchor them to).
+
+    Scale shape: hourly means are one groupBy over the fact table
+    (decimal-exact sums, so the fill values are engine-deterministic); the
+    dense calendar is |types| × span-hours GENERATED rows; the prev/next
+    anchors are two ignore-nulls window passes over that bounded dense
+    series, never over raw events. Interpolation is pure row-local IEEE
+    arithmetic — identical bits on any engine evaluating the same
+    expression."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "event_type", "value"])
+    obs = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("hour_ts"), "value")
+        .groupBy("event_type", "hour_ts")
+        .agg((dsum("value") / F.count("value")).alias("v"))
+    ).persist()  # consumed by span bounds + the dense-series join
+    span = obs.groupBy("event_type").agg(
+        F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1")
+    )
+    dense = span.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hour_ts"
+        ),
+    )
+    j = dense.join(obs, ["event_type", "hour_ts"], "left")
+    w = Window.partitionBy("event_type").orderBy("hour_ts")
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    known_h = F.when(F.col("v").isNotNull(), F.col("hour_ts"))
+    j = j.select(
+        "event_type",
+        "hour_ts",
+        "v",
+        F.last("v", ignorenulls=True).over(wprev).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wprev).alias("ph"),
+        F.first("v", ignorenulls=True).over(wnext).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wnext).alias("nh"),
+    )
+    frac = (
+        (F.unix_timestamp("hour_ts") - F.unix_timestamp("ph")).cast("double")
+        / (F.unix_timestamp("nh") - F.unix_timestamp("ph")).cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return j.select(
+        "event_type",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+        filled.alias("value_filled"),
+        F.col("v").isNull().cast("int").alias("was_missing"),
+    )
+
+
+_GAP_FILL_SQL = """
+WITH obs AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v
+    FROM events GROUP BY 1, 2
+), span AS (
+    SELECT event_type, min(hour_ts) AS h0, max(hour_ts) AS h1
+    FROM obs GROUP BY event_type
+), dense AS (
+    SELECT s.event_type, g.hour_ts
+    FROM span s, LATERAL (
+        SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS hour_ts
+    ) g
+), anchored AS (
+    SELECT d.event_type, d.hour_ts, o.v,
+           LAST_VALUE(o.v IGNORE NULLS) OVER wp AS pv,
+           LAST_VALUE(CASE WHEN o.v IS NOT NULL THEN d.hour_ts END IGNORE NULLS)
+               OVER wp AS ph,
+           FIRST_VALUE(o.v IGNORE NULLS) OVER wn AS nv,
+           FIRST_VALUE(CASE WHEN o.v IS NOT NULL THEN d.hour_ts END IGNORE NULLS)
+               OVER wn AS nh
+    FROM dense d
+    LEFT JOIN obs o ON o.event_type = d.event_type AND o.hour_ts = d.hour_ts
+    WINDOW wp AS (PARTITION BY d.event_type ORDER BY d.hour_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY d.event_type ORDER BY d.hour_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (nv - pv) *
+                 (CAST(date_diff('second', ph, hour_ts) AS DOUBLE)
+                  / CAST(date_diff('second', ph, nh) AS DOUBLE))
+       END AS value_filled,
+       CAST(v IS NULL AS INT) AS was_missing
+FROM anchored
+"""
+
+
 def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-window funnel: like ``funnel_conversion`` but a stage
     only qualifies if the prior stage happened within the last 24 HOURS —
@@ -2068,6 +2166,7 @@ QUERIES = {
     "top_session_paths": top_session_paths,
     "hourly_autocorr": hourly_autocorr,
     "hourly_gap_audit": hourly_gap_audit,
+    "hourly_gap_fill": hourly_gap_fill,
     "funnel_conversion_windowed": funnel_conversion_windowed,
     "cumulative_users_by_day": cumulative_users_by_day,
     "event_props_map_stats": event_props_map_stats,
@@ -2103,6 +2202,7 @@ ORACLES = {
     "top_session_paths": _SESSION_PATHS_SQL,
     "hourly_autocorr": _AUTOCORR_SQL,
     "hourly_gap_audit": _GAP_AUDIT_SQL,
+    "hourly_gap_fill": _GAP_FILL_SQL,
     "funnel_conversion_windowed": _FUNNEL_WINDOWED_SQL,
     "cumulative_users_by_day": _CUMULATIVE_SQL,
     "event_props_map_stats": _PROPS_MAP_SQL,

@@ -668,6 +668,105 @@ LIMIT 20
 """
 
 
+def supplier_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from the nation-0 customer cohort over
+    the undirected trade graph, depth ≤ 3 — "how far is every node from this
+    buyer segment". Frontier iteration (operators/graph_algos.bfs_levels):
+    per round one equi-join against the pre-partitioned edge set + one
+    distinct + one anti-join vs visited, O(|E|) total across rounds. The
+    oracle unrolls the same 3 expansions as CTEs. Output: nodes + min node
+    per level."""
+    edges = _sym_edges(spark, sf_dir).repartition(F.col("src")).persist()
+    cust = load_table(spark, sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .join(
+            F.broadcast(cust.where(F.col("c_nationkey") == 0)),
+            F.col("node") == F.col("c_custkey"),
+            "left_semi",
+        )
+    )
+    from platform_etl_drug_disease_spark.operators.graph_algos import bfs_levels
+
+    visited = bfs_levels(edges, seeds, max_depth=3)
+    out = visited.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
+    )
+    edges.unpersist()
+    return out
+
+
+_BFS_SQL = _SYM_EDGES_CTE + """
+, seeds AS (
+    SELECT DISTINCT e.src AS node
+    FROM edges e JOIN customer ON e.src = c_custkey
+    WHERE c_nationkey = 0
+),
+v0 AS (SELECT node, 0 AS level FROM seeds),
+f1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN v0 ON e.src = v0.node
+       WHERE e.dst NOT IN (SELECT node FROM v0)),
+v1 AS (SELECT node, level FROM v0 UNION ALL SELECT node, 1 FROM f1),
+f2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN f1 ON e.src = f1.node
+       WHERE e.dst NOT IN (SELECT node FROM v1)),
+v2 AS (SELECT node, level FROM v1 UNION ALL SELECT node, 2 FROM f2),
+f3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN f2 ON e.src = f2.node
+       WHERE e.dst NOT IN (SELECT node FROM v2)),
+v3 AS (SELECT node, level FROM v2 UNION ALL SELECT node, 3 FROM f3)
+SELECT level, COUNT(*) AS n_nodes, MIN(node) AS min_node
+FROM v3 GROUP BY level
+"""
+
+
+def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities over the DIRECTED customer→supplier purchase graph:
+    top-15 suppliers by authority after 2 sum-normalized iterations —
+    "which suppliers are endorsed by the strongest hub buyers". Every
+    contribution sum is decimal-exact and every normalizer a single double
+    division (operators/graph_algos.hits_scores), so the unrolled-CTE
+    oracle reproduces the scores bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    dedges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+    )
+    from platform_etl_drug_disease_spark.operators.graph_algos import hits_scores
+
+    auth = hits_scores(dedges, n_iters=2)
+    out = auth.select("node", dround("authority", 9).alias("authority"))
+    top = out.orderBy(F.col("authority").desc(), "node").limit(15)
+    w = Window.orderBy(F.col("authority").desc(), "node")
+    return top.select(F.row_number().over(w).alias("rk"), "node", "authority")
+
+
+_HITS_SQL = """
+WITH dedges AS (
+    SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+a1 AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS s FROM dedges GROUP BY dst),
+a1t AS (SELECT CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS t FROM a1),
+a1n AS (SELECT dst, s / (SELECT t FROM a1t) AS s FROM a1),
+h1 AS (SELECT e.src, CAST(SUM(CAST(a.s AS DECIMAL(28,12))) AS DOUBLE) AS s
+       FROM dedges e JOIN a1n a ON e.dst = a.dst GROUP BY e.src),
+h1t AS (SELECT CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS t FROM h1),
+h1n AS (SELECT src, s / (SELECT t FROM h1t) AS s FROM h1),
+a2 AS (SELECT e.dst, CAST(SUM(CAST(h.s AS DECIMAL(28,12))) AS DOUBLE) AS s
+       FROM dedges e JOIN h1n h ON e.src = h.src GROUP BY e.dst),
+a2t AS (SELECT CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS t FROM a2)
+SELECT CAST(row_number() OVER (ORDER BY authority DESC, node) AS INTEGER) AS rk,
+       node, authority
+FROM (
+    SELECT dst AS node,
+           floor((s / (SELECT t FROM a2t)) * 1e9 + 0.5) / 1e9 AS authority
+    FROM a2
+)
+ORDER BY authority DESC, node
+LIMIT 15
+"""
+
+
 QUERIES = {
     "adjacency_lut": adjacency_lut,
     "adjacency_degree_approx": adjacency_degree_approx,
@@ -681,6 +780,8 @@ QUERIES = {
     "supplier_clustering": supplier_clustering,
     "label_propagation_communities": label_propagation_communities,
     "personalized_pagerank_topk": personalized_pagerank_topk,
+    "supplier_bfs_levels": supplier_bfs_levels,
+    "supplier_hits_scores": supplier_hits_scores,
 }
 
 ORACLES = {
@@ -695,5 +796,7 @@ ORACLES = {
     "supplier_clustering": _CLUSTERING_SQL,
     "label_propagation_communities": _lpa_sql(),
     "personalized_pagerank_topk": _ppr_sql(),
+    "supplier_bfs_levels": _BFS_SQL,
+    "supplier_hits_scores": _HITS_SQL,
     # adjacency_degree_approx: sketch-based, rows-only by design
 }

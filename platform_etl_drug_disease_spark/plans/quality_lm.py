@@ -859,3 +859,146 @@ FROM r
 
 QUERIES["neyman_allocation"] = neyman_allocation
 ORACLES["neyman_allocation"] = _NEYMAN_SQL
+
+
+def source_nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p ("nucleus") curation per source: keep each source's highest-
+    quality documents until their cumulative quality mass reaches half the
+    source's total — the mass-budgeted variant of top-k selection used when
+    mixing corpus sources by quality rather than by row count.
+
+    Scale shape (the lint-clean two-phase form — the naive
+    ``SUM(q) OVER (PARTITION BY source ORDER BY q DESC)`` per-doc window is
+    exactly the low-cardinality-partition global sort plan_lint rejects):
+
+    1. Per (source, exact-score) histogram — one map-side-combinable
+       aggregate; the bucket key IS the decimal(18,6) score, so bucket mass
+       is ``q·count`` exactly and the histogram is bounded by score
+       resolution, not corpus size.
+    2. Cumulative mass + the 2·cum vs total comparison run over that
+       bounded histogram (window over an aggregate — fine at any scale).
+       Comparing ``2·cum < tot`` instead of ``cum < tot/2`` keeps every
+       operand an EXACT decimal: no division, no float drift, identical
+       verdicts on any engine.
+    3. Only the single boundary bucket per source goes back to the doc
+       level: its docs get a (source, q)-partitioned row_number by doc_id
+       (bucket keys are high-cardinality, so no reducer hot-spot) and the
+       same exact-decimal criterion ``2·(cum_before + (rn−1)·q) < tot``.
+
+    Zero-quality docs are excluded up front (they can never contribute
+    mass; including them would make "kept" ambiguous at the boundary).
+    Output per source: doc counts, kept counts/mass, and the kept share.
+    """
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]),
+        "doc_id",
+    )
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            tx.quality_score("text").cast("decimal(18,6)").alias("q"),
+        )
+        .where(F.col("q") > 0)
+        .persist()  # fan-out: histogram pass + boundary-bucket doc pass
+    )
+    hist = (
+        scored.groupBy("source", "q")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("bmass", F.col("q") * F.col("c"))
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("bmass").alias("tot"), F.sum("c").alias("n_docs")
+    )
+    cum_w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = hist.withColumn("cum", F.sum("bmass").over(cum_w)).join(
+        F.broadcast(tot), "source"
+    )
+    two = F.lit(2)
+    full = hist.where(two * F.col("cum") <= F.col("tot")).groupBy("source").agg(
+        F.sum("c").alias("full_kept"), F.sum("bmass").alias("full_mass")
+    )
+    boundary = hist.where(
+        (two * (F.col("cum") - F.col("bmass")) < F.col("tot"))
+        & (two * F.col("cum") > F.col("tot"))
+    ).select("source", "q", (F.col("cum") - F.col("bmass")).alias("cumb"), "tot")
+    bdocs = scored.join(F.broadcast(boundary), ["source", "q"])
+    rn_w = Window.partitionBy("source", "q").orderBy("doc_id")
+    kept_b = (
+        bdocs.withColumn("rn", F.row_number().over(rn_w))
+        .where(two * (F.col("cumb") + (F.col("rn") - 1) * F.col("q")) < F.col("tot"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("b_kept"), F.sum("q").alias("b_mass"))
+    )
+    out = (
+        tot.join(full, "source", "left")
+        .join(kept_b, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.coalesce(F.col("full_kept"), F.lit(0))
+                + F.coalesce(F.col("b_kept"), F.lit(0))
+            ).alias("n_kept"),
+            (
+                F.coalesce(F.col("full_mass"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("b_mass"), F.lit(0).cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("kept_mass"),
+            F.col("tot").cast("double").alias("total_mass"),
+        )
+        .withColumn(
+            "share_kept", F.col("n_kept").cast("double") / F.col("n_docs")
+        )
+    )
+    return out
+
+
+# The oracle is the NAIVE per-doc form (window cumsum over (q desc, doc_id))
+# — deliberately a different plan computing the same selection, so it checks
+# the two-phase rewrite's equivalence, not just its arithmetic: a doc is
+# kept iff the exact-decimal mass strictly before it is under half the total.
+_NUCLEUS_SQL = r"""
+WITH tq AS (
+    SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+), scored AS (
+    SELECT doc_id, source,
+           CAST(round(0.4 * least(len(t) / 64.0, 1.0)
+               + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+               + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','of','and','to','in','is','it','for'], x)))
+                     * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6)
+               AS DECIMAL(18,6)) AS q
+    FROM tq
+), pos AS (SELECT * FROM scored WHERE q > 0),
+tot AS (
+    SELECT source, SUM(q) AS tot, COUNT(*) AS n_docs FROM pos GROUP BY source
+), ranked AS (
+    SELECT p.*, SUM(q) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+    FROM pos p
+), kept AS (
+    SELECT r.source, r.q
+    FROM ranked r JOIN tot tt USING (source)
+    WHERE 2 * (r.cum - r.q) < tt.tot
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.kept_mass, 0) AS DOUBLE) AS kept_mass,
+       CAST(t.tot AS DOUBLE) AS total_mass,
+       CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / t.n_docs AS share_kept
+FROM tot t LEFT JOIN (
+    SELECT source, COUNT(*) AS n_kept, SUM(q) AS kept_mass
+    FROM kept GROUP BY source
+) k USING (source)
+"""
+
+QUERIES["source_nucleus_selection"] = source_nucleus_selection
+ORACLES["source_nucleus_selection"] = _NUCLEUS_SQL
