@@ -59,6 +59,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
 WINDOW_ROUND = 4
 
+# Window entries allowed to carry only the driver's weaker rows-only check
+# (no value oracle BY DESIGN: sketch estimates / greedy encodings whose
+# accuracy is pinned by pytest instead). Empty in round 4; round 5 rotates
+# in the documented four (price_tdigest_quantiles, adjacency_degree_approx,
+# bpe_encode_stats, hll_user_rollup) so the full catalog ends driver-proven.
+WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
+
 # The 50 driver-scored queries, in scoring order. Round-4 rotation: 5 pinned
 # gates + 45 first-time-checked entries (see module docstring). All 50 carry
 # full value-hash oracles.

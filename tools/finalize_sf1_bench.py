@@ -1,0 +1,42 @@
+"""Assemble BENCH_sf1.json from a SINGLE uniform bench.py run at sf~1.
+
+VERDICT r3 item 4: the previous artifact was merged from a 178-query run
+plus separately-timed round-3 additions; this rebuilds it from one
+protocol-uniform run (every headline query, one session, best-of-2,
+cache cleared between runs) so there is no protocol seam.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/tmp/sfbench1 \
+        SPARK_GRAFT_BENCH_OUT=/tmp/bench_sf1_final_detail.json python bench.py
+    python tools/finalize_sf1_bench.py /tmp/bench_sf1_final_detail.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf1_final_detail.json"
+
+detail = json.load(open(SRC))
+out = {
+    "metric": "headline_query_wall_clock_total",
+    "value": detail["value"],
+    "unit": "sec",
+    "sf": 1.0,
+    "sf_note": (
+        "tools/make_scaled_sf.py replication of sf0.1 (x10 rows, adversarial "
+        "duplicate mass); dir /tmp/sfbench1"
+    ),
+    "n_queries": len(detail["queries"]),
+    "protocol": (
+        "ONE uniform bench.py run: every headline query, one session, "
+        "best-of-2 per query, cache cleared between runs, local[32]; no "
+        "merged sessions (VERDICT r3 item 4)"
+    ),
+    "excluded": "see bench.EXCLUDED (reasons required by the lockstep test)",
+    "queries": dict(sorted(detail["queries"].items())),
+}
+with open("/root/repo/BENCH_sf1.json", "w") as fh:
+    json.dump(out, fh, indent=1, sort_keys=True)
+print(f"BENCH_sf1.json: {out['value']} s / {out['n_queries']} queries")
