@@ -32,21 +32,36 @@ def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sym_edges_raw(spark, sf_dir).distinct()
 
 
+# Supplier node ids are offset into their own id space so customer and
+# supplier keys never collide. Single source of truth — the SQL oracles'
+# `l_suppkey + 1000000` literals must match this value.
+SUPPLIER_OFFSET = 1_000_000
+
+
+def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed (customer → supplier) purchase edges, one row per lineitem
+    (NOT distinct). The single definition of the trade graph's edge
+    derivation — every graph query (sym/BFS/pagerank/HITS/triangles) builds
+    from this, so the join and the id-space offset can never diverge."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+    )
+
+
 def _sym_edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized edges WITHOUT the distinct shuffle — for consumers whose
     next step is a set-style aggregation (collect_set / approx_count_distinct
     dedup per group anyway). Feeding them raw edges saves a full (src,dst)
     shuffle whose partitioning the following per-src groupBy couldn't reuse."""
-    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    cust = F.col("o_custkey")
-    supp = F.col("l_suppkey") + F.lit(1000000)
     both_dirs = F.array(
-        F.struct(cust.alias("src"), supp.alias("dst")),
-        F.struct(supp.alias("src"), cust.alias("dst")),
+        F.struct(F.col("src"), F.col("dst")),
+        F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        _directed_edges(spark, sf_dir)
         .select(F.explode(both_dirs).alias("e"))
         .select("e.src", "e.dst")
     )
@@ -725,15 +740,9 @@ def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution sum is decimal-exact and every normalizer a single double
     division (operators/graph_algos.hits_scores), so the unrolled-CTE
     oracle reproduces the scores bit-for-bit."""
-    li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    orders = load_table(spark, sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    dedges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        F.col("o_custkey").alias("src"),
-        (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
-    )
     from platform_etl_drug_disease_spark.operators.graph_algos import hits_scores
 
-    auth = hits_scores(dedges, n_iters=2)
+    auth = hits_scores(_directed_edges(spark, sf_dir), n_iters=2)
     out = auth.select("node", dround("authority", 9).alias("authority"))
     top = out.orderBy(F.col("authority").desc(), "node").limit(15)
     w = Window.orderBy(F.col("authority").desc(), "node")

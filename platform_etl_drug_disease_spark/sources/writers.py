@@ -57,9 +57,10 @@ def write_bucketed_table(
     # LOCATION is honoured; Hadoop FS API so cleanup works on any storage
     # scheme). Append must never touch existing data or the catalog entry.
     spark = df.sparkSession
+    exists = spark.catalog.tableExists(table)
     if mode == "overwrite":
         loc_uri = None
-        if spark.catalog.tableExists(table):
+        if exists:
             detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
             loc_uri = next(
                 (r.data_type for r in detail if r.col_name == "Location"), None
@@ -73,6 +74,24 @@ def write_bucketed_table(
         fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(loc):
             fs.delete(loc, True)
+    elif mode == "append" and not exists:
+        # Append with no catalog entry must CREATE the managed table; if an
+        # orphaned location survives from a previous metastore, saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS. Deleting it here would destroy
+        # data append promised to keep, so surface the ambiguity instead of
+        # resolving it silently either way.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc_uri = f"{warehouse.rstrip('/')}/{table.lower()}"
+        jvm = spark._jvm
+        loc = jvm.org.apache.hadoop.fs.Path(loc_uri)
+        fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            raise ValueError(
+                f"append to {table!r}: no catalog entry, but data exists at "
+                f"{loc_uri} (orphaned by a previous metastore). Re-register "
+                f"it or write with mode='overwrite' to replace it; append "
+                f"will not silently adopt or delete unknown data."
+            )
     writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.plan_lint import explain_string
@@ -153,6 +154,9 @@ def test_bucketed_table_append_preserves_existing_rows(spark):
         os.makedirs(local, exist_ok=True)
         with open(os.path.join(local, "stale-orphan.parquet"), "w") as f:
             f.write("stale")
+        # append onto an orphan must refuse loudly (neither adopt nor delete)
+        with pytest.raises(ValueError, match="orphaned by a previous metastore"):
+            write_bucketed_table(batch1, "b_app", ["k"], 4, mode="append")
         write_bucketed_table(batch1, "b_app", ["k"], 4)
         assert spark.table("b_app").count() == 2
     finally:

@@ -19,6 +19,15 @@ import sys
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_sf1_final_detail.json"
 
 detail = json.load(open(SRC))
+# Refuse to publish a mislabeled artifact: the detail must come from the
+# make_scaled_sf output dir (bench.py records sf from the dir name; the
+# /tmp/sfbench1 layout yields the literal string "bench1"), never from a
+# routine sf0.1/sf0.01 run left behind in the same path.
+if detail.get("sf") != "bench1":
+    raise SystemExit(
+        f"{SRC} records sf={detail.get('sf')!r} — not a /tmp/sfbench1 run; "
+        "refusing to stamp it as the sf~1 artifact"
+    )
 out = {
     "metric": "headline_query_wall_clock_total",
     "value": detail["value"],
