@@ -378,16 +378,29 @@ def hits_scores(
     Plan shape per half-step: one equi-join against the persisted
     pre-partitioned edge set + one groupBy shuffle — identical discipline
     to :func:`pagerank`; nothing materializes beyond (node, score) pairs."""
+    # ONE shuffle builds the deduped, src-partitioned edge table: hash-
+    # partitioning by src alone already co-locates every copy of a given
+    # (src, dst) pair, so the following dropDuplicates needs no second
+    # exchange (HashPartitioning(src) satisfies the distinct's clustering
+    # requirement), and the layout is exactly what the per-half-step src
+    # joins want. The naive .distinct().repartition("src") shuffles the
+    # full edge set twice.
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
         .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
 
     def _normalize(scores: DataFrame, key: str) -> DataFrame:
-        tot = scores.agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("t"))
-        return scores.crossJoin(F.broadcast(tot)).select(
+        # persist: scores feeds BOTH the normalizer aggregate and the
+        # division — unpersisted, the whole upstream join chain would
+        # compute twice per half-step and compound across iterations (the
+        # file-scan lint can't see this: the recompute is over the cached
+        # edge table, not a scan).
+        s = scores.persist()
+        tot = s.agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("t"))
+        return s.crossJoin(F.broadcast(tot)).select(
             key, (F.col("s") / F.col("t")).alias("s")
         )
 
