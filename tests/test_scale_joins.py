@@ -356,3 +356,52 @@ def test_python_stream_source_drives_windowed_aggregate(spark, tmp_path):
     final_total = sum(got.values())
     expect = Counter(lcg_row(i)[1] for i in range(final_total))
     assert got == dict(expect)
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """At 100 TB the safety net for a hot join key is AQE's skew-join split
+    (salted_join is the manual fallback). Pin that the net actually engages:
+    a sort-merge join where one key carries ~99% of the left side must come
+    out of AQE with its SMJ marked skew=true — and produce exactly the same
+    rows as the arithmetic predicts."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = left.join(right, "k")
+        # execute THIS DataFrame (count() would plan a separate aggregate
+        # and leave joined's own AQE plan unfinalized)
+        rows = joined.collect()
+        # k==7 rows: id % 100 < 99 -> 198,000; k==id rows that find a match:
+        # id % 100 == 99 and id < 1000 -> {99, 199, ..., 999} = 10
+        assert len(rows) == 198_010
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "skew=true" in plan, (
+            "AQE did not split the planted hot partition — skew-join "
+            "config or plan shape regressed:\n" + plan[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
