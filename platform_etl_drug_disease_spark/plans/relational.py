@@ -1795,3 +1795,137 @@ def sql_text_correlated_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_text_correlated_outliers"] = sql_text_correlated_outliers
 ORACLES["sql_text_correlated_outliers"] = _PORTABLE_CORRELATED_SQL
+
+
+def price_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median and MAD (median absolute deviation) of
+    extended price by return flag, plus the robust outlier count at the
+    standard 3·1.4826·MAD cut — the robust-scale companion to the
+    winsorized means: MAD survives the heavy-tailed spam that wrecks a
+    stddev-based z-score.
+
+    Scale shape: the naive form is a percentile window partitioned by the
+    3-value flag over raw rows — exactly the low-cardinality serialization
+    plan_lint rejects. Here the fact table is read ONCE, into the
+    per-(flag, value) histogram; each median is EXACT from rank arithmetic
+    over it (cum ≥ ⌊(n+1)/2⌋ picks the lower middle; ⌊(n+2)/2⌋ the upper;
+    interpolate lo + (hi−lo)·0.5, the quantile_cont arithmetic, identical
+    IEEE ops on both engines), and the RESIDUAL histogram is derived from
+    the value histogram itself (|x−med| carries each bucket's count), so
+    the MAD pass and the outlier census never touch the fact table again.
+    Histogram cardinality is bounded by the value GRID, not the row count
+    (prices are a fixed 2-decimal lattice: distinct values saturate while
+    rows keep growing — at 100 TB the histogram is millions of rows against
+    trillions scanned). Oracle is deliberately the naive row_number form,
+    so it checks the histogram-rank rewrite's equivalence."""
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def median_from_hist(hist: DataFrame, key: str, val: str, out: str) -> DataFrame:
+        cum_w = (
+            Window.partitionBy(key)
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        h = hist.withColumn("cum", F.sum("c").over(cum_w))
+        n = hist.groupBy(key).agg(F.sum("c").alias("n"))
+        h = h.join(F.broadcast(n), key)
+        lo = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
+        hi = F.floor((F.col("n") + 2) / F.lit(2.0)).cast("bigint")
+        got = h.groupBy(key).agg(
+            F.min(F.when(F.col("cum") >= lo, F.col(val))).alias("__vlo"),
+            F.min(F.when(F.col("cum") >= hi, F.col(val))).alias("__vhi"),
+            F.max("n").alias("n"),
+        )
+        return got.select(
+            key,
+            "n",
+            (
+                F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) * F.lit(0.5)
+            ).alias(out),
+        )
+
+    # ONE fact-table pass: everything downstream — the residual histogram
+    # included — is pure arithmetic over the persisted value histogram
+    # (|x−med| carries each bucket's count unchanged).
+    h1 = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    med = median_from_hist(h1, "l_returnflag", "l_extendedprice", "median")
+    h2 = (
+        h1.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("l_extendedprice") - F.col("median")).alias("d"),
+            "c",
+        )
+        .groupBy("l_returnflag", "d")
+        .agg(F.sum("c").alias("c"))
+        .persist()  # feeds the MAD rank pass + the outlier census
+    )
+    mad = median_from_hist(h2, "l_returnflag", "d", "mad").select(
+        "l_returnflag", "mad"
+    )
+    out = (
+        h2.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return (
+        med.join(out, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("n").cast("bigint").alias("n_rows"),
+            "median",
+            "mad",
+            "n_outliers",
+        )
+    )
+
+
+_MAD_SQL = """
+WITH v AS (SELECT l_returnflag AS f, l_extendedprice AS x FROM lineitem),
+n AS (SELECT f, COUNT(*) AS n FROM v GROUP BY f),
+r AS (SELECT f, x, row_number() OVER (PARTITION BY f ORDER BY x) AS rn FROM v),
+medp AS (
+    SELECT r.f,
+           MIN(CASE WHEN rn >= CAST(floor((n.n + 1) / 2.0) AS BIGINT)
+                    THEN x END) AS vlo,
+           MIN(CASE WHEN rn >= CAST(floor((n.n + 2) / 2.0) AS BIGINT)
+                    THEN x END) AS vhi
+    FROM r JOIN n USING (f) GROUP BY r.f
+),
+m AS (SELECT f, vlo + (vhi - vlo) * 0.5 AS median FROM medp),
+d AS (SELECT v.f, abs(v.x - m.median) AS dd FROM v JOIN m ON v.f = m.f),
+rd AS (SELECT f, dd, row_number() OVER (PARTITION BY f ORDER BY dd) AS rn FROM d),
+madp AS (
+    SELECT rd.f,
+           MIN(CASE WHEN rn >= CAST(floor((n.n + 1) / 2.0) AS BIGINT)
+                    THEN dd END) AS vlo,
+           MIN(CASE WHEN rn >= CAST(floor((n.n + 2) / 2.0) AS BIGINT)
+                    THEN dd END) AS vhi
+    FROM rd JOIN n USING (f) GROUP BY rd.f
+),
+mad AS (SELECT f, vlo + (vhi - vlo) * 0.5 AS mad FROM madp)
+SELECT n.f AS l_returnflag,
+       CAST(n.n AS BIGINT) AS n_rows,
+       m.median,
+       mad.mad,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d
+        WHERE d.f = n.f AND d.dd > 3.0 * 1.4826 * mad.mad) AS n_outliers
+FROM n JOIN m ON n.f = m.f JOIN mad ON n.f = mad.f
+"""
+
+QUERIES["price_mad_stats"] = price_mad_stats
+ORACLES["price_mad_stats"] = _MAD_SQL

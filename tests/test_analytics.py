@@ -772,3 +772,40 @@ def test_nucleus_selection_matches_naive_cumsum(spark):
     # the kept share must sit strictly between 0 and 1 somewhere (the
     # selection actually cuts) — guards against degenerate all-kept data
     assert any(k[1] < k[0] for k in got.values())
+
+
+def test_price_mad_matches_bruteforce(spark):
+    """Histogram-rank exact median/MAD must equal the brute-force
+    sort-in-python computation (quantile_cont arithmetic: lo+(hi-lo)*0.5),
+    including the 3*1.4826*MAD outlier census."""
+    from platform_etl_drug_disease_spark.plans.relational import price_mad_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["median"], r["mad"], r["n_outliers"])
+        for r in price_mad_stats(spark, sf).collect()
+    }
+    rows = (
+        spark.read.parquet(sf + "/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_flag = defaultdict(list)
+    for r in rows:
+        by_flag[r["l_returnflag"]].append(r["l_extendedprice"])
+
+    def med(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        lo, hi = xs[(n + 1) // 2 - 1], xs[(n + 2) // 2 - 1]
+        return lo + (hi - lo) * 0.5
+
+    for f, xs in by_flag.items():
+        m = med(xs)
+        d = [abs(x - m) for x in xs]
+        mad = med(d)
+        outs = sum(1 for x in d if x > 3.0 * 1.4826 * mad)
+        assert got[f] == (len(xs), m, mad, outs), f
+    assert set(got) == set(by_flag)
