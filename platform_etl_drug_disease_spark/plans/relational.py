@@ -1818,7 +1818,12 @@ def price_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows keep growing — at 100 TB the histogram is millions of rows against
     trillions scanned). Oracle is deliberately the naive row_number form,
     so it checks the histogram-rank rewrite's equivalence."""
-    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    # median is defined over NON-NULL values on both engines (a NULL bucket
+    # would shift Spark's NULLS-FIRST cum ranks but DuckDB's NULLS-LAST
+    # row_numbers — latent divergence closed by filtering up front)
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]
+    ).where(F.col("l_extendedprice").isNotNull())
 
     def median_from_hist(hist: DataFrame, key: str, val: str, out: str) -> DataFrame:
         cum_w = (
@@ -1895,7 +1900,8 @@ def price_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MAD_SQL = """
-WITH v AS (SELECT l_returnflag AS f, l_extendedprice AS x FROM lineitem),
+WITH v AS (SELECT l_returnflag AS f, l_extendedprice AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
 n AS (SELECT f, COUNT(*) AS n FROM v GROUP BY f),
 r AS (SELECT f, x, row_number() OVER (PARTITION BY f ORDER BY x) AS rn FROM v),
 medp AS (
