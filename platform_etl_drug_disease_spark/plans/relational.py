@@ -494,20 +494,37 @@ GROUP BY s_nationkey
 
 def price_quantiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (p25/p50/p75) of l_extendedprice by return
-    flag, via explicit sorted-array indexing (``quantile_disc`` semantics:
-    element at ceil(p*n)) — engine-independent, no interpolation arithmetic.
-    At 100 TB the same API point swaps to approx_percentile (t-digest)."""
+    flag — ``quantile_disc`` semantics (the element at ceil(p·n) of the
+    sorted values), engine-independent, no interpolation arithmetic.
+
+    Scale shape (reworked round 4): computed by rank arithmetic over the
+    per-(flag, value) histogram — the element at position ceil(p·n) is the
+    MIN value whose cumulative count reaches that position — so per-group
+    state is bounded by the price GRID, not the group size. The former
+    form collected each group into one sorted array (per-group memory grows
+    with the group — the 100-TB failure mode; same rewrite family as
+    price_mad_stats). The oracle deliberately keeps the naive sorted-array
+    indexing, checking the rewrite's equivalence, and approx_percentile
+    stays available as the sketch path (price_tdigest_quantiles)."""
     li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-    grouped = li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_list("l_extendedprice")).alias("xs"),
-        F.count(F.lit(1)).alias("n"),
+    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = hist.withColumn("cum", F.sum("c").over(cum_w))
+    n = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
+    h = h.join(F.broadcast(n), "l_returnflag")
+
     def pick(p: float):
-        idx = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(p))).cast("int")
-        return F.element_at("xs", idx)
-    return grouped.select(
-        "l_returnflag",
-        "n",
+        pos = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(p)))
+        return F.min(F.when(F.col("cum") >= pos, F.col("l_extendedprice")))
+
+    return h.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
         pick(0.25).alias("p25"),
         pick(0.50).alias("p50"),
         pick(0.75).alias("p75"),
