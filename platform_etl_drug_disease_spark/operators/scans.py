@@ -223,3 +223,65 @@ def bounded_min_k(
             out_col
         )
     )
+
+
+def value_histogram(df: DataFrame, keys: list[str], val: str) -> DataFrame:
+    """Per-(keys, value) occurrence counts — the scale-safe substrate for
+    exact order statistics. One map-side-combinable aggregate; cardinality
+    is bounded by the value GRID per key (fixed-precision domains saturate
+    while row counts keep growing), never by the row count itself."""
+    return df.groupBy(*keys, val).agg(F.count(F.lit(1)).alias("c"))
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    keys: list[str],
+    val: str,
+    ps: dict[str, float],
+    mode: str = "disc",
+) -> DataFrame:
+    """Exact per-key quantiles by rank arithmetic over a value histogram
+    (``value_histogram`` output) — the replacement for both the
+    ``collect_list``-into-one-array form (per-group memory grows with the
+    group) and the ``percent_rank`` window over raw rows (a per-key global
+    sort when keys are low-cardinality; plan_lint rejects it).
+
+    ``mode='disc'``: SQL ``quantile_disc`` — the element at 1-based position
+    ``max(1, ceil(p·n))`` of the sorted values = the MIN value whose
+    cumulative count reaches that position.
+    ``mode='cont'``: SQL ``quantile_cont`` — linear interpolation at
+    position ``(n−1)·p + 1``: ``v_lo + (v_hi − v_lo)·frac`` with
+    ``lo = ⌊pos⌋``, ``hi = ⌈pos⌉``, ``frac = pos − lo`` — every step an
+    IEEE double op, so any engine computing the same formula on the same
+    histogram produces identical bits (p = 0.5 reduces to the familiar
+    average-the-two-middles median).
+
+    Returns one row per key group: ``keys + n + one column per ps label``.
+    The cumulative window runs over the HISTOGRAM (an aggregate), so the
+    plan is lint-clean for any key cardinality."""
+    if mode not in ("disc", "cont"):
+        raise ValueError(f"mode must be 'disc' or 'cont', got {mode!r}")
+    cum_w = (
+        Window.partitionBy(*keys)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    h = hist.withColumn("__cum", F.sum("c").over(cum_w))
+    n = hist.groupBy(*keys).agg(F.sum("c").alias("__n"))
+    h = h.join(F.broadcast(n), keys)
+    aggs = [F.max("__n").alias("n")]
+    for label, p in ps.items():
+        if mode == "disc":
+            pos = F.greatest(F.lit(1), F.ceil(F.col("__n") * F.lit(p)))
+            aggs.append(
+                F.min(F.when(F.col("__cum") >= pos, F.col(val))).alias(label)
+            )
+        else:
+            pos = (F.col("__n") - 1) * F.lit(p) + F.lit(1.0)
+            lo = F.floor(pos).cast("bigint")
+            hi = F.ceil(pos).cast("bigint")
+            vlo = F.min(F.when(F.col("__cum") >= lo, F.col(val)))
+            vhi = F.min(F.when(F.col("__cum") >= hi, F.col(val)))
+            frac = pos - F.floor(pos)
+            aggs.append((vlo + (vhi - vlo) * F.max(frac)).alias(label))
+    return h.groupBy(*keys).agg(*aggs)

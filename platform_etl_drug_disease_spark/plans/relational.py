@@ -506,28 +506,19 @@ def price_quantiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_mad_stats). The oracle deliberately keeps the naive sorted-array
     indexing, checking the rewrite's equivalence, and approx_percentile
     stays available as the sketch path (price_tdigest_quantiles)."""
+    from platform_etl_drug_disease_spark.operators.scans import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
     li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
-    hist = li.groupBy("l_returnflag", "l_extendedprice").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    cum_w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    h = hist.withColumn("cum", F.sum("c").over(cum_w))
-    n = hist.groupBy("l_returnflag").agg(F.sum("c").alias("n"))
-    h = h.join(F.broadcast(n), "l_returnflag")
-
-    def pick(p: float):
-        pos = F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(p)))
-        return F.min(F.when(F.col("cum") >= pos, F.col("l_extendedprice")))
-
-    return h.groupBy("l_returnflag").agg(
-        F.max("n").alias("n"),
-        pick(0.25).alias("p25"),
-        pick(0.50).alias("p50"),
-        pick(0.75).alias("p75"),
+    hist = value_histogram(li, ["l_returnflag"], "l_extendedprice")
+    return quantiles_from_histogram(
+        hist,
+        ["l_returnflag"],
+        "l_extendedprice",
+        {"p25": 0.25, "p50": 0.50, "p75": 0.75},
+        mode="disc",
     )
 
 
@@ -1842,38 +1833,23 @@ def price_mad_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]
     ).where(F.col("l_extendedprice").isNotNull())
 
+    from platform_etl_drug_disease_spark.operators.scans import (
+        quantiles_from_histogram,
+    )
+
     def median_from_hist(hist: DataFrame, key: str, val: str, out: str) -> DataFrame:
-        cum_w = (
-            Window.partitionBy(key)
-            .orderBy(val)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        h = hist.withColumn("cum", F.sum("c").over(cum_w))
-        n = hist.groupBy(key).agg(F.sum("c").alias("n"))
-        h = h.join(F.broadcast(n), key)
-        lo = F.floor((F.col("n") + 1) / F.lit(2.0)).cast("bigint")
-        hi = F.floor((F.col("n") + 2) / F.lit(2.0)).cast("bigint")
-        got = h.groupBy(key).agg(
-            F.min(F.when(F.col("cum") >= lo, F.col(val))).alias("__vlo"),
-            F.min(F.when(F.col("cum") >= hi, F.col(val))).alias("__vhi"),
-            F.max("n").alias("n"),
-        )
-        return got.select(
-            key,
-            "n",
-            (
-                F.col("__vlo") + (F.col("__vhi") - F.col("__vlo")) * F.lit(0.5)
-            ).alias(out),
+        # quantile_cont at p=0.5: pos=(n+1)/2, lo=⌊pos⌋, hi=⌈pos⌉, frac 0/0.5
+        # — bit-identical to the hand-rolled average-the-two-middles form.
+        return quantiles_from_histogram(
+            hist, [key], val, {out: 0.5}, mode="cont"
         )
 
     # ONE fact-table pass: everything downstream — the residual histogram
     # included — is pure arithmetic over the persisted value histogram
     # (|x−med| carries each bucket's count unchanged).
-    h1 = (
-        li.groupBy("l_returnflag", "l_extendedprice")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+    from platform_etl_drug_disease_spark.operators.scans import value_histogram
+
+    h1 = value_histogram(li, ["l_returnflag"], "l_extendedprice").persist()
     med = median_from_hist(h1, "l_returnflag", "l_extendedprice", "median")
     h2 = (
         h1.join(F.broadcast(med), "l_returnflag")

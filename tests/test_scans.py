@@ -165,3 +165,46 @@ def test_lint_not_fooled_by_broadcast_aggregated_dimension(spark):
     df = joined.withColumn("cum", F.sum("n").over(w))
     hits = low_card_running_windows(df)
     assert hits and "low-cardinality" in hits[0]
+
+
+def test_quantiles_from_histogram_matches_bruteforce(spark):
+    """Property: histogram rank arithmetic == sorted-list indexing for BOTH
+    quantile modes, over multisets dense with duplicates (the regime where
+    cum>=pos boundary logic can silently drift by one bucket)."""
+    import math
+    import random
+
+    from platform_etl_drug_disease_spark.operators.scans import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    rng = random.Random(42)
+    ps = {"p10": 0.10, "p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99}
+    rows = []
+    data: dict[str, list[float]] = {}
+    for key, n in [("a", 1), ("b", 2), ("c", 7), ("d", 100), ("e", 101)]:
+        # values drawn from a tiny grid -> many exact ties
+        xs = [float(rng.randint(0, 9)) for _ in range(n)]
+        data[key] = xs
+        rows += [(key, x) for x in xs]
+    df = spark.createDataFrame(rows, "k string, v double")
+    hist = value_histogram(df, ["k"], "v")
+
+    def brute(xs, p, mode):
+        s = sorted(xs)
+        n = len(s)
+        if mode == "disc":
+            return s[max(1, math.ceil(n * p)) - 1]
+        pos = (n - 1) * p + 1.0
+        lo, hi = s[math.floor(pos) - 1], s[math.ceil(pos) - 1]
+        return lo + (hi - lo) * (pos - math.floor(pos))
+
+    for mode in ("disc", "cont"):
+        got = {
+            r["k"]: {lab: r[lab] for lab in ps}
+            for r in quantiles_from_histogram(hist, ["k"], "v", ps, mode).collect()
+        }
+        for key, xs in data.items():
+            for lab, p in ps.items():
+                assert got[key][lab] == brute(xs, p, mode), (mode, key, lab)
