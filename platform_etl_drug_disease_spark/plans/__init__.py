@@ -40,8 +40,8 @@ the 4 rows-only-by-design entries (price_tdigest_quantiles,
 adjacency_degree_approx, bpe_encode_stats, hll_user_rollup) under the
 rows-only allowlist, and the queries added during round 4
 (supplier_bfs_levels, supplier_hits_scores, hourly_gap_fill,
-source_nucleus_selection, price_mad_stats) fill five of the remaining
-slots. End state: ever-proven = full catalog.
+source_nucleus_selection, price_mad_stats, value_quantile_profile) fill
+six of the remaining slots. End state: ever-proven = full catalog.
 """
 
 from __future__ import annotations

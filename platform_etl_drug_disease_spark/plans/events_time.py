@@ -2216,3 +2216,94 @@ ORACLES = {
     "ab_cuped_estimates": _CUPED_SQL,
     "next_event_examples": _NEXT_EVENT_SQL,
 }
+
+
+def value_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (quantile_cont) p10/p50/p90/p99 value profile per event
+    type — the tail-aware companion to value_moments_stats: moments say
+    "heavy-tailed", the quantile profile says where the tail starts.
+
+    Values are quantized to integer cents first (the same round(value·100)
+    convention value_moments_stats uses), which is what makes this exact
+    AND scale-safe: the per-(type, cents) histogram is bounded by the cent
+    GRID, not the row count, so operators/scans.quantiles_from_histogram's
+    rank arithmetic (cont mode: v_lo + (v_hi − v_lo)·frac at position
+    (n−1)·p + 1 — identical IEEE ops on both engines) runs over a bounded
+    table. Continuous raw doubles would put the histogram ≈ the row count;
+    quantize-to-grid is the documented precondition for this machinery.
+    The oracle is the naive row_number form over the same quantized values.
+    """
+    from platform_etl_drug_disease_spark.operators.scans import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    ev = load_table(spark, sf_dir, "events", ["event_type", "value"]).where(
+        F.col("value").isNotNull()
+    )
+    cents = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("x")
+    )
+    hist = value_histogram(cents, ["event_type"], "x")
+    q = quantiles_from_histogram(
+        hist,
+        ["event_type"],
+        "x",
+        {"p10": 0.10, "p50": 0.50, "p90": 0.90, "p99": 0.99},
+        mode="cont",
+    )
+    hundred = F.lit(100.0)
+    return q.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        (F.col("p10") / hundred).alias("p10"),
+        (F.col("p50") / hundred).alias("p50"),
+        (F.col("p90") / hundred).alias("p90"),
+        (F.col("p99") / hundred).alias("p99"),
+    )
+
+
+_VALUE_QUANTILE_SQL = """
+WITH v AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+    FROM events WHERE value IS NOT NULL
+),
+n0 AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY event_type),
+-- positions in DOUBLE (DuckDB parses 0.10 as exact DECIMAL, Spark as
+-- double; the engines must run the same IEEE interpolation arithmetic)
+n AS (SELECT event_type, n,
+             (n - 1) * CAST(0.10 AS DOUBLE) + CAST(1 AS DOUBLE) AS pos10,
+             (n - 1) * CAST(0.50 AS DOUBLE) + CAST(1 AS DOUBLE) AS pos50,
+             (n - 1) * CAST(0.90 AS DOUBLE) + CAST(1 AS DOUBLE) AS pos90,
+             (n - 1) * CAST(0.99 AS DOUBLE) + CAST(1 AS DOUBLE) AS pos99
+      FROM n0),
+r AS (SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn
+      FROM v),
+q AS (
+    SELECT r.event_type,
+           MIN(CASE WHEN rn >= floor(pos10) THEN x END) AS lo10,
+           MIN(CASE WHEN rn >= ceil(pos10) THEN x END) AS hi10,
+           MIN(CASE WHEN rn >= floor(pos50) THEN x END) AS lo50,
+           MIN(CASE WHEN rn >= ceil(pos50) THEN x END) AS hi50,
+           MIN(CASE WHEN rn >= floor(pos90) THEN x END) AS lo90,
+           MIN(CASE WHEN rn >= ceil(pos90) THEN x END) AS hi90,
+           MIN(CASE WHEN rn >= floor(pos99) THEN x END) AS lo99,
+           MIN(CASE WHEN rn >= ceil(pos99) THEN x END) AS hi99,
+           MAX(pos10 - floor(pos10)) AS f10,
+           MAX(pos50 - floor(pos50)) AS f50,
+           MAX(pos90 - floor(pos90)) AS f90,
+           MAX(pos99 - floor(pos99)) AS f99
+    FROM r JOIN n USING (event_type) GROUP BY r.event_type
+)
+SELECT n.event_type,
+       CAST(n.n AS BIGINT) AS n_events,
+       (q.lo10 + (q.hi10 - q.lo10) * q.f10) / CAST(100 AS DOUBLE) AS p10,
+       (q.lo50 + (q.hi50 - q.lo50) * q.f50) / CAST(100 AS DOUBLE) AS p50,
+       (q.lo90 + (q.hi90 - q.lo90) * q.f90) / CAST(100 AS DOUBLE) AS p90,
+       (q.lo99 + (q.hi99 - q.lo99) * q.f99) / CAST(100 AS DOUBLE) AS p99
+FROM n JOIN q USING (event_type)
+"""
+
+QUERIES["value_quantile_profile"] = value_quantile_profile
+ORACLES["value_quantile_profile"] = _VALUE_QUANTILE_SQL
