@@ -23,25 +23,11 @@ quantiles) keep their accuracy pytests and rotate in at round 5 under an
 explicit rows-only allowlist. The whole catalog — window and tail — is
 verified every round by ``tools/oracle_check.py`` (195/195 at r3).
 
-Round-5 window plan (pre-staged per VERDICT r3 item 3, so full-catalog
-driver coverage lands deterministically by r5): the 5 pinned gates, the
-remaining never-proven oracled queries after round 4 — part_skyline,
-revenue_holt_forecast, rolling_median_revenue, part_association_rules,
-bootstrap_revenue_ci, k_anonymity_audit, corpus_sample_stats,
-clean_corpus_stats, dedup_fingerprint, repetition_quality,
-temperature_mix_stats, substring_dedup_stats, corpus_epoch_stats,
-weighted_sample_stats, word_typo_pairs, source_quota_allocation,
-sample_extrapolation_audit, source_coverage_greedy, decontaminate_bloom,
-zorder_locality_stats, reservoir_sample_stats, dq_audit,
-training_shard_stats, incremental_rollup_stats, join_skew_audit,
-partition_change_plan, heavy_shingle_stats, kmeans_cells, knn_cosine_lsh,
-embedding_quantize_stats, boilerplate_span_stats, media_dedup_stats — plus
-the 4 rows-only-by-design entries (price_tdigest_quantiles,
-adjacency_degree_approx, bpe_encode_stats, hll_user_rollup) under the
-rows-only allowlist, and the queries added during round 4
-(supplier_bfs_levels, supplier_hits_scores, hourly_gap_fill,
-source_nucleus_selection, price_mad_stats, value_quantile_profile) fill
-six of the remaining slots. End state: ever-proven = full catalog.
+Round-5 window (current, per VERDICT r4 item 1): the 5 pinned gates,
+ALL 42 queries with no strict green driver row in CORRECTNESS_r01..r04
+(including the 4 rows-only-by-design sketch/greedy entries under
+WINDOW_ROWS_ONLY_OK), and 3 high-value re-greens. A 50/50 green
+CORRECTNESS_r05 makes ever-driver-proven = the full catalog.
 """
 
 from __future__ import annotations
@@ -57,18 +43,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # artifacts from rounds STRICTLY BEFORE it — otherwise the rotation test goes
 # red the moment the driver deposits the in-flight round's own artifact
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
-WINDOW_ROUND = 4
+WINDOW_ROUND = 5
 
 # Window entries allowed to carry only the driver's weaker rows-only check
 # (no value oracle BY DESIGN: sketch estimates / greedy encodings whose
-# accuracy is pinned by pytest instead). Empty in round 4; round 5 rotates
-# in the documented four (price_tdigest_quantiles, adjacency_degree_approx,
-# bpe_encode_stats, hll_user_rollup) so the full catalog ends driver-proven.
-WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
+# accuracy is pinned by pytest instead). Round 5 rotates in the documented
+# four so the full catalog ends driver-proven.
+WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset(
+    {
+        "price_tdigest_quantiles",
+        "adjacency_degree_approx",
+        "bpe_encode_stats",
+        "hll_user_rollup",
+    }
+)
 
-# The 50 driver-scored queries, in scoring order. Round-4 rotation: 5 pinned
-# gates + 45 first-time-checked entries (see module docstring). All 50 carry
-# full value-hash oracles.
+# The 50 driver-scored queries, in scoring order. Round-5 rotation: 5 pinned
+# gates + ALL 42 never-driver-proven entries (strict rows+schema+hash
+# criterion over CORRECTNESS_r01..r04) + 3 high-value re-greens. Four entries
+# are rows-only by design (WINDOW_ROWS_ONLY_OK above); the rest carry full
+# value-hash oracles. End state: ever-driver-proven = full catalog.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
     # S5/S6 write->read-back)
@@ -77,59 +71,58 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # scale-join strategies + custom Python DataSource surface (round-3 suite,
-    # first driver rows — VERDICT r3 item 1 lead cluster)
-    "bucketed_join_revenue",
-    "bloom_prune_revenue",
-    "interval_dim_revenue",
-    "python_datasource_stats",
-    "python_sink_roundtrip",
-    "partitioned_prune_revenue",
-    "csv_sink_roundtrip",
-    # multi-join analytics trio (TPC-H Q3/Q7/Q18 shapes)
-    "shipping_priority_topk",
-    "volume_shipping_matrix",
-    "large_volume_customers",
-    # windows + SQL-text surface
-    "rolling_range_revenue",
-    "sql_text_lateral_topk",
-    "sql_text_correlated_outliers",
-    # graph, first driver rows
-    "label_propagation_communities",
-    "personalized_pagerank_topk",
-    # curation feature matrix
-    "quality_feature_matrix",
-    # relational analytics tail
-    "price_quantity_regression",
-    "segments_per_nation",
-    "top_prices_per_flag",
-    "revenue_gini_per_nation",
-    "regional_revenue_share",
-    "monthly_revenue_momentum",
-    "ship_leadtime_histogram",
-    "explode_reassemble",
-    # events / funnel / experimentation tail
-    "value_anomaly_stats",
-    "funnel_conversion",
-    "order_cohort_retention",
-    "time_weighted_value",
-    "funnel_latency_stats",
-    "value_drift_stats",
-    "seasonal_hour_profile",
-    "top_session_paths",
-    "hourly_autocorr",
-    "hourly_gap_audit",
-    "funnel_conversion_windowed",
-    "cumulative_users_by_day",
-    "event_props_map_stats",
-    "value_moments_stats",
-    "value_ks_by_type",
-    "type_dow_chi2",
-    "click_attribution_stats",
-    "ab_conversion_lift",
-    "growth_accounting",
-    "ab_cuped_estimates",
-    "next_event_examples",
+    # round-4 additions, first driver rows
+    "supplier_bfs_levels",
+    "supplier_hits_scores",
+    "hourly_gap_fill",
+    "source_nucleus_selection",
+    "price_mad_stats",
+    "value_quantile_profile",
+    # rows-only-by-design sketch/greedy entries (WINDOW_ROWS_ONLY_OK)
+    "price_tdigest_quantiles",
+    "adjacency_degree_approx",
+    "bpe_encode_stats",
+    "hll_user_rollup",
+    # relational / forecasting / stats tail
+    "part_skyline",
+    "part_association_rules",
+    "revenue_holt_forecast",
+    "rolling_median_revenue",
+    "bootstrap_revenue_ci",
+    "k_anonymity_audit",
+    "dq_audit",
+    # corpus curation / dedup / sampling tail
+    "corpus_sample_stats",
+    "clean_corpus_stats",
+    "dedup_fingerprint",
+    "repetition_quality",
+    "temperature_mix_stats",
+    "substring_dedup_stats",
+    "corpus_epoch_stats",
+    "weighted_sample_stats",
+    "word_typo_pairs",
+    "source_quota_allocation",
+    "sample_extrapolation_audit",
+    "source_coverage_greedy",
+    "decontaminate_bloom",
+    "reservoir_sample_stats",
+    "training_shard_stats",
+    "heavy_shingle_stats",
+    "boilerplate_span_stats",
+    # embeddings / ANN tail
+    "kmeans_cells",
+    "knn_cosine_lsh",
+    "embedding_quantize_stats",
+    "media_dedup_stats",
+    # lakehouse tail
+    "zorder_locality_stats",
+    "partition_change_plan",
+    "incremental_rollup_stats",
+    "join_skew_audit",
+    # high-value re-greens (previously driver-proven; rotation headroom)
+    "dedup_minhash_lsh",
+    "trade_pagerank",
+    "streaming_cdc_upsert",
 ]
 
 
