@@ -108,12 +108,19 @@ def main() -> None:
     sf = float(sf_txt) if sf_txt.replace(".", "").isdigit() else sf_txt
     total = round(sum(timings.values()), 3)
 
+    # Basis visibility (ADVICE r4): the headline excludes EXCLUDED entries,
+    # so cross-round totals must carry the exclusion count explicitly —
+    # a silent basis change (e.g. r4's dedup_ngram_jaccard exclusion) would
+    # otherwise flatter scaling comparisons against older artifacts.
+    excluded_applicable = sorted(n for n in EXCLUDED if n in catalog)
     detail = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_excluded": len(excluded_applicable),
+        "excluded": excluded_applicable,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -127,6 +134,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "n_excluded": len(excluded_applicable),
         "queries_detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)

@@ -397,12 +397,20 @@ def hits_scores(
         # division — unpersisted, the whole upstream join chain would
         # compute twice per half-step and compound across iterations (the
         # file-scan lint can't see this: the recompute is over the cached
-        # edge table, not a scan).
+        # edge table, not a scan). The normalized result is eagerly
+        # localCheckpoint'ed (tiny: one (node, score) pair per node, same
+        # discipline as bfs_levels) so the persisted input can be RELEASED
+        # immediately — without this, each half-step's cache accumulated
+        # for the life of the session (ADVICE r4).
         s = scores.persist()
         tot = s.agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("t"))
-        return s.crossJoin(F.broadcast(tot)).select(
-            key, (F.col("s") / F.col("t")).alias("s")
+        out = (
+            s.crossJoin(F.broadcast(tot))
+            .select(key, (F.col("s") / F.col("t")).alias("s"))
+            .localCheckpoint()
         )
+        s.unpersist()
+        return out
 
     # h0 = 1.0 on every src node: the first authority pass is then the exact
     # integer in-degree, so iteration 1 needs no float sum at all.
@@ -422,7 +430,8 @@ def hits_scores(
             .agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("s")),
             "dst",
         )
-    # NOTE: e stays persisted — the returned plan still references it from
-    # every half-step, and an eager unpersist() here would silently revert
-    # all of them to full input rescans (caught by the repeated-scan lint).
+    # Every half-step result is already materialized by _normalize's eager
+    # localCheckpoint, so the returned plan no longer references e — the
+    # edge cache can be released here instead of leaking for the session.
+    e.unpersist()
     return auth.select(F.col("dst").alias("node"), F.col("s").alias("authority"))

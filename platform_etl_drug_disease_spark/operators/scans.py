@@ -229,8 +229,18 @@ def value_histogram(df: DataFrame, keys: list[str], val: str) -> DataFrame:
     """Per-(keys, value) occurrence counts — the scale-safe substrate for
     exact order statistics. One map-side-combinable aggregate; cardinality
     is bounded by the value GRID per key (fixed-precision domains saturate
-    while row counts keep growing), never by the row count itself."""
-    return df.groupBy(*keys, val).agg(F.count(F.lit(1)).alias("c"))
+    while row counts keep growing), never by the row count itself.
+
+    NULL values are dropped here (matching SQL quantile/median semantics,
+    which ignore NULLs): a NULL bucket would otherwise count into
+    ``quantiles_from_histogram``'s ``__n`` while Spark's NULLS-FIRST window
+    ordering shifts every cumulative rank — and DuckDB oracles order NULLS
+    LAST, so the two engines would silently diverge (ADVICE r4)."""
+    return (
+        df.filter(F.col(val).isNotNull())
+        .groupBy(*keys, val)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def quantiles_from_histogram(
@@ -258,7 +268,12 @@ def quantiles_from_histogram(
 
     Returns one row per key group: ``keys + n + one column per ps label``.
     The cumulative window runs over the HISTOGRAM (an aggregate), so the
-    plan is lint-clean for any key cardinality."""
+    plan is lint-clean for any key cardinality.
+
+    Precondition: ``hist`` must carry no NULL ``val`` bucket — a NULL row
+    would inflate ``__n`` and (under Spark's NULLS-FIRST ordering) shift
+    every cumulative rank vs a NULLS-LAST oracle. ``value_histogram``
+    guarantees this by filtering NULLs at the source."""
     if mode not in ("disc", "cont"):
         raise ValueError(f"mode must be 'disc' or 'cont', got {mode!r}")
     cum_w = (

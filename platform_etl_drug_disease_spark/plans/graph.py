@@ -22,7 +22,7 @@ from platform_etl_drug_disease_spark.schemas import load_table
 
 def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected trade edges (sim.sc:53-54 semantics). Customer nodes keep
-    their key; supplier nodes are offset by 10^6 so the id spaces don't
+    their key; supplier nodes are offset by 10^12 so the id spaces don't
     collide.
 
     Scale note: symmetrization here explodes both directions from ONE pass
@@ -33,9 +33,12 @@ def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Supplier node ids are offset into their own id space so customer and
-# supplier keys never collide. Single source of truth — the SQL oracles'
-# `l_suppkey + 1000000` literals must match this value.
-SUPPLIER_OFFSET = 1_000_000
+# supplier keys never collide AT ANY SCALE: TPC-H c_custkey reaches
+# 150,000×SF, so a 10^6 offset would collide around SF≥7 (ADVICE r4).
+# 10^12 clears custkey up to SF ~6.7M (≫ the 100-TB target of SF ~10^5)
+# while staying far inside int64. Single source of truth — the SQL
+# oracles' `l_suppkey + 1000000000000` literals must match this value.
+SUPPLIER_OFFSET = 1_000_000_000_000
 
 
 def _directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +72,7 @@ def _sym_edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SYM_EDGES_CTE = """
 WITH raw_edges AS (
-    SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+    SELECT o_custkey AS src, l_suppkey + 1000000000000 AS dst
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ), edges AS (
     SELECT DISTINCT src, dst FROM (
@@ -751,7 +754,7 @@ def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HITS_SQL = """
 WITH dedges AS (
-    SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+    SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 a1 AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS s FROM dedges GROUP BY dst),
