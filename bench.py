@@ -44,6 +44,16 @@ EXCLUDED: dict[str, str] = {
         "oracle_sql() and tools/oracle_check runs it every round "
         "(driver-proven green in CORRECTNESS_r02)."
     ),
+    "dedup_recall_audit": (
+        "composes the exact-Jaccard truth path whose cost profile is exactly "
+        "why dedup_ngram_jaccard is excluded (the audit's denominator IS "
+        "that query's unblocked output, so internal pair fan-out tracks the "
+        "same ~2,948x sf~1 growth even though the audit returns <=6 "
+        "aggregate rows). It exists to MEASURE the MinHash candidate-recall "
+        "trade, not to be a throughput representative; dedup_minhash_lsh "
+        "remains the timed scale path. Correctness stays fully gated via "
+        "queries()/oracle_sql() + tools/oracle_check."
+    ),
 }
 
 

@@ -101,26 +101,62 @@ LOW_CARDINALITY_COLS = frozenset(
 )
 
 
+def _plan_depth(line: str) -> int:
+    import re
+
+    m = re.search(r"[A-Za-z]", line)
+    return m.start() if m else 0
+
+
+def _raw_leaf_reachable_without_agg(lines: list[str], i: int, d: int) -> bool:
+    """Walk a Window node's subtree (lines after ``i`` deeper than ``d``):
+    True if any RAW relation leaf is reachable with no aggregate ON THE
+    DATA'S PATH. The aggregate must be a path ancestor, not merely somewhere
+    in the subtree — a raw fact table joined to a broadcast aggregated
+    dimension still funnels the whole fact table through the window sort.
+    A persisted aggregate shows up as InMemoryRelation whose cached physical
+    plan prints inline, so the physical agg spellings count too.
+    LocalRelation/OneRowRelation leaves are driver-sized literals, never a
+    scale risk."""
+    agg_marks = (
+        "Aggregate [", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    )
+    safe_leaves = ("LocalRelation", "OneRowRelation", "LocalTableScan")
+    raw_leaves = ("Relation", "FileScan", "Scan ")
+    agg_depths: list[int] = []
+    for j in range(i + 1, len(lines)):
+        dj = _plan_depth(lines[j])
+        if dj <= d:
+            break
+        # keep only aggregate ancestors of the current node
+        agg_depths = [a for a in agg_depths if a < dj]
+        body = lines[j][dj:]
+        if any(m in lines[j] for m in agg_marks):
+            agg_depths.append(dj)
+            continue
+        if any(body.startswith(m) for m in safe_leaves):
+            continue
+        if any(body.startswith(m) for m in raw_leaves) and not agg_depths:
+            return True
+    return False
+
+
 def low_card_running_windows(
     df: DataFrame, low_card: frozenset[str] = LOW_CARDINALITY_COLS
 ) -> list[str]:
     """Ordered Window nodes over unaggregated input whose entire partition
     spec is known-low-cardinality columns. Works on the optimized logical
-    plan: a Window whose subtree contains an Aggregate is running over a
-    (bounded) aggregated table and is cleared; one running straight over a
+    plan: a Window whose data path goes through an Aggregate is running over
+    a (bounded) aggregated table and is cleared; one running straight over a
     relation scan is flagged."""
     import re
 
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     lines = plan.splitlines()
 
-    def depth(line: str) -> int:
-        m = re.search(r"[A-Za-z]", line)
-        return m.start() if m else 0
-
     hits: list[str] = []
     for i, line in enumerate(lines):
-        d = depth(line)
+        d = _plan_depth(line)
         if not line[d:].startswith("Window "):
             continue
         # bracket groups at top level: [exprs], [partition], [order] — the
@@ -135,46 +171,35 @@ def low_card_running_windows(
         part_cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", part))
         if not part_cols or not part_cols <= low_card:
             continue
-        # window over an aggregated (bounded) table is fine — but the
-        # aggregate must be ON THE PATH the data flows through, not merely
-        # somewhere in the subtree: a raw fact table joined to a broadcast
-        # aggregated dimension still funnels the whole fact table through
-        # the low-cardinality sort (an any-node check misses exactly that).
-        # Walk the subtree tracking, per path, whether an aggregate
-        # ancestor was seen; flag if any RAW relation leaf is reachable
-        # without one. A persisted aggregate shows up as InMemoryRelation
-        # whose cached physical plan prints inline, so the physical agg
-        # spellings count too. LocalRelation/OneRowRelation leaves are
-        # driver-sized literals, never a scale risk.
-        agg_marks = (
-            "Aggregate [", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
-        )
-        safe_leaves = ("LocalRelation", "OneRowRelation", "LocalTableScan")
-        raw_leaves = ("Relation", "FileScan", "Scan ")
-        raw_reachable = False
-        agg_depths: list[int] = []
-        for j in range(i + 1, len(lines)):
-            dj = depth(lines[j])
-            if dj <= d:
-                break
-            # keep only aggregate ancestors of the current node
-            agg_depths = [a for a in agg_depths if a < dj]
-            body = lines[j][dj:]
-            if any(m in lines[j] for m in agg_marks):
-                agg_depths.append(dj)
-                continue
-            if any(body.startswith(m) for m in safe_leaves):
-                continue
-            if any(body.startswith(m) for m in raw_leaves) and not agg_depths:
-                raw_reachable = True
-                break
-        if not raw_reachable:
+        if not _raw_leaf_reachable_without_agg(lines, i, d):
             continue
         hits.append(
             f"ordered window partitioned only by low-cardinality "
             f"{sorted(part_cols)} over unaggregated input — a per-key global "
             f"sort at scale; use operators/scans.py two-phase forms"
         )
+    return hits
+
+
+def ordered_windows_over_unaggregated(df: DataFrame) -> list[str]:
+    """STRICTER than :func:`low_card_running_windows`: every ordered Window
+    node — regardless of partition-key cardinality, including unpartitioned
+    ones — whose data path reaches a raw relation leaf with no aggregate in
+    between. For plans whose documented safety argument IS 'the window runs
+    over an aggregate' (the histogram-rank quantile family: the cumulative
+    rank window must consume the value histogram, never raw fact rows), so
+    a refactor that re-points the window at the fact table fails a named
+    test instead of passing the low-cardinality lint incidentally."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, line in enumerate(lines):
+        d = _plan_depth(line)
+        body = line[d:]
+        if not body.startswith("Window ") and not body.startswith("WindowGroupLimit"):
+            continue
+        if _raw_leaf_reachable_without_agg(lines, i, d):
+            hits.append(body.split("]")[0] + "]")
     return hits
 
 

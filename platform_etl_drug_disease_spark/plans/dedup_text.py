@@ -311,6 +311,147 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
 
 
+def _lsh_bound_literals() -> list[tuple[int, str]]:
+    """P(LSH candidate | jaccard = s) = 1 − (1 − s^r)^b for the 4-band ×
+    4-row banding, evaluated at each decile LOWER edge s = d/10 and
+    engine-deterministically rounded to 6 places IN PYTHON — both the Spark
+    expression and the oracle SQL carry these identical decimal literals
+    (pow() is not cross-engine IEEE-exact, so neither engine computes it)."""
+    import math
+
+    out: list[tuple[int, str]] = []
+    for d in range(5, 11):
+        s = d / 10.0
+        p = 1.0 - (1.0 - s**4) ** 4
+        out.append((d, f"{math.floor(p * 1e6 + 0.5) / 1e6:.6f}"))
+    return out
+
+
+def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of MinHash(16)+LSH(4 bands × 4 rows) against the
+    exact-Jaccard ground truth, resolved per jaccard decile, with the
+    banding-theory collision probability 1−(1−s⁴)⁴ at each decile's lower
+    edge alongside.
+
+    This measures the one lossy step of the documented 100-TB near-dup
+    path — candidate GENERATION (the banded self-join, before the exact
+    verify) — against the lossless prefix-filtered exact path
+    (``jaccard_pairs``), turning ``dedup_ngram_jaccard``'s headline
+    exclusion into a quantified trade: every decile's measured recall can
+    be read against its theoretical floor. Truth is computed WITHOUT lang
+    blocking so cross-language true pairs (which MinHash also sees) count
+    in the denominator.
+
+    Expected shape: recall ≈ the bound at s=0.5 (the S-curve's steep flank)
+    rising to ~1.0 by s≥0.8 — a pytest on a planted corpus pins recall ≥
+    bound per decile; at catalog scale the value-hash oracle pins the exact
+    counts. Scale: both inputs are the existing banded/prefix-filtered
+    pipelines (never all-pairs); the audit join is equi-keyed on (id_a,
+    id_b) and the output is ≤ 6 rows."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    truth = jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        block_col=None, max_shingle_df=256,
+    )
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4
+    ).withColumn("__hit", F.lit(1))
+    # decile of the (round-6) jaccard: the +1e-9 absorbs the representation
+    # error of e.g. 0.6*10 = 5.999999…, and is far below the 1e-5 grid the
+    # round-6 values live on after ×10 — identical arithmetic in the oracle.
+    decile = F.floor(F.col("jaccard") * F.lit(10.0) + F.lit(1e-9)).cast("int")
+    bound = F.lit(None).cast("double")
+    for d, txt in _lsh_bound_literals():
+        bound = F.when(F.col("jaccard_decile") == d, F.lit(float(txt))).otherwise(bound)
+    return (
+        truth.join(cands, ["id_a", "id_b"], "left")
+        .select(
+            decile.alias("jaccard_decile"),
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("__hit"),
+        )
+        .groupBy("jaccard_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("__hit").cast("bigint").alias("n_recalled"),
+        )
+        .withColumn(
+            "recall",
+            dround(
+                F.col("n_recalled").cast("double") / F.col("n_true").cast("double"),
+                6,
+            ),
+        )
+        .withColumn("lsh_bound", bound)
+    )
+
+
+def _recall_audit_sql() -> str:
+    """Truth = the proven _JACCARD_SQL mirror minus lang blocking; candidates
+    = the banded-signature self-join from _SIGS_CTE (no verify). The Spark
+    prefix ranks by (df, xxhash64) and this mirror by (df, shingle text) —
+    both are consistent global orders, so the lossless prefix filter yields
+    the same thresholded truth set (the dedup_ngram_jaccard-proven pattern)."""
+    bound_case = "CASE jaccard_decile " + " ".join(
+        f"WHEN {d} THEN {txt}" for d, txt in _lsh_bound_literals()
+    ) + " END"
+    return _SHINGLES_CTE + _SIGS_CTE + f"""
+, ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s HAVING COUNT(*) <= 256),
+ranked AS (
+    SELECT ex.doc_id, ex.sz, ex.s,
+           row_number() OVER (PARTITION BY ex.doc_id
+                              ORDER BY freq.df, ex.s) AS rn
+    FROM ex JOIN freq USING (s)
+),
+pref AS (SELECT doc_id, s FROM ranked
+         WHERE rn <= CAST(floor(sz * 0.5) AS INT) + 1),
+tcands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+tinter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM tcands c
+    JOIN ex ea ON ea.doc_id = c.id_a
+    JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+    GROUP BY c.id_a, c.id_b
+),
+truth AS (
+    SELECT * FROM (
+        SELECT i.id_a, i.id_b,
+               round(i.n_inter * 1.0 / (sa.sz + sb.sz - i.n_inter), 6) AS jaccard
+        FROM tinter i
+        JOIN (SELECT DISTINCT doc_id, sz FROM ex) sa ON i.id_a = sa.doc_id
+        JOIN (SELECT DISTINCT doc_id, sz FROM ex) sb ON i.id_b = sb.doc_id
+    ) WHERE jaccard >= 0.5
+),
+banded AS (
+    SELECT doc_id,
+           unnest(list_transform(range(0, 4), b -> concat_ws('#',
+               CAST(b AS VARCHAR),
+               sig[b*4+1], sig[b*4+2], sig[b*4+3], sig[b*4+4]))) AS band_key
+    FROM sigs
+),
+mcands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT CAST(floor(t.jaccard * 10 + 1e-9) AS INT) AS jaccard_decile,
+           CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM truth t
+    LEFT JOIN mcands m ON t.id_a = m.id_a AND t.id_b = m.id_b
+)
+SELECT jaccard_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_recalled,
+       floor(SUM(hit) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall,
+       {bound_case} AS lsh_bound
+FROM scored GROUP BY jaccard_decile
+"""
+
+
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS via connected components (hash-min
     label propagation, operators/dedup.py:connected_components). Each cluster
@@ -933,6 +1074,7 @@ QUERIES = {
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_recall_audit": dedup_recall_audit,
     "dedup_cluster_components": dedup_cluster_components,
     "dedup_simhash": dedup_simhash,
     "repetition_quality": repetition_quality,
@@ -956,6 +1098,7 @@ ORACLES = {
     "dedup_fingerprint": _DEDUP_FP_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
+    "dedup_recall_audit": _recall_audit_sql(),
     "dedup_cluster_components": _CC_SQL,
     "dedup_simhash": _simhash_sql(),
     "repetition_quality": _REPETITION_SQL,

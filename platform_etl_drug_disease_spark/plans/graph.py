@@ -707,7 +707,7 @@ def supplier_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from platform_etl_drug_disease_spark.operators.graph_algos import bfs_levels
 
-    visited = bfs_levels(edges, seeds, max_depth=3)
+    visited = bfs_levels(edges, seeds, max_depth=BFS_MAX_DEPTH)
     out = visited.groupBy("level").agg(
         F.count(F.lit(1)).alias("n_nodes"), F.min("node").alias("min_node")
     )
@@ -715,25 +715,51 @@ def supplier_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Iteration-depth constants shared by the Spark loops AND the generated
+# unrolled-CTE oracles below — bump either constant and its oracle regrows
+# the matching number of CTE stages automatically; the depth-parametrized
+# pytest (tests/test_analytics.py) pins loop ≡ oracle for depths 1..4 so a
+# mismatch between a hand-edited loop and a stale oracle can't ship
+# (VERDICT r4 item 6).
+BFS_MAX_DEPTH = 3
+HITS_N_ITERS = 2
+
+
+def bfs_sql_body(max_depth: int) -> str:
+    """Unrolled BFS expansion as chained CTEs over ``edges(src, dst)`` and
+    ``seeds(node)`` (both must already be defined by the caller's WITH
+    prefix). Exactly the frontier/visited algebra of
+    operators/graph_algos.bfs_levels, one CTE pair per depth."""
+    parts = [
+        "v0 AS (SELECT node, 0 AS level FROM seeds)",
+        "f0 AS (SELECT node FROM seeds)",
+    ]
+    for i in range(1, max_depth + 1):
+        parts.append(
+            f"f{i} AS (SELECT DISTINCT e.dst AS node FROM edges e "
+            f"JOIN f{i - 1} ON e.src = f{i - 1}.node\n"
+            f"       WHERE e.dst NOT IN (SELECT node FROM v{i - 1}))"
+        )
+        parts.append(
+            f"v{i} AS (SELECT node, level FROM v{i - 1} "
+            f"UNION ALL SELECT node, {i} FROM f{i})"
+        )
+    return (
+        ", "
+        + ",\n".join(parts)
+        + f"""
+SELECT level, COUNT(*) AS n_nodes, MIN(node) AS min_node
+FROM v{max_depth} GROUP BY level
+"""
+    )
+
+
 _BFS_SQL = _SYM_EDGES_CTE + """
 , seeds AS (
     SELECT DISTINCT e.src AS node
     FROM edges e JOIN customer ON e.src = c_custkey
     WHERE c_nationkey = 0
-),
-v0 AS (SELECT node, 0 AS level FROM seeds),
-f1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN v0 ON e.src = v0.node
-       WHERE e.dst NOT IN (SELECT node FROM v0)),
-v1 AS (SELECT node, level FROM v0 UNION ALL SELECT node, 1 FROM f1),
-f2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN f1 ON e.src = f1.node
-       WHERE e.dst NOT IN (SELECT node FROM v1)),
-v2 AS (SELECT node, level FROM v1 UNION ALL SELECT node, 2 FROM f2),
-f3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN f2 ON e.src = f2.node
-       WHERE e.dst NOT IN (SELECT node FROM v2)),
-v3 AS (SELECT node, level FROM v2 UNION ALL SELECT node, 3 FROM f3)
-SELECT level, COUNT(*) AS n_nodes, MIN(node) AS min_node
-FROM v3 GROUP BY level
-"""
+)""" + bfs_sql_body(BFS_MAX_DEPTH)
 
 
 def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,38 +771,67 @@ def supplier_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces the scores bit-for-bit."""
     from platform_etl_drug_disease_spark.operators.graph_algos import hits_scores
 
-    auth = hits_scores(_directed_edges(spark, sf_dir), n_iters=2)
+    auth = hits_scores(_directed_edges(spark, sf_dir), n_iters=HITS_N_ITERS)
     out = auth.select("node", dround("authority", 9).alias("authority"))
     top = out.orderBy(F.col("authority").desc(), "node").limit(15)
     w = Window.orderBy(F.col("authority").desc(), "node")
     return top.select(F.row_number().over(w).alias("rk"), "node", "authority")
 
 
-_HITS_SQL = """
-WITH dedges AS (
-    SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-),
-a1 AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS s FROM dedges GROUP BY dst),
-a1t AS (SELECT CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS t FROM a1),
-a1n AS (SELECT dst, s / (SELECT t FROM a1t) AS s FROM a1),
-h1 AS (SELECT e.src, CAST(SUM(CAST(a.s AS DECIMAL(28,12))) AS DOUBLE) AS s
-       FROM dedges e JOIN a1n a ON e.dst = a.dst GROUP BY e.src),
-h1t AS (SELECT CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS t FROM h1),
-h1n AS (SELECT src, s / (SELECT t FROM h1t) AS s FROM h1),
-a2 AS (SELECT e.dst, CAST(SUM(CAST(h.s AS DECIMAL(28,12))) AS DOUBLE) AS s
-       FROM dedges e JOIN h1n h ON e.src = h.src GROUP BY e.dst),
-a2t AS (SELECT CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE) AS t FROM a2)
+def hits_sql_body(n_iters: int) -> str:
+    """Unrolled HITS half-steps as chained CTEs over ``dedges(src, dst)``
+    (defined by the caller's WITH prefix): a1 = exact integer in-degree,
+    then per full iteration a sum-normalize → hub contribution →
+    sum-normalize → authority contribution, every sum riding
+    DECIMAL(28,12) — the same arithmetic as
+    operators/graph_algos.hits_scores, so the scores agree bit-for-bit at
+    any iteration count. Ends with the round-9 top-15 ranking the catalog
+    query emits."""
+    dec_sum = "CAST(SUM(CAST({c} AS DECIMAL(28,12))) AS DOUBLE)"
+    parts = [
+        "a1 AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS s FROM dedges GROUP BY dst)"
+    ]
+    for i in range(1, n_iters):
+        parts.append(
+            f"a{i}t AS (SELECT {dec_sum.format(c='s')} AS t FROM a{i})"
+        )
+        parts.append(f"a{i}n AS (SELECT dst, s / (SELECT t FROM a{i}t) AS s FROM a{i})")
+        parts.append(
+            f"h{i} AS (SELECT e.src, {dec_sum.format(c='a.s')} AS s\n"
+            f"       FROM dedges e JOIN a{i}n a ON e.dst = a.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{i}t AS (SELECT {dec_sum.format(c='s')} AS t FROM h{i})"
+        )
+        parts.append(f"h{i}n AS (SELECT src, s / (SELECT t FROM h{i}t) AS s FROM h{i})")
+        parts.append(
+            f"a{i + 1} AS (SELECT e.dst, {dec_sum.format(c='h.s')} AS s\n"
+            f"       FROM dedges e JOIN h{i}n h ON e.src = h.src GROUP BY e.dst)"
+        )
+    k = n_iters
+    parts.append(f"a{k}t AS (SELECT {dec_sum.format(c='s')} AS t FROM a{k})")
+    return (
+        ",\n"
+        + ",\n".join(parts)
+        + f"""
 SELECT CAST(row_number() OVER (ORDER BY authority DESC, node) AS INTEGER) AS rk,
        node, authority
 FROM (
     SELECT dst AS node,
-           floor((s / (SELECT t FROM a2t)) * 1e9 + 0.5) / 1e9 AS authority
-    FROM a2
+           floor((s / (SELECT t FROM a{k}t)) * 1e9 + 0.5) / 1e9 AS authority
+    FROM a{k}
 )
 ORDER BY authority DESC, node
 LIMIT 15
 """
+    )
+
+
+_HITS_SQL = """
+WITH dedges AS (
+    SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000000 AS dst
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)""" + hits_sql_body(HITS_N_ITERS)
 
 
 QUERIES = {

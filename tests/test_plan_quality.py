@@ -249,6 +249,33 @@ def test_single_fact_shuffle_window_family(spark):
     assert fact_hash_exchanges(order_cohort_retention(spark, SF_SMOKE)) <= 2
 
 
+def test_quantile_windows_consume_the_histogram(spark):
+    """The histogram-rank quantile family's scale argument is that its
+    cumulative window runs over the VALUE HISTOGRAM (an aggregate whose
+    cardinality is the value grid), never over raw fact rows — the lint
+    sweep passes these plans incidentally (their partition keys are
+    low-cardinality AND aggregated); this pins the aggregate-input property
+    by name so a rework that re-points the window at the fact table fails
+    here (VERDICT r4 item 7)."""
+    from platform_etl_drug_disease_spark.plan_lint import (
+        ordered_windows_over_unaggregated,
+    )
+    from platform_etl_drug_disease_spark.plans.events_time import (
+        value_quantile_profile,
+    )
+    from platform_etl_drug_disease_spark.plans.relational import (
+        price_mad_stats,
+        price_quantiles_per_flag,
+    )
+
+    for q in (price_quantiles_per_flag, price_mad_stats, value_quantile_profile):
+        bad = ordered_windows_over_unaggregated(q(spark, SF_SMOKE))
+        assert not bad, (
+            f"{q.__name__}: cumulative window must consume the aggregated "
+            f"histogram, got raw-input windows: {bad}"
+        )
+
+
 def test_corpus_text_scans_have_compute_partitions(spark):
     """Regression (round 3): token_fingerprints and lang_id_heuristic ran
     their per-token folds on the single partition the one-file fixture
