@@ -141,3 +141,37 @@ def test_whitelist_branch_keeps_unfiltered(spark, inputs):
     assert set(rows) == {("T1", "W1"), ("T2", "W1")}
     assert rows[("T2", "W1")]["new_drugs"] is None  # T2 has no MOA drugs
     assert rows[("T1", "W1")]["harmonic"] == pytest.approx(0.755)
+
+
+def test_scaled_power_law_fixture_runs_full_dag(spark, tmp_path):
+    """The scale-stress generator (tools/pipeline_scale_stress.py) must stay
+    schema-conforming and non-degenerate: a smoke-size power-law fixture
+    runs the ENTIRE DAG to both outputs, the planted mega-hub dominates the
+    degree distribution (SURVEY §7's hub-target risk is actually present),
+    and both outputs are non-empty. Guards the round-5 PERF.md measurements
+    (wall ratio at 10x, AQE skew engagement) against generator drift."""
+    import pyspark.sql.functions as F
+
+    from tools.pipeline_scale_stress import load_inputs, write_fixture
+
+    write_fixture(spark, scale=1, out_dir=str(tmp_path), base_targets=60)
+    inputs = load_inputs(spark, str(tmp_path))
+
+    # the planted hub must dominate: P1 appears in >=40% of interaction rows
+    inter = inputs["interactions"]
+    n_edges = inter.count()
+    hub_edges = inter.where(
+        (F.col("interactorA_uniprot_name") == "P1")
+        | (F.col("interactorB_uniprot_name") == "P1")
+    ).count()
+    assert hub_edges >= 0.3 * n_edges, "mega-hub missing from the fixture"
+
+    batch = {k: v for k, v in inputs.items() if k != "whitelist"}
+    out = run_pipeline(**batch)
+    assoc = out.associations
+    dd = out.drug_disease
+    assert assoc.count() > 0
+    assert dd.count() > 0
+    # the hub target's neighbourhood must actually propagate: T1 appears as
+    # an association target (it receives evidence from every partner)
+    assert assoc.where(F.col("target_id") == "T1").count() > 0

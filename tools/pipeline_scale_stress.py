@@ -1,0 +1,292 @@
+"""Scale-stress harness for the reference-parity drug-disease pipeline.
+
+The catalog's pipeline gate runs over the tiny engineered golden inputs
+(plans/synthetic_domain.py), so its ~7 s wall is pure stage-count constant
+and says nothing about how the DAG behaves when the protein graph has HUB
+TARGETS — SURVEY §7's named risk for the propagate path (reference
+semantics sim.sc:450/464). This tool closes that gap (VERDICT r4 item 4):
+
+1. generates a deterministic synthetic domain fixture at a given scale with
+   POWER-LAW protein degree — preferential-attachment interactions plus one
+   planted mega-hub covering ~1/3 of the proteome — and writes it to
+   parquet (generation is NOT part of the timed window);
+2. times ``run_pipeline`` end-to-end over the parquet inputs with BOTH
+   reference sinks executed (associations → parquet, sim.sc:476;
+   drug_disease → JSON, sim.sc:511), best-of-2, cache cleared between runs;
+3. re-runs the network build with the AQE skew-join net armed (thresholds
+   lowered to engage at fixture bytes; autoBroadcast off so the
+   neighbour-tissues join is an SMJ) and reports whether the planted hub
+   key actually came out ``skew=true`` — proving the 100-TB safety net
+   fires on THIS DAG, not just on a synthetic planted join.
+
+Usage:
+    python tools/pipeline_scale_stress.py [--scales 1,10] [--out /tmp/domain_stress]
+
+Prints one JSON line per scale plus a final summary JSON with the wall
+ratio and the skew verdict. Record the numbers in PERF.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DISEASES = 25   # dims don't grow with scale (realistic: EFO is fixed)
+N_DRUGS = 40
+N_TISSUES = 8
+
+
+def _gen_rows(scale: int, base_targets: int = 2000) -> dict[str, list]:
+    """Deterministic domain rows. Interactions follow Barabási–Albert-style
+    preferential attachment (endpoint list sampling with a fixed integer
+    mixer — node i attaches to a node drawn ∝ current degree), plus a
+    planted mega-hub P1 interacting with every 2nd protein: the degree
+    distribution is power-law with a guaranteed hot key for the
+    neighbour-explode join. ``base_targets`` exists so the pytest can run
+    the same generator at smoke size."""
+    n_t = base_targets * scale
+
+    # --- interactions: preferential attachment + planted hub -------------
+    ends = [0, 1]
+    edge_set = {(0, 1)}
+    for i in range(2, n_t):
+        j = ends[(i * 2654435761) % len(ends)]
+        if j == i:
+            j = i - 1
+        edge_set.add((min(i, j), max(i, j)))
+        ends.append(i)
+        ends.append(j)
+    for k in range(4, n_t, 2):  # mega-hub: P1 touches ~half the proteome
+        edge_set.add((1, k))
+    interactions = [
+        (f"P{a}", f"P{b}", 0.9, ["intact", "string"]) for a, b in sorted(edge_set)
+    ]
+
+    targets = [
+        (f"T{i}", f"G{i}", "protein_coding", f"HGNC:{i}",
+         [(f"GO:{i}", (f"term{i}",))], "tract", [f"P{i}"], "loc", "sim")
+        for i in range(n_t)
+    ]
+
+    # every target expresses a shared tissue (all surviving edges stay in
+    # the network — stress stays on propagation) + one per-i tissue + one
+    # NEGATIVE-zscore tissue the co-expression filter must drop.
+    expression = [
+        (f"T{i}",
+         [(f"tis{i % N_TISSUES}", (1.0,), (0.0,)),
+          ("tisZ", (1.0,), (0.0,)),
+          ("tisNeg", (-1.0,), (0.0,))])
+        for i in range(n_t)
+    ]
+
+    diseases = [
+        (f"http://purl/EFO_D{d}", f"disease {d}",
+         [["EFO_ROOT", f"EFO_D{d}"]], [f"phen{d}"], [f"ta{d % 4}"])
+        for d in range(N_DISEASES)
+    ]
+
+    # 10 europepmc rows per target spread over diseases, scores in (0, 1);
+    # plus a dropped non-europepmc row every 13th target.
+    evidence = []
+    for i in range(n_t):
+        for k in range(10):
+            d = (i * 7 + k * 3) % N_DISEASES
+            score = ((i * 31 + k * 17) % 90 + 5) / 100.0
+            evidence.append(
+                ("europepmc", f"e{i}_{k}", (f"EFO_D{d}",), (f"T{i}",), (score,))
+            )
+        if i % 13 == 0:
+            evidence.append(
+                ("otherdb", f"x{i}", ("EFO_D0",), (f"T{i}",), (0.99,))
+            )
+
+    studies = [
+        (f"S{s}", f"trait {s}", [f"EFO_D{s % N_DISEASES}"], "cat1")
+        for s in range(10)
+    ]
+    # predictions straddle the 0.5 cutoff; every 4th target gets one.
+    predictions = [
+        (f"S{i % 10}", "1", 100 + i, "A", "G",
+         0.3 + ((i * 29) % 60) / 100.0, f"T{i}")
+        for i in range(0, n_t, 4)
+    ]
+
+    drugs = [
+        (f"DR{j}", 1 + j % 4, "small molecule", f"drug{j}", 1,
+         [([(f"T{(j * 13) % n_t}",)],), ([(f"T{(j * 13 + 1) % n_t}",)],)],
+         [(f"EFO_D{j % N_DISEASES}",)])
+        for j in range(N_DRUGS)
+    ]
+    aggregated = [
+        (f"EFO_D{d}", f"DR{(d * 3 + m) % N_DRUGS}",
+         [f"EFO_D{d}"], [f"T{(d * 11 + m) % n_t}"])
+        for d in range(N_DISEASES) for m in range(2)
+    ]
+    faers_drug = [
+        (f"DR{j}", f"ae{(j + m) % 10}", 5 + m, 1.0 + m / 10.0, 0.5)
+        for j in range(N_DRUGS) for m in range(3)
+    ]
+    faers_target = [
+        (f"T{i}", f"tae{i % 5}", 8, 1.4, 0.6) for i in range(0, n_t, 10)
+    ]
+    whitelist = [("W1", ["EFO_D1", "EFO_D2"])]
+
+    return {
+        "drug": drugs,
+        "target": targets,
+        "disease": diseases,
+        "evidence": evidence,
+        "interactions": interactions,
+        "aggregated_drugs": aggregated,
+        "studies": studies,
+        "predictions": predictions,
+        "faers_drug": faers_drug,
+        "faers_target": faers_target,
+        "expression": expression,
+        "whitelist": whitelist,
+    }
+
+
+# generator dict key -> domain_schema name (run_pipeline kwarg differs for 2)
+_SCHEMA_NAME = {"faers_drug": "faers_drug", "faers_target": "faers_target"}
+_KWARG_NAME = {"faers_drug": "faers_by_drug", "faers_target": "faers_by_target"}
+
+
+def write_fixture(spark, scale: int, out_dir: str, base_targets: int = 2000) -> None:
+    from platform_etl_drug_disease_spark.schemas import domain_schema
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, rows in _gen_rows(scale, base_targets).items():
+        df = spark.createDataFrame(rows, domain_schema(name))
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+
+
+def load_inputs(spark, out_dir: str) -> dict:
+    inputs = {}
+    for name in _gen_rows(1):  # keys only; rows unused
+        kwarg = _KWARG_NAME.get(name, name)
+        inputs[kwarg] = spark.read.parquet(os.path.join(out_dir, name))
+    return inputs
+
+
+def run_both_sinks(spark, inputs: dict, sink_dir: str) -> float:
+    """One timed end-to-end execution: both reference outputs written."""
+    from platform_etl_drug_disease_spark.plans.drug_disease import run_pipeline
+
+    batch = {k: v for k, v in inputs.items() if k != "whitelist"}
+    t0 = time.perf_counter()
+    out = run_pipeline(**batch)
+    out.associations.write.mode("overwrite").parquet(
+        os.path.join(sink_dir, "associations")
+    )
+    out.drug_disease.write.mode("overwrite").json(
+        os.path.join(sink_dir, "drug_disease")
+    )
+    wall = time.perf_counter() - t0
+    spark.catalog.clearCache()
+    return wall
+
+
+def skew_net_engages(spark, inputs: dict) -> bool:
+    """Arm the AQE skew net at fixture-sized thresholds and check the
+    network build (the neighbour-explode join feeding the propagate path):
+    the planted mega-hub's key must come out of AQE as a skew=true SMJ.
+
+    coalescePartitions is disabled for THIS check only (measured, round 5):
+    at fixture scale the stage totals ~1 MB, so CoalesceShufflePartitions
+    (parallelismFirst + 1 MB minPartitionSize) merges the ~29 KB raw
+    partitions into ≥1 MB reads BEFORE the skew comparison — after which
+    the 164 KB hot-key partition is no longer ≥ factor × median and the
+    split is (correctly) skipped. At real scale every partition exceeds
+    minPartitionSize, coalescing is a no-op, and the two rules compose —
+    so disabling coalesce here is the honest toy-scale proxy for the
+    100-TB plan, not a cheat. With coalesce on, this returns False at any
+    fixture size; with it off, the planted hub key splits (verified
+    against raw MapOutputStatistics: hot 164,239 B vs median 29,539 B)."""
+    from platform_etl_drug_disease_spark.plans.domain_loaders import (
+        shape_expression,
+        shape_targets,
+    )
+    from platform_etl_drug_disease_spark.plans.network import (
+        tissue_filtered_network,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        net = tissue_filtered_network(
+            inputs["interactions"],
+            shape_targets(inputs["target"]),
+            shape_expression(inputs["expression"]),
+        )
+        net.collect()  # finalize THIS plan under AQE
+        plan = net._jdf.queryExecution().executedPlan().toString()
+        return "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,10")
+    ap.add_argument("--out", default="/tmp/domain_stress")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from platform_etl_drug_disease_spark.session import get_spark
+
+    spark = get_spark(app_name="pipeline_scale_stress")
+    results: dict[int, dict] = {}
+    for scale in scales:
+        fx = os.path.join(args.out, f"scale{scale}")
+        write_fixture(spark, scale, fx)
+        inputs = load_inputs(spark, fx)
+        sink = os.path.join(fx, "_sinks")
+        walls = []
+        for _ in range(2):  # best-of-2, both cold (cache cleared inside)
+            if os.path.isdir(sink):
+                shutil.rmtree(sink)
+            walls.append(run_both_sinks(spark, inputs, sink))
+        n_assoc = spark.read.parquet(os.path.join(sink, "associations")).count()
+        n_dd = spark.read.json(os.path.join(sink, "drug_disease")).count()
+        skew = skew_net_engages(spark, inputs)
+        results[scale] = {
+            "scale": scale,
+            "wall_sec": round(min(walls), 3),
+            "associations_rows": n_assoc,
+            "drug_disease_rows": n_dd,
+            "aqe_skew_split_on_network_join": skew,
+        }
+        print(json.dumps(results[scale]))
+    if len(scales) == 2:
+        lo, hi = scales
+        print(json.dumps({
+            "metric": "pipeline_scale_stress",
+            "wall_ratio": round(results[hi]["wall_sec"] / results[lo]["wall_sec"], 3),
+            "data_ratio": hi / lo,
+            "low": results[lo],
+            "high": results[hi],
+        }))
+
+
+if __name__ == "__main__":
+    main()
