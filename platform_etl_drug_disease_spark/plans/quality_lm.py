@@ -1002,3 +1002,163 @@ FROM tot t LEFT JOIN (
 
 QUERIES["source_nucleus_selection"] = source_nucleus_selection
 ORACLES["source_nucleus_selection"] = _NUCLEUS_SQL
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-document importance log-weights under
+    hashed-unigram bag-of-words models of a TARGET domain vs the RAW pool,
+    then top-20% selection, reported per source.
+
+    Method (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): featurize each document as counts over B=1024
+    hashed token buckets; fit smoothed bucket distributions p (target =
+    docs from source 'src0', standing in for the high-quality domain) and q
+    (raw = every other source); per-doc importance log-weight
+    logw = Σ_b c_b · ln(p_b / q_b) with add-0.5 smoothing. Selection takes
+    the top 20% of the RAW POOL by logw — the docs to resample INTO the
+    training mix; target docs are the reference distribution, not
+    selection candidates, so the threshold is computed over raw docs only
+    (src0's own row still reports its stats against that threshold, as an
+    audit of where the reference sits).
+
+    Scale shape: the bucket models are two B-row aggregates (broadcastable
+    at ANY corpus size — the whole point of hashing is the fixed feature
+    space); the per-doc score is one equi-join + groupBy over (doc, bucket)
+    partial counts, the wordcount shape. The selection threshold is an
+    exact disc-quantile by rank arithmetic over the logw histogram
+    (operators/scans.quantiles_from_histogram) — no global row sort; the
+    histogram's cardinality is the score grid (round-6 here; a 100-TB run
+    would coarsen the quantization, which only coarsens the cut point).
+
+    Determinism: md5-derived buckets are engine-portable; ln sums follow
+    the proven round-6 pattern (quality_lm_score); the threshold compare
+    uses the rounded logw on both engines.
+    """
+    from platform_etl_drug_disease_spark.operators.scans import (
+        quantiles_from_histogram,
+        value_histogram,
+    )
+
+    B = 1024
+    # widen the single-file fixture scan BEFORE the tokenize/explode stage
+    # (the round-3 single-core corpus-scan trap)
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]),
+        "doc_id",
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(B),
+    )
+    db = (
+        docs.select(
+            "doc_id", "source", F.explode_outer(tx.tokens("text")).alias("tok")
+        )
+        .where(F.col("tok").isNotNull())
+        .select("doc_id", "source", bucket.alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # feeds the two bucket models AND the scoring join
+    )
+    tgt = db.where(F.col("source") == "src0")
+    raw = db.where(F.col("source") != "src0")
+    tcnt = tgt.groupBy("b").agg(F.sum("c").alias("tc"))
+    rcnt = raw.groupBy("b").agg(F.sum("c").alias("rc"))
+    tt = tgt.agg(F.sum("c").alias("tt"))
+    rt = raw.agg(F.sum("c").alias("rt"))
+    model = (
+        tcnt.join(rcnt, "b", "full_outer")
+        .na.fill(0, ["tc", "rc"])
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            F.log(
+                ((F.col("tc") + F.lit(0.5)) / (F.col("tt") + F.lit(0.5 * B)))
+                / ((F.col("rc") + F.lit(0.5)) / (F.col("rt") + F.lit(0.5 * B)))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        db.join(F.broadcast(model), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"))
+        .persist()  # feeds the threshold histogram AND the final rollup
+    )
+    hist = value_histogram(
+        scored.where(F.col("source") != "src0").withColumn("__g", F.lit(1)),
+        ["__g"],
+        "logw",
+    )
+    thr = quantiles_from_histogram(hist, ["__g"], "logw", {"p80": 0.80}, "disc")
+    out = (
+        scored.crossJoin(F.broadcast(thr.select("p80")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("logw") >= F.col("p80"), 1).otherwise(0)
+            ).cast("bigint").alias("n_selected"),
+            F.round(F.avg("logw"), 6).alias("mean_logw"),
+        )
+        .withColumn(
+            "sel_rate",
+            dround(
+                F.col("n_selected").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+    return out
+
+
+_DSIR_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+u AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
+db AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b,
+           COUNT(*) AS c
+    FROM u GROUP BY 1, 2, 3
+),
+tcnt AS (SELECT b, SUM(c) AS tc FROM db WHERE source = 'src0' GROUP BY b),
+rcnt AS (SELECT b, SUM(c) AS rc FROM db WHERE source <> 'src0' GROUP BY b),
+tt AS (SELECT SUM(c) AS tt FROM db WHERE source = 'src0'),
+rt AS (SELECT SUM(c) AS rt FROM db WHERE source <> 'src0'),
+model AS (
+    SELECT COALESCE(tcnt.b, rcnt.b) AS b,
+           ln(((COALESCE(tc, 0) + 0.5) / (tt + 0.5 * 1024))
+              / ((COALESCE(rc, 0) + 0.5) / (rt + 0.5 * 1024))) AS lr
+    FROM tcnt FULL OUTER JOIN rcnt ON tcnt.b = rcnt.b
+    CROSS JOIN tt CROSS JOIN rt
+),
+scored AS (
+    SELECT db.doc_id, db.source, round(SUM(db.c * m.lr), 6) AS logw
+    FROM db JOIN model m ON db.b = m.b
+    GROUP BY db.doc_id, db.source
+),
+thr AS (
+    SELECT xs[CAST(greatest(1, ceil(n * 0.80)) AS BIGINT)] AS p80
+    FROM (SELECT list_sort(list(logw)) AS xs, COUNT(*) AS n
+          FROM scored WHERE source <> 'src0')
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN logw >= thr.p80 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       round(AVG(logw), 6) AS mean_logw,
+       floor(SUM(CASE WHEN logw >= thr.p80 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS sel_rate
+FROM scored CROSS JOIN thr
+GROUP BY source
+"""
+
+QUERIES["dsir_importance_stats"] = dsir_importance_stats
+ORACLES["dsir_importance_stats"] = _DSIR_SQL

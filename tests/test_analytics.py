@@ -875,3 +875,42 @@ def test_price_mad_matches_bruteforce(spark):
         outs = sum(1 for x in d if x > 3.0 * 1.4826 * mad)
         assert got[f] == (len(xs), m, mad, outs), f
     assert set(got) == set(by_flag)
+
+
+def test_dsir_selects_target_like_documents(spark, tmp_path):
+    """DSIR importance weights must rank target-vocabulary documents above
+    off-domain ones: with target domain 'src0' speaking a distinctive
+    vocabulary, planted target-like docs in the raw pool get selected
+    (top-20% by logw) while pure-noise docs do not — the core property of
+    importance resampling (Xie et al. 2023)."""
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        dsir_importance_stats,
+    )
+
+    tgt_vocab = "alignment scaling transformer corpus tokenizer"
+    noise_vocab = "zebra quartz violin marmalade bicycle"
+    rows = []
+    # 20 target docs define the domain
+    for i in range(20):
+        rows.append((i, f"{tgt_vocab} study {i % 3}", "en", "src0", 50))
+    # raw pool: 5 planted target-like docs + 35 noise docs
+    for i in range(5):
+        rows.append((100 + i, f"{tgt_vocab} field report {i}", "en", "planted", 50))
+    for i in range(35):
+        # unique trailing token per doc → no logw ties across noise docs,
+        # so the disc-quantile cut selects an exact count
+        rows.append((200 + i, f"{noise_vocab} item {i % 7} u{i}", "en", "noise", 50))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["source"]: r for r in dsir_importance_stats(spark, str(tmp_path)).collect()}
+    assert out["planted"]["n_selected"] == 5, "every target-like raw doc selected"
+    assert out["planted"]["sel_rate"] == 1.0
+    # the raw-pool top-20% cut keeps ~9 of 40 docs (disc-quantile >= is
+    # inclusive; md5-bucket collisions can tie a couple more): all 5
+    # planted docs plus a small noise remainder — never a material fraction
+    assert out["noise"]["n_selected"] <= 7, "noise docs flooding the selection"
+    assert out["noise"]["sel_rate"] <= 0.2
+    assert out["noise"]["sel_rate"] < out["planted"]["sel_rate"]
+    assert out["planted"]["mean_logw"] > out["noise"]["mean_logw"]
