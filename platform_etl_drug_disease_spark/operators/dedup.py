@@ -525,6 +525,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = None,
     max_shingle_df: int | None = 256,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via PREFIX-FILTERED shingle blocking
     (the PPJoin prefix principle) with an exact count-based verify.
@@ -547,15 +548,30 @@ def jaccard_pairs(
     narrow rows, never O(n²) and never array-width shuffle bytes.
 
     Returns (id_a, id_b, jaccard ≥ threshold), jaccard rounded to 6 places.
+
+    ``shingles``: optional prebuilt ``(id_col, sh)`` table (the
+    :func:`_shingle_table` shape, unblocked only) — pass an already-PERSISTED
+    one to share the tokenize/shingle work with another consumer (e.g. the
+    MinHash candidate side of a recall audit) instead of computing it twice.
     """
+    if shingles is not None and block_col is not None:
+        raise ValueError("a prebuilt shingle table carries no block column")
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    # persist: consumed by the exploded join and the per-doc size lookup. No
-    # size(sh)>0 filter — see _shingle_table for why (predicate pushdown
-    # would duplicate the shingle expression; explode drops empties anyway).
-    keep = cols + [F.col(text_col)]
-    sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
-        *cols, F.col("sh"), F.size("sh").alias("__sz")
-    ).persist()
+    if shingles is not None:
+        # derived from the caller's persisted table: the projection is free,
+        # so no second persist layer is stacked on top.
+        sh = shingles.select(
+            F.col(id_col), F.col("sh"), F.size("sh").alias("__sz")
+        )
+    else:
+        # persist: consumed by the exploded join and the per-doc size lookup.
+        # No size(sh)>0 filter — see _shingle_table for why (predicate
+        # pushdown would duplicate the shingle expression; explode drops
+        # empties anyway).
+        keep = cols + [F.col(text_col)]
+        sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
+            *cols, F.col("sh"), F.size("sh").alias("__sz")
+        ).persist()
     # shingles ride every downstream shuffle as 8-byte xxhash64 keys, not
     # ~25-byte strings: the verify fan-out (candidates × |sh| rows) is the
     # dominant shuffle, and long keys cut its bytes ~3× and make the joins/

@@ -190,14 +190,26 @@ def ordered_windows_over_unaggregated(df: DataFrame) -> list[str]:
     rank window must consume the value histogram, never raw fact rows), so
     a refactor that re-points the window at the fact table fails a named
     test instead of passing the low-cardinality lint incidentally."""
+    import re
+
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     lines = plan.splitlines()
     hits: list[str] = []
     for i, line in enumerate(lines):
         d = _plan_depth(line)
         body = line[d:]
-        if not body.startswith("Window ") and not body.startswith("WindowGroupLimit"):
-            continue
+        if body.startswith("Window "):
+            # only ORDERED windows are per-key sorts; an unordered
+            # (hash-evaluable) window is scale-safe and must not trip the
+            # check (same order-group parse as low_card_running_windows).
+            groups = re.findall(r"\[([^\[\]]*(?:\[[^\]]*\][^\[\]]*)*)\]", body)
+            if not groups:
+                continue
+            order = groups[-1]
+            if " ASC" not in order and " DESC" not in order:
+                continue
+        elif not body.startswith("WindowGroupLimit"):
+            continue  # WindowGroupLimit is inherently ordered (rank limit)
         if _raw_leaf_reachable_without_agg(lines, i, d):
             hits.append(body.split("]")[0] + "]")
     return hits

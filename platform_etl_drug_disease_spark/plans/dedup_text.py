@@ -28,7 +28,6 @@ from platform_etl_drug_disease_spark.operators.dedup import (
     minhash_lsh_dedup,
     exact_dedup_clusters,
     jaccard_pairs,
-    minhash_lsh_candidates,
     minhash_seeds,
     simhash64,
 )
@@ -348,13 +347,22 @@ def dedup_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Scale: both inputs are the existing banded/prefix-filtered
     pipelines (never all-pairs); the audit join is equi-keyed on (id_a,
     id_b) and the output is ≤ 6 rows."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        _candidates_from_shingles,
+        _shingle_table,
+    )
+
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    # ONE shingle table shared by the exact-truth and MinHash sides —
+    # without it the corpus is tokenized/shingled/hashed twice (round-5
+    # review finding).
+    sh = _shingle_table(docs, "doc_id", "text", shingle_n=3).persist()
     truth = jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5,
-        block_col=None, max_shingle_df=256,
+        block_col=None, max_shingle_df=256, shingles=sh,
     )
-    cands = minhash_lsh_candidates(
-        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4
+    cands = _candidates_from_shingles(
+        sh, "doc_id", n_hashes=16, n_bands=4
     ).withColumn("__hit", F.lit(1))
     # decile of the (round-6) jaccard: the +1e-9 absorbs the representation
     # error of e.g. 0.6*10 = 5.999999…, and is far below the 1e-5 grid the

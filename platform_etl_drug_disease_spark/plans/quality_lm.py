@@ -1032,12 +1032,20 @@ def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial counts, the wordcount shape. The selection threshold is an
     exact disc-quantile by rank arithmetic over the logw histogram
     (operators/scans.quantiles_from_histogram) — no global row sort; the
-    histogram's cardinality is the score grid (round-6 here; a 100-TB run
+    histogram's cardinality is the score grid (1e-6 here; a 100-TB run
     would coarsen the quantization, which only coarsens the cut point).
 
-    Determinism: md5-derived buckets are engine-portable; ln sums follow
-    the proven round-6 pattern (quality_lm_score); the threshold compare
-    uses the rounded logw on both engines.
+    Determinism (round-5 review fix): per-doc logw is Σ c·lr over MANY
+    buckets in engine-specific order, and logw is NEGATIVE — summing
+    doubles then rounding with built-in round() is exactly the divergence
+    class the repo's dround rule exists for. So the per-BUCKET log-ratio is
+    quantized ONCE to an exact 1e-6 integer grid (floor(lr·1e6 + 0.5) —
+    floor is IEEE-exact and consistent for negatives on both engines), and
+    every downstream sum (per-doc logw, per-source mean) is EXACT BIGINT
+    arithmetic: order-independent, hash-identical. The only residual
+    cross-engine surface is ln() itself at a 0.5e-6 quantization boundary,
+    on 1024 bucket values — the same accepted exposure as every other
+    ln-based catalog query, minus the per-doc sum amplification.
     """
     from platform_etl_drug_disease_spark.operators.scans import (
         quantiles_from_histogram,
@@ -1078,16 +1086,26 @@ def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(rt))
         .select(
             "b",
-            F.log(
-                ((F.col("tc") + F.lit(0.5)) / (F.col("tt") + F.lit(0.5 * B)))
-                / ((F.col("rc") + F.lit(0.5)) / (F.col("rt") + F.lit(0.5 * B)))
-            ).alias("lr"),
+            # per-bucket log-ratio quantized ONCE onto an exact 1e-6 integer
+            # grid: floor is IEEE-exact for negatives on both engines, and
+            # everything downstream is then order-independent bigint math.
+            F.floor(
+                F.log(
+                    ((F.col("tc") + F.lit(0.5)) / (F.col("tt") + F.lit(0.5 * B)))
+                    / ((F.col("rc") + F.lit(0.5)) / (F.col("rt") + F.lit(0.5 * B)))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr"),
         )
     )
     scored = (
         db.join(F.broadcast(model), "b")
         .groupBy("doc_id", "source")
-        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"))
+        # exact: c and lr are integers (logw is in 1e-6 ln units)
+        .agg(F.sum(F.col("c") * F.col("lr")).cast("bigint").alias("logw"))
         .persist()  # feeds the threshold histogram AND the final rollup
     )
     hist = value_histogram(
@@ -1104,7 +1122,16 @@ def dsir_importance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("logw") >= F.col("p80"), 1).otherwise(0)
             ).cast("bigint").alias("n_selected"),
-            F.round(F.avg("logw"), 6).alias("mean_logw"),
+            # exact bigint sum → one double division → round-half-up via
+            # floor (deterministic for negative means, unlike round())
+            (
+                F.floor(
+                    F.sum("logw").cast("decimal(38,0)").cast("double")
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mean_logw"),
         )
         .withColumn(
             "sel_rate",
@@ -1135,13 +1162,14 @@ tt AS (SELECT SUM(c) AS tt FROM db WHERE source = 'src0'),
 rt AS (SELECT SUM(c) AS rt FROM db WHERE source <> 'src0'),
 model AS (
     SELECT COALESCE(tcnt.b, rcnt.b) AS b,
-           ln(((COALESCE(tc, 0) + 0.5) / (tt + 0.5 * 1024))
-              / ((COALESCE(rc, 0) + 0.5) / (rt + 0.5 * 1024))) AS lr
+           CAST(floor(ln(((COALESCE(tc, 0) + 0.5) / (tt + 0.5 * 1024))
+                         / ((COALESCE(rc, 0) + 0.5) / (rt + 0.5 * 1024)))
+                      * 1e6 + 0.5) AS BIGINT) AS lr
     FROM tcnt FULL OUTER JOIN rcnt ON tcnt.b = rcnt.b
     CROSS JOIN tt CROSS JOIN rt
 ),
 scored AS (
-    SELECT db.doc_id, db.source, round(SUM(db.c * m.lr), 6) AS logw
+    SELECT db.doc_id, db.source, CAST(SUM(db.c * m.lr) AS BIGINT) AS logw
     FROM db JOIN model m ON db.b = m.b
     GROUP BY db.doc_id, db.source
 ),
@@ -1153,7 +1181,7 @@ thr AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN logw >= thr.p80 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-       round(AVG(logw), 6) AS mean_logw,
+       floor(CAST(SUM(logw) AS DOUBLE) / COUNT(*) + 0.5) / 1e6 AS mean_logw,
        floor(SUM(CASE WHEN logw >= thr.p80 THEN 1 ELSE 0 END) * 1.0
              / COUNT(*) * 1e6 + 0.5) / 1e6 AS sel_rate
 FROM scored CROSS JOIN thr

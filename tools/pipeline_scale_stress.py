@@ -8,8 +8,8 @@ semantics sim.sc:450/464). This tool closes that gap (VERDICT r4 item 4):
 
 1. generates a deterministic synthetic domain fixture at a given scale with
    POWER-LAW protein degree — preferential-attachment interactions plus one
-   planted mega-hub covering ~1/3 of the proteome — and writes it to
-   parquet (generation is NOT part of the timed window);
+   planted mega-hub touching every 2nd protein (~half the proteome) — and
+   writes it to parquet (generation is NOT part of the timed window);
 2. times ``run_pipeline`` end-to-end over the parquet inputs with BOTH
    reference sinks executed (associations → parquet, sim.sc:476;
    drug_disease → JSON, sim.sc:511), best-of-2, cache cleared between runs;
@@ -153,8 +153,13 @@ def _gen_rows(scale: int, base_targets: int = 2000) -> dict[str, list]:
     }
 
 
-# generator dict key -> domain_schema name (run_pipeline kwarg differs for 2)
-_SCHEMA_NAME = {"faers_drug": "faers_drug", "faers_target": "faers_target"}
+# fixture table names = generator dict keys = domain_schema names; only the
+# two FAERS tables have a different run_pipeline kwarg spelling.
+INPUT_NAMES = (
+    "drug", "target", "disease", "evidence", "interactions",
+    "aggregated_drugs", "studies", "predictions", "faers_drug",
+    "faers_target", "expression", "whitelist",
+)
 _KWARG_NAME = {"faers_drug": "faers_by_drug", "faers_target": "faers_by_target"}
 
 
@@ -162,14 +167,16 @@ def write_fixture(spark, scale: int, out_dir: str, base_targets: int = 2000) -> 
     from platform_etl_drug_disease_spark.schemas import domain_schema
 
     os.makedirs(out_dir, exist_ok=True)
-    for name, rows in _gen_rows(scale, base_targets).items():
+    gen = _gen_rows(scale, base_targets)
+    assert set(gen) == set(INPUT_NAMES), "INPUT_NAMES out of sync with generator"
+    for name, rows in gen.items():
         df = spark.createDataFrame(rows, domain_schema(name))
         df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
 
 
 def load_inputs(spark, out_dir: str) -> dict:
     inputs = {}
-    for name in _gen_rows(1):  # keys only; rows unused
+    for name in INPUT_NAMES:
         kwarg = _KWARG_NAME.get(name, name)
         inputs[kwarg] = spark.read.parquet(os.path.join(out_dir, name))
     return inputs
