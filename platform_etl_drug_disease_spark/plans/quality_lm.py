@@ -1190,3 +1190,140 @@ GROUP BY source
 
 QUERIES["dsir_importance_stats"] = dsir_importance_stats
 ORACLES["dsir_importance_stats"] = _DSIR_SQL
+
+
+def doremi_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting: one exponentiated-gradient step over
+    per-source EXCESS LOSS, from token statistics alone.
+
+    Method (after Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+    Speeds Up Language Model Pretraining" — the one-step, unigram-proxy
+    form): per source s, excess loss = mean cross-entropy of s's tokens
+    under the CORPUS unigram LM minus under s's OWN unigram LM, which is
+    exactly KL(p_s ‖ p_corpus) ≥ 0 — how much a generalist model underfits
+    the domain. The EG step upweights underfit domains:
+    w_s ∝ baseline_s · exp(η·excess_s) with η = 1, baseline = token share,
+    normalized over sources. (Real DoReMi iterates this with a trained
+    proxy model; the update algebra and the excess-loss contract are the
+    same.)
+
+    Scale shape: two wordcount aggregates — (source, token) partial counts
+    map-side combine, then token-keyed join to corpus counts; per-source
+    rollup is k rows. No vocab broadcast, no driver state.
+
+    Determinism: the DSIR pattern — per-(source, token) log-ratio quantized
+    once onto an exact 1e-6 integer grid, every sum downstream exact
+    bigint; the k-row softmax terms are quantized onto a 1e-9 grid before
+    the normalizer sum, so even the 20-row normalization is exact integer
+    arithmetic over identically-computed terms.
+    """
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "source"]),
+        "doc_id",
+    )
+    st = (
+        docs.select("source", F.explode_outer(tx.tokens("text")).alias("tok"))
+        .where(F.col("tok").isNotNull())
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # feeds corpus counts, per-source totals, and the join
+    )
+    ct = st.groupBy("tok").agg(F.sum("c").alias("ctot"))
+    ns = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    nt = st.agg(F.sum("c").alias("n"))
+    # KL(p_s ‖ p) = Σ_tok (c/n_s)·ln((c/n_s)/(ctot/n)); only c>0 terms exist
+    # by construction. ln quantized to a 1e-6 integer grid, then exact sums.
+    lr = (
+        F.floor(
+            F.log(
+                (F.col("c") / F.col("n_s")) / (F.col("ctot") / F.col("n"))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lr")
+    )
+    terms = (
+        st.join(ct, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .select("source", "c", "n_s", "n", lr)
+    )
+    per_source = terms.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_tokens"),
+        F.max("n").alias("__n"),
+        F.sum(F.col("c") * F.col("lr")).cast("bigint").alias("__kl_scaled"),
+    )
+    # excess = exact_int_sum / n_s / 1e6 : identical doubles on both engines
+    excess = F.col("__kl_scaled").cast("double") / F.col("n_tokens") / F.lit(1e6)
+    baseline = F.col("n_tokens").cast("double") / F.col("__n").cast("double")
+    # softmax term quantized to a 1e-9 integer grid BEFORE the normalizer
+    # sum → the 20-row normalization is exact integer arithmetic.
+    term_scaled = (
+        F.floor(baseline * F.exp(excess) * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+    )
+    scored = per_source.select(
+        "source",
+        "n_tokens",
+        dround(baseline, 6).alias("baseline_share"),
+        (F.floor(excess * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("excess_kl"),
+        term_scaled.alias("__term"),
+    )
+    tot = scored.agg(F.sum("__term").cast("bigint").alias("__tot"))
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "baseline_share",
+            "excess_kl",
+            dround(F.col("__term").cast("double") / F.col("__tot").cast("double"), 6).alias(
+                "doremi_weight"
+            ),
+        )
+    )
+
+
+_DOREMI_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, source, string_split_regex(trim(lower(text)), '\s+') AS t
+    FROM documents
+),
+u AS (SELECT source, unnest(t) AS tok FROM toks),
+st AS (SELECT source, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+ct AS (SELECT tok, SUM(c) AS ctot FROM st GROUP BY tok),
+ns AS (SELECT source, SUM(c) AS n_s FROM st GROUP BY source),
+nt AS (SELECT SUM(c) AS n FROM st),
+terms AS (
+    SELECT st.source, st.c, ns.n_s, nt.n,
+           CAST(floor(ln((st.c * 1.0 / ns.n_s) / (ct.ctot * 1.0 / nt.n))
+                      * 1e6 + 0.5) AS BIGINT) AS lr
+    FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN nt
+),
+per_source AS (
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+           MAX(n) AS n,
+           CAST(SUM(c * lr) AS BIGINT) AS kl_scaled
+    FROM terms GROUP BY source
+),
+scored AS (
+    SELECT source, n_tokens,
+           floor(n_tokens * 1.0 / n * 1e6 + 0.5) / 1e6 AS baseline_share,
+           floor((CAST(kl_scaled AS DOUBLE) / n_tokens / 1e6) * 1e6 + 0.5) / 1e6
+               AS excess_kl,
+           CAST(floor((n_tokens * 1.0 / n)
+                      * exp(CAST(kl_scaled AS DOUBLE) / n_tokens / 1e6)
+                      * 1e9 + 0.5) AS BIGINT) AS term
+    FROM per_source
+),
+tot AS (SELECT CAST(SUM(term) AS BIGINT) AS tot FROM scored)
+SELECT source, n_tokens, baseline_share, excess_kl,
+       floor(CAST(term AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS doremi_weight
+FROM scored CROSS JOIN tot
+"""
+
+QUERIES["doremi_mixture_stats"] = doremi_mixture_stats
+ORACLES["doremi_mixture_stats"] = _DOREMI_SQL

@@ -914,3 +914,40 @@ def test_dsir_selects_target_like_documents(spark, tmp_path):
     assert out["noise"]["sel_rate"] <= 0.2
     assert out["noise"]["sel_rate"] < out["planted"]["sel_rate"]
     assert out["planted"]["mean_logw"] > out["noise"]["mean_logw"]
+
+
+def test_doremi_upweights_underfit_domain(spark, tmp_path):
+    """DoReMi-style reweighting must upweight the lexically-distinct domain:
+    a source whose vocabulary diverges hard from the corpus mix has the
+    highest excess KL and receives a weight ABOVE its baseline token share,
+    while a source that matches the corpus distribution is downweighted
+    toward (or below) baseline. Weights are a distribution (sum ~ 1)."""
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        doremi_mixture_stats,
+    )
+
+    common = "the data table row value column filter join group"
+    exotic = "quasar nebular synapse chitin obsidian fjord"
+    rows = []
+    # two mainstream sources speaking the corpus vocabulary
+    for i in range(30):
+        rows.append((i, f"{common} item {i % 5}", "en", "web_a", 50))
+        rows.append((100 + i, f"{common} entry {i % 5}", "en", "web_b", 50))
+    # one small distinct domain
+    for i in range(10):
+        rows.append((200 + i, f"{exotic} sample {i % 3}", "en", "exotic", 50))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["source"]: r for r in doremi_mixture_stats(spark, str(tmp_path)).collect()}
+    assert set(out) == {"web_a", "web_b", "exotic"}
+    assert out["exotic"]["excess_kl"] > out["web_a"]["excess_kl"]
+    assert out["exotic"]["excess_kl"] > out["web_b"]["excess_kl"]
+    # EG step: underfit domain beats its baseline share; mainstream doesn't
+    assert out["exotic"]["doremi_weight"] > out["exotic"]["baseline_share"]
+    assert out["web_a"]["doremi_weight"] <= out["web_a"]["baseline_share"] + 1e-9
+    total = sum(r["doremi_weight"] for r in out.values())
+    assert abs(total - 1.0) < 1e-5
+    for r in out.values():
+        assert r["excess_kl"] >= -1e-9, "KL must be non-negative"
