@@ -2324,3 +2324,150 @@ JOIN sizes z ON md5(d.text) = z.h
 
 QUERIES["quality_feature_matrix"] = quality_feature_matrix
 ORACLES["quality_feature_matrix"] = _FEATURE_MATRIX_SQL
+
+
+# ---------------------------------------------------------------------------
+# curation funnel: per-rule attrition waterfall
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule attrition waterfall of a sequential curation pipeline — the
+    bookkeeping view every production cleaning stage ships with: for each
+    rule IN ORDER, how many docs entered, were dropped, and survived.
+
+    Rules (applied sequentially; a doc must pass all earlier rules to be
+    counted at a later one): (1) ≥20 tokens, (2) lang = 'en',
+    (3) stopword ratio ≥ 0.05 (gibberish guard), (4) most-repeated-trigram
+    fraction ≤ 0.25 (Gopher-style repetition), (5) exact-dup keeper
+    (min doc_id per md5(text)).
+
+    Scale shape: ONE corpus pass computes every per-doc flag (token stats
+    are column arithmetic; repetition is a (doc, gram) count aggregate; the
+    keeper flag is one hash-partitioned window); the waterfall itself is a
+    single global aggregate row stacked into 5 rows — counts only, no doc
+    data ever re-scanned per rule. Output is 5 rows of exact integers, the
+    easiest hash-stable shape there is."""
+    docs = ensure_compute_partitions(
+        load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"]),
+        "doc_id",
+    )
+    toks = docs.withColumn("__t", tx.tokens("text"))
+    grams = toks.select(
+        "doc_id",
+        F.explode_outer(tx.raw_shingles_from_tokens("__t", 3)).alias("g"),
+    ).where(F.col("g").isNotNull())
+    rep = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("__c").cast("double") / F.sum("__c").cast("double")).alias(
+                "rep_frac"
+            )
+        )
+    )
+    base = toks.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("__h"),
+        F.size("__t").alias("n_tokens"),
+        tx.stopword_ratio_of("__t").alias("sw"),
+    )
+    w = Window.partitionBy("__h")
+    flags = (
+        base.withColumn("keeper", F.min("doc_id").over(w) == F.col("doc_id"))
+        .join(rep, "doc_id", "left")
+        .na.fill({"rep_frac": 0.0})  # <3-token docs have no trigrams: pass
+    )
+    s1 = F.col("n_tokens") >= 20
+    s2 = s1 & (F.col("lang") == "en")
+    s3 = s2 & (F.col("sw") >= 0.05)
+    s4 = s3 & (F.col("rep_frac") <= 0.25)
+    s5 = s4 & F.col("keeper")
+    one = flags.agg(
+        F.count(F.lit(1)).alias("a0"),
+        *[
+            F.sum(F.when(s, 1).otherwise(0)).alias(f"a{i}")
+            for i, s in enumerate((s1, s2, s3, s4, s5), start=1)
+        ],
+    )
+    rules = ["min_tokens", "lang_en", "stopword_floor", "repetition", "exact_dedup"]
+    stack_args = ", ".join(
+        f"{i + 1}, '{r}', a{i}, a{i} - a{i + 1}, a{i + 1}"
+        for i, r in enumerate(rules)
+    )
+    return one.selectExpr(
+        f"stack(5, {stack_args}) AS (step, rule, n_in, n_dropped, n_out)"
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        "rule",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.col("n_out").cast("bigint").alias("n_out"),
+    )
+
+
+_FUNNEL_SQL = _TOKS_CTE + """
+, rep AS (
+    SELECT doc_id,
+           MAX(c) * 1.0 / SUM(c) AS rep_frac
+    FROM (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) >= 3
+                          THEN list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                          ELSE CAST([] AS VARCHAR[]) END) AS g
+            FROM toks
+        ) GROUP BY doc_id, g
+    ) GROUP BY doc_id
+),
+base AS (
+    SELECT d.doc_id, d.lang, md5(d.text) AS h, len(t) AS n_tokens,
+           coalesce(len(list_filter(t, x -> list_contains(
+               ['the','a','an','of','and','to','in','is','it','for'], x)))
+               * 1.0 / nullif(len(t), 0), NULL) AS sw,
+           coalesce(rep.rep_frac, 0.0) AS rep_frac
+    FROM toks JOIN documents d USING (doc_id)
+    LEFT JOIN rep USING (doc_id)
+),
+flags AS (
+    SELECT *,
+           MIN(doc_id) OVER (PARTITION BY h) = doc_id AS keeper
+    FROM base
+),
+agg AS (
+    SELECT COUNT(*) AS a0,
+           SUM(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS a1,
+           SUM(CASE WHEN n_tokens >= 20 AND lang = 'en' THEN 1 ELSE 0 END) AS a2,
+           SUM(CASE WHEN n_tokens >= 20 AND lang = 'en' AND sw >= 0.05
+                    THEN 1 ELSE 0 END) AS a3,
+           SUM(CASE WHEN n_tokens >= 20 AND lang = 'en' AND sw >= 0.05
+                    AND rep_frac <= 0.25 THEN 1 ELSE 0 END) AS a4,
+           SUM(CASE WHEN n_tokens >= 20 AND lang = 'en' AND sw >= 0.05
+                    AND rep_frac <= 0.25 AND keeper THEN 1 ELSE 0 END) AS a5
+    FROM flags
+)
+SELECT * FROM (
+    SELECT 1 AS step, 'min_tokens' AS rule,
+           CAST(a0 AS BIGINT) AS n_in, CAST(a0 - a1 AS BIGINT) AS n_dropped,
+           CAST(a1 AS BIGINT) AS n_out FROM agg
+    UNION ALL
+    SELECT 2, 'lang_en', CAST(a1 AS BIGINT), CAST(a1 - a2 AS BIGINT),
+           CAST(a2 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 3, 'stopword_floor', CAST(a2 AS BIGINT), CAST(a2 - a3 AS BIGINT),
+           CAST(a3 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 4, 'repetition', CAST(a3 AS BIGINT), CAST(a3 - a4 AS BIGINT),
+           CAST(a4 AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 5, 'exact_dedup', CAST(a4 AS BIGINT), CAST(a4 - a5 AS BIGINT),
+           CAST(a5 AS BIGINT) FROM agg
+)
+"""
+
+QUERIES["curation_funnel_stats"] = curation_funnel_stats
+ORACLES["curation_funnel_stats"] = _FUNNEL_SQL

@@ -790,3 +790,43 @@ def test_epoch_upsample_multiplicity_and_determinism(spark):
                                      {"s0": 2.5, "s1": 0.4}, "src", 1.0,
                                      "t:").collect()}
     assert again == {(r.doc_id, r.src, r.epoch_idx) for r in rows}
+
+
+def test_curation_funnel_each_rule_bites(spark, tmp_path):
+    """Planted corpus where EVERY funnel rule drops exactly one known doc,
+    in order: short doc -> min_tokens; French doc -> lang_en; no-stopword
+    doc -> stopword_floor; trigram-spam doc -> repetition; exact twin ->
+    exact_dedup. Pins the sequential semantics (a doc failing an early rule
+    never reaches a later count) and the waterfall invariants."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        curation_funnel_stats,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog near a calm river "
+            "while birds sing in the bright morning air today")  # 21 tokens, sw ok
+    spam = "the the " + "a b c " * 7  # 23 tokens, 'a b c' = 7/21 trigrams > 0.25
+    nostop = " ".join(f"u{i}" for i in range(25))  # 25 tokens, zero stopwords
+    rows = [
+        (1, "too short text here", "en"),                       # r1 drop
+        (2, good + " variant one extra words here now", "fr"),  # r2 drop
+        (3, nostop, "en"),                                      # r3 drop
+        (4, spam, "en"),                                        # r4 drop
+        (5, good, "en"),                                        # keeper
+        (6, good, "en"),                                        # r5 drop (dup of 5)
+        (7, good + " another unique tail of words", "en"),      # survives
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["step"]: r for r in curation_funnel_stats(spark, str(tmp_path)).collect()}
+    assert [out[s]["rule"] for s in range(1, 6)] == [
+        "min_tokens", "lang_en", "stopword_floor", "repetition", "exact_dedup",
+    ]
+    assert out[1]["n_in"] == 7
+    for s in range(1, 6):
+        assert out[s]["n_dropped"] == 1, f"rule {out[s]['rule']} must drop exactly 1"
+        assert out[s]["n_in"] - out[s]["n_dropped"] == out[s]["n_out"]
+        if s > 1:
+            assert out[s]["n_in"] == out[s - 1]["n_out"], "waterfall must chain"
+    assert out[5]["n_out"] == 2  # docs 5 (keeper) and 7
