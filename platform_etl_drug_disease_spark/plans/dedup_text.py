@@ -2471,3 +2471,103 @@ SELECT * FROM (
 
 QUERIES["curation_funnel_stats"] = curation_funnel_stats
 ORACLES["curation_funnel_stats"] = _FUNNEL_SQL
+
+
+def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: near-dup clusters
+    (MinHash+LSH pairs → connected components) keep the HIGHEST-QUALITY
+    member instead of the arbitrary min-id — what a real curation stage
+    does, since near-dups often differ in boilerplate/truncation and the
+    keeper choice decides what the model trains on. Ties break on doc_id.
+
+    Per cluster: cluster id (min member), chosen keeper + its quality, the
+    min-id default's quality (what naive dedup would have kept), member
+    count, and tokens dropped with the non-keepers. Scale shape: pairs and
+    components are the proven dedup machinery; quality is column
+    arithmetic; the keeper pick is one row_number window partitioned by
+    component over the (small) cluster-member table — never over the
+    corpus."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    # eager-checkpoint, as in dedup_cluster_components: the symmetrizing
+    # union inside connected_components consumes the pairs twice.
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
+    ).localCheckpoint()
+    comp = connected_components(pairs, "id_a", "id_b")
+    t = F.col("__t")
+    q = docs.withColumn("__t", tx.tokens("text")).select(
+        F.col("doc_id").alias("node"),
+        tx.quality_score_of(t).alias("q"),
+        tx.token_count_of(t).cast("bigint").alias("n_tokens"),
+    )
+    m = comp.join(q, "node")
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("node"))
+    rk = F.col("__rk")
+    return (
+        m.withColumn("__rk", F.row_number().over(w))
+        .groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max(F.when(rk == 1, F.col("node"))).alias("keeper_id"),
+            F.max(F.when(rk == 1, F.col("q"))).alias("keeper_quality"),
+            F.max(F.when(F.col("node") == F.col("component"), F.col("q"))).alias(
+                "min_id_quality"
+            ),
+            F.sum(F.when(rk > 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+    )
+
+
+# components via the same recursive-closure CTE as _CC_SQL, then quality
+# (the _CLEAN_SQL formula) and an argmax by (q DESC, node) per cluster.
+_QUALITY_KEEPER_SQL = (
+    _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + _MINHASH_PAIRS_CORE
+    + r"""
+, pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+),
+qual AS (
+    SELECT doc_id AS node,
+           round(0.4 * least(len(t) / 64.0, 1.0)
+               + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
+               + 0.2 * least(coalesce(len(list_filter(t, x -> list_contains(
+                     ['the','a','an','of','and','to','in','is','it','for'], x)))
+                     * 1.0 / nullif(len(t), 0), 0.0) * 4.0, 1.0), 6) AS q,
+           CAST(len(t) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+          FROM documents)
+),
+ranked AS (
+    SELECT c.component, c.node, qual.q, qual.n_tokens,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY qual.q DESC, c.node) AS rk
+    FROM comp c JOIN qual ON c.node = qual.node
+)
+SELECT component AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MAX(CASE WHEN rk = 1 THEN node END) AS keeper_id,
+       MAX(CASE WHEN rk = 1 THEN q END) AS keeper_quality,
+       MAX(CASE WHEN node = component THEN q END) AS min_id_quality,
+       CAST(SUM(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_dropped
+FROM ranked GROUP BY component
+"""
+)
+
+QUERIES["dedup_quality_keeper"] = dedup_quality_keeper
+ORACLES["dedup_quality_keeper"] = _QUALITY_KEEPER_SQL

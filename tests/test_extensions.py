@@ -830,3 +830,32 @@ def test_curation_funnel_each_rule_bites(spark, tmp_path):
         if s > 1:
             assert out[s]["n_in"] == out[s - 1]["n_out"], "waterfall must chain"
     assert out[5]["n_out"] == 2  # docs 5 (keeper) and 7
+
+
+def test_quality_keeper_beats_min_id(spark, tmp_path):
+    """The quality-aware keeper must pick the best member, not the smallest
+    id: a near-dup cluster whose HIGHER-id member has richer text (longer,
+    more diverse, stopword-bearing) keeps that member, and the report shows
+    the quality the naive min-id dedup would have settled for."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        dedup_quality_keeper,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog in a field of green grass"
+    rows = [
+        # cluster {1, 2}: doc 2 = doc 1 plus a richer tail → higher quality
+        (1, base),
+        (2, base + " while the bright morning sun rises over distant hills and rivers"),
+        # an unrelated singleton (no pairs → not reported)
+        (9, " ".join(f"z{i}" for i in range(30))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = dedup_quality_keeper(spark, str(tmp_path)).collect()
+    assert len(out) == 1, "one near-dup cluster, singletons unreported"
+    r = out[0]
+    assert r["cluster_id"] == 1 and r["n_docs"] == 2
+    assert r["keeper_id"] == 2, "higher-quality member must win over min id"
+    assert r["keeper_quality"] > r["min_id_quality"]
+    assert r["tokens_dropped"] == 15  # doc 1's token count
