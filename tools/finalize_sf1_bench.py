@@ -43,7 +43,12 @@ out = {
         "best-of-2 per query, cache cleared between runs, local[32]; no "
         "merged sessions (VERDICT r3 item 4)"
     ),
-    "excluded": "see bench.EXCLUDED (reasons required by the lockstep test)",
+    # exclusion basis travels WITH the artifact (ADVICE r4): totals from
+    # different rounds are only comparable when their exclusion sets match.
+    "n_excluded": detail.get("n_excluded", 0),
+    "excluded": detail.get(
+        "excluded", "see bench.EXCLUDED (reasons required by the lockstep test)"
+    ),
     "queries": dict(sorted(detail["queries"].items())),
 }
 with open("/root/repo/BENCH_sf1.json", "w") as fh:
