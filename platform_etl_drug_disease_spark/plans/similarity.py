@@ -11,7 +11,7 @@ rounding and approximate results are provably subsets of exact ones.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from platform_etl_drug_disease_spark.operators.similarity import (
@@ -1366,3 +1366,227 @@ FROM per
 
 QUERIES["embedding_separability"] = embedding_separability
 ORACLES["embedding_separability"] = _SEPARABILITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss projection recall: dimension reduction before ANN
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+
+
+def _jl_signs() -> list[tuple[int, int, int]]:
+    """(i, j, s) entries of the 64×16 Achlioptas ±1 projection matrix —
+    seeded Mersenne Twister, 1-based indices, shipped into BOTH engines as
+    literals (the R matrix is the shared constant, never recomputed)."""
+    import random
+
+    rng = random.Random(424_243)
+    return [
+        (i, j, 1 if rng.random() < 0.5 else -1)
+        for i in range(1, _DIM + 1)
+        for j in range(1, _JL_K + 1)
+    ]
+
+
+def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of brute-force cosine kNN in a 16-dim Johnson–Lindenstrauss
+    ±1 projection vs the exact 64-dim answer — the measurement a similarity
+    stack runs before shipping dimension reduction ahead of ANN (4× fewer
+    bytes per vector ⇒ 4× cheaper index and scan; this query prices the
+    recall that buys).
+
+    Scale shape: the projection is matrix multiply as JOIN-AGGREGATE —
+    explode (vec, i, component), broadcast-join the 1024-row ±1 sign table,
+    one (vec, j) sum — the shape that scales to any corpus and any output
+    dimension, instead of a 16×64-term generated expression tree (the
+    round-3 codegen-ladder pathology). Query set is the standard 5-vector
+    broadcast; both top-5 passes are the allowlisted broadcast
+    cross-products every kNN baseline here uses.
+
+    Determinism: unit components quantized once onto a 1e-9 integer grid →
+    the projected vectors are EXACT BIGINTs on both engines; every cosine
+    is then the proven index-ordered left fold over identical values.
+
+    Runs over the planted-near-dup corpus (queries = the 5 smallest planted
+    sources, twin = source + offset at cosine ≈ 0.999) and reports BOTH
+    recall@5 and whether the twin survived projection: on this fixture's
+    otherwise near-uniform vectors (next-best cosine ≈ 0.4), tail recall is
+    honestly low — 64→16 scrambles hairline rankings — while the twin's
+    LARGE gap survives every time, which is precisely the JL guarantee
+    (distortion ~ √(ln n / k) breaks ties, not true neighbors) and the
+    property a near-dup/ANN pre-reduction actually relies on.
+    """
+    from platform_etl_drug_disease_spark.operators.similarity import (
+        knn_bruteforce,
+        with_unit_vec,
+    )
+
+    # persist: consumed by the projection chain AND both sides of the exact
+    # top-5 — without it the augmentation union re-scans the parquet per
+    # consumer (the lint sweep counts 16 scans)
+    emb = (
+        _augmented_embeddings(spark, sf_dir).select("vec_id", "embedding").persist()
+    )
+    is_query = (F.col("vec_id") % _PLANT_STRIDE == 0) & (
+        F.col("vec_id") < 5 * _PLANT_STRIDE
+    )
+    nv = with_unit_vec(emb, "embedding", "nv").select("vec_id", "nv")
+    ex = nv.select(
+        "vec_id", F.posexplode("nv").alias("i0", "x")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("xq"),
+    )
+    r = spark.createDataFrame(_jl_signs(), "i int, j int, s int")
+    proj = (
+        ex.join(F.broadcast(r), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xq") * F.col("s")).cast("bigint").alias("p"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "p"))), lambda e: e["p"]
+            ).alias("pv")
+        )
+        # tiny (n × 16 bigints) and consumed by both the query and the
+        # candidate side of the projected top-5
+        .persist()
+    )
+    pq = proj.where(is_query).select(
+        F.col("vec_id").alias("q_id"), F.col("pv").alias("qv")
+    )
+    pc = proj.select(F.col("vec_id").alias("c_id"), F.col("pv").alias("cv"))
+    fdot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    qv, cv = F.col("qv"), F.col("cv")
+    cos_p = F.round(
+        fdot(qv, cv)
+        / F.nullif(F.sqrt(fdot(qv, qv)) * F.sqrt(fdot(cv, cv)), F.lit(0.0)),
+        6,
+    )
+    pairs = pc.crossJoin(F.broadcast(pq)).where(F.col("q_id") != F.col("c_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_p").desc(), F.col("c_id"))
+    proj_top = (
+        pairs.select("q_id", "c_id", cos_p.alias("cos_p"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("q_id", "c_id")
+    )
+    queries = emb.where(is_query).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    candidates = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")
+    )
+    exact_top = knn_bruteforce(queries, candidates, k=5).select("q_id", "c_id")
+    hits = proj_top.join(exact_top, ["q_id", "c_id"], "left_semi")
+    twin = proj_top.where(
+        F.col("c_id") == F.col("q_id") + F.lit(_PLANT_OFFSET)
+    ).select("q_id", F.lit(1).alias("__tw"))
+    return (
+        exact_top.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(
+            hits.groupBy("q_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_hits")
+            ),
+            "q_id",
+            "left",
+        )
+        .join(twin, "q_id", "left")
+        .na.fill({"n_hits": 0, "__tw": 0})
+        .select(
+            "q_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(5.0)).alias("recall_at5"),
+            F.col("__tw").cast("bigint").alias("twin_in_top5"),
+        )
+    )
+
+
+def _jl_sql() -> str:
+    vals = ", ".join(f"({i}, {j}, {s})" for i, j, s in _jl_signs())
+    fdot = (
+        "list_reduce(list_transform(range(1, {k} + 1), "
+        "ii -> CAST({a}[ii] AS DOUBLE) * CAST({b}[ii] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    pdot = lambda a, b: fdot.format(k=_JL_K, a=a, b=b)  # noqa: E731
+    q_pred = (
+        f"q.vec_id % {_PLANT_STRIDE} = 0 AND q.vec_id < {5 * _PLANT_STRIDE}"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+aug AS (
+    SELECT vec_id, v, label FROM e
+    UNION ALL
+    SELECT vec_id + {_PLANT_OFFSET},
+           list_transform(range(1, {_DIM} + 1),
+               i -> v[i] * (1.0 + 0.01 * CAST(((i - 1) % 5 - 2) AS DOUBLE))),
+           label
+    FROM e WHERE vec_id % {_PLANT_STRIDE} = 0
+),
+n AS (SELECT vec_id, label,
+             list_transform(v, x -> x / nullif({_NORM}, 0.0)) AS nv
+      FROM aug),
+r_m(i, j, s) AS (VALUES {vals}),
+xq AS (
+    SELECT vec_id, r.range AS i,
+           CAST(floor(nv[r.range] * 1e9 + 0.5) AS BIGINT) AS xq
+    FROM n, range(1, {_DIM} + 1) r
+),
+proj AS (
+    SELECT vec_id, j, CAST(SUM(xq * s) AS BIGINT) AS p
+    FROM xq JOIN r_m USING (i) GROUP BY vec_id, j
+),
+parr AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY vec_id),
+pscored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           round({pdot("q.pv", "c.pv")}
+                 / nullif(sqrt({pdot("q.pv", "q.pv")})
+                          * sqrt({pdot("c.pv", "c.pv")}), 0.0), 6) AS cos_p
+    FROM parr q JOIN parr c
+      ON {q_pred} AND q.vec_id != c.vec_id
+),
+proj_top AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_p DESC, c_id) AS rank
+        FROM pscored
+    ) WHERE rank <= 5
+),
+escored AS (
+    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           {_NDOT.format(a="q.nv", b="c.nv")} AS cosine_sim
+    FROM n q JOIN n c
+      ON {q_pred} AND q.vec_id != c.vec_id
+),
+exact_top AS (
+    SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cosine_sim DESC, c_id) AS rank
+        FROM escored
+    ) WHERE rank <= 5
+)
+SELECT e.q_id,
+       CAST(COALESCE(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_hits,
+       COALESCE(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END), 0)
+           / 5.0 AS recall_at5,
+       CAST(MAX(CASE WHEN p.c_id = e.q_id + {_PLANT_OFFSET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS twin_in_top5
+FROM exact_top e
+LEFT JOIN proj_top p ON e.q_id = p.q_id AND e.c_id = p.c_id
+GROUP BY e.q_id
+"""
+
+
+QUERIES["jl_projection_recall"] = jl_projection_recall
+ORACLES["jl_projection_recall"] = _jl_sql()

@@ -951,3 +951,21 @@ def test_doremi_upweights_underfit_domain(spark, tmp_path):
     assert abs(total - 1.0) < 1e-5
     for r in out.values():
         assert r["excess_kl"] >= -1e-9, "KL must be non-negative"
+
+
+def test_jl_projection_preserves_planted_twins(spark):
+    """The JL guarantee the catalog query sells: 64→16 ±1 projection keeps
+    every LARGE-gap neighbor (the planted cosine≈0.999 twin lands in the
+    projected top-5 for all queries) even though hairline rankings on the
+    near-uniform tail scramble (recall@5 well below 1). Deterministic:
+    fixed seed matrix + fixed fixture."""
+    from platform_etl_drug_disease_spark.plans.similarity import (
+        jl_projection_recall,
+    )
+
+    rows = jl_projection_recall(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["twin_in_top5"] == 1, f"q {r['q_id']}: twin lost in projection"
+        assert 0 <= r["n_hits"] <= 5
+        assert abs(r["recall_at5"] - r["n_hits"] / 5.0) < 1e-12

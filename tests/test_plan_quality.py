@@ -61,6 +61,9 @@ def test_hot_path_stays_in_codegen(spark):
 LINT_ALLOWLIST: dict[str, tuple[str, ...]] = {
     "knn_cosine_bruteforce": ("CartesianProduct",),
     "knn_cosine_lsh": ("CartesianProduct",),
+    # same 5-row broadcast query set as the brute-force baseline, twice
+    # (projected-space and exact-space top-5)
+    "jl_projection_recall": ("CartesianProduct",),
 }
 
 
