@@ -2339,8 +2339,10 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rules (applied sequentially; a doc must pass all earlier rules to be
     counted at a later one): (1) ≥20 tokens, (2) lang = 'en',
     (3) stopword ratio ≥ 0.05 (gibberish guard), (4) most-repeated-trigram
-    fraction ≤ 0.25 (Gopher-style repetition), (5) exact-dup keeper
-    (min doc_id per md5(text)).
+    fraction ≤ 0.25 (Gopher-style repetition), (5) exact-dup keeper —
+    min doc_id per md5(text) AMONG RULE-1..4 SURVIVORS, since dedup runs
+    over the docs that reach it (a doc whose earlier-dropped twin was the
+    corpus-wide min has no surviving duplicate and is kept).
 
     Scale shape: ONE corpus pass computes every per-doc flag (token stats
     are column arithmetic; repetition is a (doc, gram) count aggregate; the
@@ -2374,16 +2376,23 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__t").alias("n_tokens"),
         tx.stopword_ratio_of("__t").alias("sw"),
     )
-    w = Window.partitionBy("__h")
-    flags = (
-        base.withColumn("keeper", F.min("doc_id").over(w) == F.col("doc_id"))
-        .join(rep, "doc_id", "left")
-        .na.fill({"rep_frac": 0.0})  # <3-token docs have no trigrams: pass
+    flags = base.join(rep, "doc_id", "left").na.fill(
+        {"rep_frac": 0.0}  # <3-token docs have no trigrams: pass
     )
     s1 = F.col("n_tokens") >= 20
     s2 = s1 & (F.col("lang") == "en")
     s3 = s2 & (F.col("sw") >= 0.05)
     s4 = s3 & (F.col("rep_frac") <= 0.25)
+    # SEQUENTIAL semantics (round-5 review fix): dedup runs over the docs
+    # that REACHED it — the keeper is the min doc_id among rule-1..4
+    # survivors of the hash group, not of the full corpus. A doc whose
+    # earlier-dropped twin was the corpus-wide min must NOT be discarded
+    # here (no surviving duplicate exists).
+    w = Window.partitionBy("__h")
+    flags = flags.withColumn(
+        "keeper",
+        F.min(F.when(s4, F.col("doc_id"))).over(w) == F.col("doc_id"),
+    )
     s5 = s4 & F.col("keeper")
     one = flags.agg(
         F.count(F.lit(1)).alias("a0"),
@@ -2435,7 +2444,9 @@ base AS (
 ),
 flags AS (
     SELECT *,
-           MIN(doc_id) OVER (PARTITION BY h) = doc_id AS keeper
+           MIN(CASE WHEN n_tokens >= 20 AND lang = 'en' AND sw >= 0.05
+                    AND rep_frac <= 0.25 THEN doc_id END)
+               OVER (PARTITION BY h) = doc_id AS keeper
     FROM base
 ),
 agg AS (

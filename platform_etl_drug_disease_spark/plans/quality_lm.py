@@ -1264,13 +1264,17 @@ def doremi_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(baseline * F.exp(excess) * F.lit(1e9) + F.lit(0.5))
         .cast("bigint")
     )
+    # persist: the k-row scored table feeds BOTH the normalizer sum and the
+    # final select — unpersisted, the vocabulary-sized token join and the
+    # per-source rollup evaluate twice (round-5 review; the repeated-scan
+    # lint can't see it because the persisted st hides it behind one scan).
     scored = per_source.select(
         "source",
         "n_tokens",
         dround(baseline, 6).alias("baseline_share"),
         (F.floor(excess * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("excess_kl"),
         term_scaled.alias("__term"),
-    )
+    ).persist()
     tot = scored.agg(F.sum("__term").cast("bigint").alias("__tot"))
     return (
         scored.crossJoin(F.broadcast(tot))

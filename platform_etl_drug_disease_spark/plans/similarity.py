@@ -1485,12 +1485,14 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_top = knn_bruteforce(queries, candidates, k=5).select("q_id", "c_id")
     hits = proj_top.join(exact_top, ["q_id", "c_id"], "left_semi")
+    # twin flag = twin present in the PROJECTED top-5 (regardless of where
+    # it ranks exactly) — the retention claim the docstring makes.
     twin = proj_top.where(
         F.col("c_id") == F.col("q_id") + F.lit(_PLANT_OFFSET)
     ).select("q_id", F.lit(1).alias("__tw"))
     return (
-        exact_top.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        exact_top.select("q_id")
+        .distinct()
         .join(
             hits.groupBy("q_id").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_hits")
@@ -1580,10 +1582,14 @@ SELECT e.q_id,
             AS BIGINT) AS n_hits,
        COALESCE(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END), 0)
            / 5.0 AS recall_at5,
-       CAST(MAX(CASE WHEN p.c_id = e.q_id + {_PLANT_OFFSET} THEN 1 ELSE 0 END)
-            AS BIGINT) AS twin_in_top5
+       -- twin-in-PROJECTED-top-5, independent of its exact-top rank (must
+       -- match the Spark semantics even when 5 closer vectors push the twin
+       -- out of the exact top-5)
+       CAST(COALESCE(MAX(tw.tw), 0) AS BIGINT) AS twin_in_top5
 FROM exact_top e
 LEFT JOIN proj_top p ON e.q_id = p.q_id AND e.c_id = p.c_id
+LEFT JOIN (SELECT q_id, 1 AS tw FROM proj_top
+           WHERE c_id = q_id + {_PLANT_OFFSET}) tw ON e.q_id = tw.q_id
 GROUP BY e.q_id
 """
 

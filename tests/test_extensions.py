@@ -806,6 +806,7 @@ def test_curation_funnel_each_rule_bites(spark, tmp_path):
             "while birds sing in the bright morning air today")  # 21 tokens, sw ok
     spam = "the the " + "a b c " * 7  # 23 tokens, 'a b c' = 7/21 trigrams > 0.25
     nostop = " ".join(f"u{i}" for i in range(25))  # 25 tokens, zero stopwords
+    twin_txt = good + " twin text shared across two language variants today"
     rows = [
         (1, "too short text here", "en"),                       # r1 drop
         (2, good + " variant one extra words here now", "fr"),  # r2 drop
@@ -814,6 +815,11 @@ def test_curation_funnel_each_rule_bites(spark, tmp_path):
         (5, good, "en"),                                        # keeper
         (6, good, "en"),                                        # r5 drop (dup of 5)
         (7, good + " another unique tail of words", "en"),      # survives
+        # sequential-dedup semantics: doc 8 (the min-id copy of twin_txt)
+        # dies at lang_en, so doc 9 has NO surviving duplicate and must be
+        # KEPT by rule 5 (a corpus-wide min-id keeper flag would drop it).
+        (8, twin_txt, "fr"),                                    # r2 drop
+        (9, twin_txt, "en"),                                    # survives
     ]
     spark.createDataFrame(rows, "doc_id long, text string, lang string").coalesce(
         1
@@ -823,13 +829,14 @@ def test_curation_funnel_each_rule_bites(spark, tmp_path):
     assert [out[s]["rule"] for s in range(1, 6)] == [
         "min_tokens", "lang_en", "stopword_floor", "repetition", "exact_dedup",
     ]
-    assert out[1]["n_in"] == 7
+    assert out[1]["n_in"] == 9
+    expected_drops = {1: 1, 2: 2, 3: 1, 4: 1, 5: 1}
     for s in range(1, 6):
-        assert out[s]["n_dropped"] == 1, f"rule {out[s]['rule']} must drop exactly 1"
+        assert out[s]["n_dropped"] == expected_drops[s], out[s]["rule"]
         assert out[s]["n_in"] - out[s]["n_dropped"] == out[s]["n_out"]
         if s > 1:
             assert out[s]["n_in"] == out[s - 1]["n_out"], "waterfall must chain"
-    assert out[5]["n_out"] == 2  # docs 5 (keeper) and 7
+    assert out[5]["n_out"] == 3  # docs 5 (keeper), 7, and 9 (twin survived)
 
 
 def test_quality_keeper_beats_min_id(spark, tmp_path):

@@ -45,10 +45,11 @@ out = {
     ),
     # exclusion basis travels WITH the artifact (ADVICE r4): totals from
     # different rounds are only comparable when their exclusion sets match.
-    "n_excluded": detail.get("n_excluded", 0),
-    "excluded": detail.get(
-        "excluded", "see bench.EXCLUDED (reasons required by the lockstep test)"
-    ),
+    # HARD-FAIL on details that predate the basis keys — defaulting would
+    # publish a mislabeled 'n_excluded: 0' artifact, the exact error this
+    # field exists to prevent.
+    "n_excluded": detail["n_excluded"],
+    "excluded": detail["excluded"],
     "queries": dict(sorted(detail["queries"].items())),
 }
 with open("/root/repo/BENCH_sf1.json", "w") as fh:
