@@ -30,13 +30,13 @@ WINDOW_ROWS_ONLY_OK), and 3 high-value re-greens. A 50/50 green
 CORRECTNESS_r05 makes ever-driver-proven = the full catalog AS OF the
 round-5 rotation.
 
-Pre-staged round-6 rotation: round 5 ADDED six catalog queries after the
-window froze — `dedup_recall_audit`, `dsir_importance_stats`,
-`doremi_mixture_stats`, `curation_funnel_stats`, `dedup_quality_keeper`,
-`jl_projection_recall` (all full value-hash oracles, local-green via
-tools/oracle_check). The round-6 window = 5 pinned gates + these six
-first-timers + 39 high-value re-green slots; bump WINDOW_ROUND to 6 with
-the rotation.
+Pre-staged round-6 rotation: round 5 ADDED seven catalog queries after
+the window froze — `dedup_recall_audit`, `dsir_importance_stats`,
+`doremi_mixture_stats`, `doremi_token_quota`, `curation_funnel_stats`,
+`dedup_quality_keeper`, `jl_projection_recall` (all full value-hash
+oracles, local-green via tools/oracle_check). The round-6 window = 5
+pinned gates + these seven first-timers + 38 high-value re-green slots;
+bump WINDOW_ROUND to 6 with the rotation.
 """
 
 from __future__ import annotations

@@ -1331,3 +1331,62 @@ FROM scored CROSS JOIN tot
 
 QUERIES["doremi_mixture_stats"] = doremi_mixture_stats
 ORACLES["doremi_mixture_stats"] = _DOREMI_SQL
+
+
+def doremi_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mixing recipe: DoReMi reweighting → EXACT-budget token
+    quotas. Takes the one-step DoReMi domain weights and apportions a
+    1,000,000-token training budget across sources by largest-remainder
+    (operators/sampling.apportion_quota), so Σ token_quota == budget
+    EXACTLY — the artifact a data-mixing stage actually consumes (a weight
+    vector can't be executed; an integer per-source budget can).
+
+    Scale/determinism: the weights are k rows; quantizing them onto their
+    own 1e-6 grid (floor(w·1e6+0.5) recovers the exact integer both
+    engines hold) makes the whole apportionment integer div/mod —
+    bit-exact, like source_quota_allocation."""
+    from platform_etl_drug_disease_spark.operators.sampling import (
+        apportion_quota,
+    )
+
+    weights = (
+        doremi_mixture_stats(spark, sf_dir)
+        .select(
+            "source",
+            "doremi_weight",
+            F.floor(F.col("doremi_weight") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("__wu"),
+        )
+        .persist()  # k rows; feeds the apportionment AND the output join
+    )
+    quotas = apportion_quota(weights, "source", "__wu", total=1_000_000, out="token_quota")
+    return weights.select("source", "doremi_weight").join(quotas, "source")
+
+
+_DOREMI_QUOTA_SQL = f"""
+WITH d AS ({_DOREMI_SQL}),
+agg AS (
+    SELECT source, doremi_weight,
+           CAST(floor(doremi_weight * 1e6 + 0.5) AS HUGEINT) AS w
+    FROM d
+), tot AS (SELECT SUM(w) AS tw FROM agg),
+j AS (
+    SELECT source, doremi_weight, w, tw,
+           (w * 1000000) // tw AS base,
+           (w * 1000000) % tw AS rem
+    FROM agg CROSS JOIN tot
+), ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY rem DESC, source) AS rk,
+           1000000 - SUM(base) OVER () AS leftover
+    FROM j
+)
+SELECT source, doremi_weight,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS token_quota
+FROM ranked
+"""
+
+QUERIES["doremi_token_quota"] = doremi_token_quota
+ORACLES["doremi_token_quota"] = _DOREMI_QUOTA_SQL

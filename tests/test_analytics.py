@@ -969,3 +969,19 @@ def test_jl_projection_preserves_planted_twins(spark):
         assert r["twin_in_top5"] == 1, f"q {r['q_id']}: twin lost in projection"
         assert 0 <= r["n_hits"] <= 5
         assert abs(r["recall_at5"] - r["n_hits"] / 5.0) < 1e-12
+
+
+def test_doremi_quota_sums_to_budget_and_tracks_weights(spark):
+    """The quota composition's two contracts: quotas sum EXACTLY to the
+    1M-token budget (largest-remainder, never floor-undershoot), and quota
+    ordering follows weight ordering (monotone apportionment)."""
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        doremi_token_quota,
+    )
+
+    rows = doremi_token_quota(spark, SF_SMOKE).collect()
+    assert sum(r["token_quota"] for r in rows) == 1_000_000
+    by_w = sorted(rows, key=lambda r: (-r["doremi_weight"], r["source"]))
+    quotas = [r["token_quota"] for r in by_w]
+    # monotone within 1 unit (remainder bumps can give +1 to a lower weight)
+    assert all(a >= b - 1 for a, b in zip(quotas, quotas[1:]))
