@@ -73,7 +73,8 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     catalog = entrymod.queries()
     names = [n for n in headline_names() if n in catalog]
-    if len(sys.argv) > 1:  # optional subset: python bench.py q1 q2 ...
+    subset_run = len(sys.argv) > 1
+    if subset_run:  # optional subset: python bench.py q1 q2 ...
         subset = set(sys.argv[1:])
         unknown = subset - set(names)
         if unknown:
@@ -122,7 +123,14 @@ def main() -> None:
     # so cross-round totals must carry the exclusion count explicitly —
     # a silent basis change (e.g. r4's dedup_ngram_jaccard exclusion) would
     # otherwise flatter scaling comparisons against older artifacts.
-    excluded_applicable = sorted(n for n in EXCLUDED if n in catalog)
+    # On a --queries subset run the full-catalog exclusion fields would
+    # mislabel the basis (ADVICE r5): a subset artifact instead carries
+    # "subset": true, and its exclusion list is the exclusions that WOULD
+    # have been timed had they not been excluded — i.e. none, because
+    # exclusions are removed before subsetting — so it stays empty.
+    excluded_applicable = (
+        [] if subset_run else sorted(n for n in EXCLUDED if n in catalog)
+    )
     detail = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -131,6 +139,7 @@ def main() -> None:
         "sf": sf,
         "n_excluded": len(excluded_applicable),
         "excluded": excluded_applicable,
+        "subset": subset_run,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -145,6 +154,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_excluded": len(excluded_applicable),
+        "subset": subset_run,
         "queries_detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)

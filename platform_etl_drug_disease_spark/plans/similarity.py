@@ -1431,7 +1431,15 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_query = (F.col("vec_id") % _PLANT_STRIDE == 0) & (
         F.col("vec_id") < 5 * _PLANT_STRIDE
     )
-    nv = with_unit_vec(emb, "embedding", "nv").select("vec_id", "nv")
+    # zero-norm guard (ADVICE r5): a zero vector unit-normalizes to an array
+    # of NULL components; without a symmetric filter DuckDB would keep the
+    # doc as a NULL-cos_p candidate row while Spark's sum-over-NULLs path
+    # diverges. Both engines drop nv[first] IS NULL rows before projecting.
+    nv = (
+        with_unit_vec(emb, "embedding", "nv")
+        .select("vec_id", "nv")
+        .where(F.col("nv").getItem(0).isNotNull())
+    )
     ex = nv.select(
         "vec_id", F.posexplode("nv").alias("i0", "x")
     ).select(
@@ -1464,10 +1472,21 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, e: acc + e,
     )
     qv, cv = F.col("qv"), F.col("cv")
-    cos_p = F.round(
-        fdot(qv, cv)
-        / F.nullif(F.sqrt(fdot(qv, qv)) * F.sqrt(fdot(cv, cv)), F.lit(0.0)),
-        6,
+    # cos_p is SIGNED and feeds the row_number rank order, so it cannot use
+    # built-in round (engine-specific half-boundary behavior — the exact
+    # divergence class dround documents; dround itself is non-negative-only).
+    # floor(x*1e6 + 0.5)/1e6 is IEEE-exact and negative-consistent on both
+    # engines, same as the DSIR log-ratio treatment (ADVICE r5). The
+    # escored/_NDOT exact side deliberately keeps mirroring knn_bruteforce's
+    # documented pre-existing rounding so the two stay bit-identical.
+    cos_p = (
+        F.floor(
+            fdot(qv, cv)
+            / F.nullif(F.sqrt(fdot(qv, qv)) * F.sqrt(fdot(cv, cv)), F.lit(0.0))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
     )
     pairs = pc.crossJoin(F.broadcast(pq)).where(F.col("q_id") != F.col("c_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos_p").desc(), F.col("c_id"))
@@ -1538,9 +1557,11 @@ n AS (SELECT vec_id, label,
       FROM aug),
 r_m(i, j, s) AS (VALUES {vals}),
 xq AS (
+    -- zero-norm guard, symmetric with the Spark side's isNotNull filter
     SELECT vec_id, r.range AS i,
            CAST(floor(nv[r.range] * 1e9 + 0.5) AS BIGINT) AS xq
     FROM n, range(1, {_DIM} + 1) r
+    WHERE nv[1] IS NOT NULL
 ),
 proj AS (
     SELECT vec_id, j, CAST(SUM(xq * s) AS BIGINT) AS p
@@ -1548,10 +1569,13 @@ proj AS (
 ),
 parr AS (SELECT vec_id, list(p ORDER BY j) AS pv FROM proj GROUP BY vec_id),
 pscored AS (
+    -- floor-based signed rounding, bit-identical to the Spark side (built-in
+    -- round() half-boundaries are engine-specific on signed values)
     SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-           round({pdot("q.pv", "c.pv")}
+           floor({pdot("q.pv", "c.pv")}
                  / nullif(sqrt({pdot("q.pv", "q.pv")})
-                          * sqrt({pdot("c.pv", "c.pv")}), 0.0), 6) AS cos_p
+                          * sqrt({pdot("c.pv", "c.pv")}), 0.0)
+                 * 1e6 + 0.5) / 1e6 AS cos_p
     FROM parr q JOIN parr c
       ON {q_pred} AND q.vec_id != c.vec_id
 ),

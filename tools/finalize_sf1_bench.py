@@ -28,6 +28,13 @@ if detail.get("sf") != "bench1":
         f"{SRC} records sf={detail.get('sf')!r} — not a /tmp/sfbench1 run; "
         "refusing to stamp it as the sf~1 artifact"
     )
+# Refuse a --queries subset run (ADVICE r5): its exclusion fields describe a
+# different basis than the full headline this artifact claims to be.
+if detail.get("subset"):
+    raise SystemExit(
+        f"{SRC} is a --queries subset run; the sf~1 artifact must come from "
+        "a full-headline bench.py invocation"
+    )
 out = {
     "metric": "headline_query_wall_clock_total",
     "value": detail["value"],
