@@ -23,20 +23,26 @@ quantiles) keep their accuracy pytests and rotate in at round 5 under an
 explicit rows-only allowlist. The whole catalog — window and tail — is
 verified every round by ``tools/oracle_check.py`` (195/195 at r3).
 
-Round-5 window (current, per VERDICT r4 item 1): the 5 pinned gates,
-ALL 42 queries with no strict green driver row in CORRECTNESS_r01..r04
-(including the 4 rows-only-by-design sketch/greedy entries under
-WINDOW_ROWS_ONLY_OK), and 3 high-value re-greens. A 50/50 green
-CORRECTNESS_r05 makes ever-driver-proven = the full catalog AS OF the
-round-5 rotation.
-
-Pre-staged round-6 rotation: round 5 ADDED seven catalog queries after
-the window froze — `dedup_recall_audit`, `dsir_importance_stats`,
+Round-6 window (current, per VERDICT r5 items 1/2/5/6): the 5 pinned
+gates, ALL 11 never-driver-proven oracled queries — the 7 round-5
+additions (`dedup_recall_audit`, `dsir_importance_stats`,
 `doremi_mixture_stats`, `doremi_token_quota`, `curation_funnel_stats`,
-`dedup_quality_keeper`, `jl_projection_recall` (all full value-hash
-oracles, local-green via tools/oracle_check). The round-6 window = 5
-pinned gates + these seven first-timers + 38 high-value re-green slots;
-bump WINDOW_ROUND to 6 with the rotation.
+`dedup_quality_keeper`, `jl_projection_recall`) plus the 4 round-6
+additions (`tdigest_quantile_audit`, `hll_rollup_audit`,
+`bpe_roundtrip_audit` — the audit twins that make the sketch/greedy
+family hash-provable — and `dedup_ngram_jaccard_topk`, the headline-safe
+exact-Jaccard variant) — and 34 re-green slots filled oldest-driver-
+evidence-first (all 19 queries whose latest strict green is r1, then 15
+r2/r3-era high-value picks). WINDOW_ROWS_ONLY_OK is RETIRED: every
+window entry now carries a full value-hash oracle; the 4 rows-only
+sketch/greedy originals stay in the catalog tail (pytest-pinned accuracy,
+oracle_check rows-only), each paired with a hash-provable audit twin.
+
+ADD-THEN-FREEZE POLICY (VERDICT r5 item 5, standing): new catalog
+queries land BEFORE the window rotates each round, and the rotation
+includes every not-yet-driver-proven oracled query — so no addition ever
+waits a full round for driver proof. tests/test_catalog_contract.py
+enforces this (`test_window_includes_all_unproven`).
 """
 
 from __future__ import annotations
@@ -52,26 +58,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # artifacts from rounds STRICTLY BEFORE it — otherwise the rotation test goes
 # red the moment the driver deposits the in-flight round's own artifact
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
-WINDOW_ROUND = 5
+WINDOW_ROUND = 6
 
-# Window entries allowed to carry only the driver's weaker rows-only check
-# (no value oracle BY DESIGN: sketch estimates / greedy encodings whose
-# accuracy is pinned by pytest instead). Round 5 rotates in the documented
-# four so the full catalog ends driver-proven.
-WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset(
-    {
-        "price_tdigest_quantiles",
-        "adjacency_degree_approx",
-        "bpe_encode_stats",
-        "hll_user_rollup",
-    }
-)
+# RETIRED round 6 (VERDICT r5 item 2): every window entry now carries a full
+# value-hash oracle. The rows-only sketch/greedy originals
+# (price_tdigest_quantiles, adjacency_degree_approx, bpe_encode_stats,
+# hll_user_rollup) live in the catalog TAIL with pytest-pinned accuracy and
+# hash-provable audit twins (tdigest_quantile_audit, adjacency_degree_audit,
+# bpe_roundtrip_audit, hll_rollup_audit) carrying their driver proof.
+WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# The 50 driver-scored queries, in scoring order. Round-5 rotation: 5 pinned
-# gates + ALL 42 never-driver-proven entries (strict rows+schema+hash
-# criterion over CORRECTNESS_r01..r04) + 3 high-value re-greens. Four entries
-# are rows-only by design (WINDOW_ROWS_ONLY_OK above); the rest carry full
-# value-hash oracles. End state: ever-driver-proven = full catalog.
+# The 50 driver-scored queries, in scoring order. Round-6 rotation: 5 pinned
+# gates + ALL 11 never-driver-proven oracled queries (7 round-5 additions +
+# 4 round-6 additions, landed BEFORE this freeze per the add-then-freeze
+# policy) + 34 oldest-evidence re-greens (every r1-latest query, then r2/r3
+# high-value picks). Every entry carries a full value-hash oracle.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
     # S5/S6 write->read-back)
@@ -80,58 +81,57 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # round-4 additions, first driver rows
-    "supplier_bfs_levels",
-    "supplier_hits_scores",
-    "hourly_gap_fill",
-    "source_nucleus_selection",
-    "price_mad_stats",
-    "value_quantile_profile",
-    # rows-only-by-design sketch/greedy entries (WINDOW_ROWS_ONLY_OK)
-    "price_tdigest_quantiles",
-    "adjacency_degree_approx",
-    "bpe_encode_stats",
-    "hll_user_rollup",
-    # relational / forecasting / stats tail
-    "part_skyline",
-    "part_association_rules",
-    "revenue_holt_forecast",
-    "rolling_median_revenue",
-    "bootstrap_revenue_ci",
-    "k_anonymity_audit",
-    "dq_audit",
-    # corpus curation / dedup / sampling tail
-    "corpus_sample_stats",
-    "clean_corpus_stats",
-    "dedup_fingerprint",
-    "repetition_quality",
-    "temperature_mix_stats",
-    "substring_dedup_stats",
-    "corpus_epoch_stats",
-    "weighted_sample_stats",
-    "word_typo_pairs",
-    "source_quota_allocation",
-    "sample_extrapolation_audit",
-    "source_coverage_greedy",
-    "decontaminate_bloom",
-    "reservoir_sample_stats",
-    "training_shard_stats",
-    "heavy_shingle_stats",
-    "boilerplate_span_stats",
-    # embeddings / ANN tail
-    "kmeans_cells",
-    "knn_cosine_lsh",
-    "embedding_quantize_stats",
-    "media_dedup_stats",
-    # lakehouse tail
-    "zorder_locality_stats",
-    "partition_change_plan",
-    "incremental_rollup_stats",
-    "join_skew_audit",
-    # high-value re-greens (previously driver-proven; rotation headroom)
-    "dedup_minhash_lsh",
-    "trade_pagerank",
-    "streaming_cdc_upsert",
+    # round-5 additions, first driver rows
+    "dedup_recall_audit",
+    "dsir_importance_stats",
+    "doremi_mixture_stats",
+    "doremi_token_quota",
+    "curation_funnel_stats",
+    "dedup_quality_keeper",
+    "jl_projection_recall",
+    # round-6 additions (audit twins + headline-safe exact-Jaccard top-k)
+    "tdigest_quantile_audit",
+    "hll_rollup_audit",
+    "bpe_roundtrip_audit",
+    "dedup_ngram_jaccard_topk",
+    # re-greens: every query whose latest strict green driver row is ROUND 1
+    "corpus_split_stats",
+    "customers_without_orders",
+    "daily_event_type_pivot",
+    "event_interarrival_stats",
+    "hourly_windows",
+    "order_case_buckets",
+    "order_lineitem_right",
+    "order_priority_rollup",
+    "order_value_buckets",
+    "price_quantiles_per_flag",
+    "price_quantity_corr",
+    "quantity_unpivot",
+    "salted_supplier_revenue",
+    "sliding_windows",
+    "status_priority_cube",
+    "supplier_score_blend",
+    "top_customers_per_nation",
+    "two_hop_reach",
+    "typed_json_histogram",
+    # re-greens: r2/r3-era high-value picks (dedup/ANN/streaming/graph/
+    # lakehouse representatives; adjacency_degree_audit re-proves the A2
+    # audit-twin pattern alongside the three new twins)
+    "adjacency_lut",
+    "adjacency_degree_audit",
+    "cdc_upsert_stats",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "embedding_near_dup",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_pq_adc",
+    "lang_id_heuristic",
+    "multimodal_features",
+    "pii_scrub_stats",
+    "propagate_scores",
+    "semantic_dedup_cells",
+    "streaming_hourly_windows",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from platform_etl_drug_disease_spark.operators import text as tx
 from platform_etl_drug_disease_spark.operators.scans import (
     bounded_min_k,
+    bounded_top_k_rows,
     keyed_running_sum,
 )
 from platform_etl_drug_disease_spark.operators.sampling import (
@@ -222,8 +223,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Mirrors the Spark pipeline exactly: df-ranked prefixes (ascending df,
 # shingle tie-break; df>256 shingles excluded from prefixes), prefix-share
-# candidates, then the exact intersection COUNT over all shingles.
-_JACCARD_SQL = _SHINGLES_CTE + """
+# candidates, then the exact intersection COUNT over all shingles. The core
+# (through `verified`) is shared with the top-k variant below.
+_JACCARD_CORE = _SHINGLES_CTE + """
 , ex AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
 freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s HAVING COUNT(*) <= 256),
 ranked AS (
@@ -256,6 +258,75 @@ verified AS (
 )
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
 """
+
+_JACCARD_SQL = _JACCARD_CORE
+
+
+def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 exact-Jaccard neighbours among pairs ≥ 0.5 (VERDICT r5
+    item 6): the headline-safe exact variant. ``dedup_ngram_jaccard``'s
+    all-pairs contract is inherently output-bound (~2,948× fan-out on the
+    adversarial sf≈1 corpus — every downstream consumer inherits it); this
+    form symmetrizes the verified pairs and cuts each doc to its k=3
+    strongest neighbours, so the OUTPUT and everything consuming it is
+    bounded at k·n rows no matter how large duplicate clusters grow. The
+    intermediate candidate/verify fan-out is shared with the unbounded form
+    and remains the documented exact-path trade (MinHash+LSH is the 100-TB
+    candidate path; the recall audit prices the difference) — what this
+    query fixes is the result-set contract, which is what re-enters the
+    timed headline.
+
+    The per-doc cut uses ``bounded_top_k_rows`` (hash-bucketed mergeable
+    top-k), NOT a row_number window over all pairs: a 1M-replica cluster
+    gives each member ~1M qualifying pairs, and a per-doc window would sort
+    them on one reducer; the bounded cut keeps per-reducer state at the
+    sub-bucket slice. The final rank stamp windows over ≤ k rows per doc.
+    Ordering: jaccard DESC (round-6 values — exact integer ratio, identical
+    both engines), neighbour id ASC tie-break — a total order per doc."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
+    pairs = jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, block_col="lang",
+        max_shingle_df=256,
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr_id"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr_id"), "jaccard"
+        )
+    )
+    top = bounded_top_k_rows(
+        sym, ["doc_id"], [-F.col("jaccard"), F.col("nbr_id")], k=3
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("nbr_id")
+    )
+    return top.select(
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("nbr_rank"),
+        "nbr_id",
+        "jaccard",
+    )
+
+
+_JACCARD_TOPK_SQL = _JACCARD_CORE.replace(
+    "SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5",
+    """
+, pairs AS (SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5),
+sym AS (
+    SELECT id_a AS doc_id, id_b AS nbr_id, jaccard FROM pairs
+    UNION ALL
+    SELECT id_b AS doc_id, id_a AS nbr_id, jaccard FROM pairs
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS nbr_rank, nbr_id, jaccard
+FROM (
+    SELECT doc_id, nbr_id, jaccard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY jaccard DESC, nbr_id) AS rn
+    FROM sym
+) WHERE rn <= 3
+""",
+)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,6 +1152,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_fingerprint": dedup_fingerprint,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_topk": dedup_ngram_jaccard_topk,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_recall_audit": dedup_recall_audit,
     "dedup_cluster_components": dedup_cluster_components,
@@ -1105,6 +1177,7 @@ ORACLES = {
     "dedup_exact": _DEDUP_EXACT_SQL,
     "dedup_fingerprint": _DEDUP_FP_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_ngram_jaccard_topk": _JACCARD_TOPK_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_recall_audit": _recall_audit_sql(),
     "dedup_cluster_components": _CC_SQL,
@@ -1311,19 +1384,13 @@ QUERIES["bpe_merge_pair_stats"] = bpe_merge_pair_stats
 ORACLES["bpe_merge_pair_stats"] = _BPE_SQL
 
 
-def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer APPLY (operators/bpe.py): induce a 20-merge table from
-    the corpus pair counts, segment the distinct-word dictionary with the
-    Arrow-batched Pandas UDF, join pieces back to word occurrences, and
-    report per-source compression: word count, piece count, pieces/word,
-    distinct piece vocabulary.
-
-    Rows-only by design: the greedy merge loop is not SQL-expressible; the
-    segmentation semantics are pinned by tests/test_extensions.py (known
-    merges → known pieces, concatenation invariant, dictionary-path ≡
-    per-occurrence path). The 20-row merge list is collected driver-side
-    deliberately — it is the tokenizer artifact, config-sized by definition.
-    """
+def _bpe_occ_dictseg(spark: SparkSession, sf_dir: str):
+    """Shared BPE-apply substrate for ``bpe_encode_stats`` and its audit
+    twin: per-source word occurrences (persisted) and the segmented distinct-
+    word dictionary (persisted — the Arrow UDF runs once per VOCAB word, so
+    cost is ∝ vocabulary regardless of corpus size). The 20-row merge table
+    is collected driver-side deliberately: it is the tokenizer artifact,
+    config-sized by definition."""
     from platform_etl_drug_disease_spark.operators.bpe import segment_dictionary
 
     docs = load_table(spark, sf_dir, "documents", ["source", "text"])
@@ -1348,6 +1415,23 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merges = [r.pair for r in top_pairs.collect()]
     dictseg = segment_dictionary(vocab.select("word"), merges).persist()
+    return occ, dictseg
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (operators/bpe.py): induce a 20-merge table from
+    the corpus pair counts, segment the distinct-word dictionary with the
+    Arrow-batched Pandas UDF, join pieces back to word occurrences, and
+    report per-source compression: word count, piece count, pieces/word,
+    distinct piece vocabulary.
+
+    Rows-only by design: the greedy merge loop is not SQL-expressible; the
+    segmentation semantics are pinned by tests/test_extensions.py (known
+    merges → known pieces, concatenation invariant, dictionary-path ≡
+    per-occurrence path). The 20-row merge list is collected driver-side
+    deliberately — it is the tokenizer artifact, config-sized by definition.
+    """
+    occ, dictseg = _bpe_occ_dictseg(spark, sf_dir)
     joined = occ.join(dictseg.select("word", "n_pieces"), "word")
     base = joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -1373,7 +1457,81 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bpe_encode_stats"] = bpe_encode_stats
 # bpe_encode_stats: rows-only by design (greedy merge loop is not
-# SQL-expressible); semantics pinned by unit tests instead.
+# SQL-expressible); semantics pinned by unit tests instead. Its hash-provable
+# audit twin is bpe_roundtrip_audit below.
+
+
+def bpe_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``bpe_encode_stats``'s driver-provable audit twin (VERDICT r5 item 2):
+    the greedy merge loop itself is not SQL-expressible, so the oracle never
+    reproduces the segmentation — instead the output carries (a) exact
+    tokenizer-level counts a SQL oracle CAN compute (per-source word
+    occurrences and distinct words), and (b) deterministic invariant booleans
+    over the actual BPE-apply output that the oracle asserts as TRUE
+    literals: ``lossless_ok`` — every distinct word's pieces concatenate
+    back to the word (the round-trip property that makes a tokenizer safe to
+    ship), and ``bounds_ok`` — 1 ≤ n_pieces = |pieces| ≤ |word| with no
+    empty piece (pieces partition the word's characters). A broken merge
+    table, UDF batch boundary bug, or dictionary-path/occurrence-path skew
+    flips a boolean and fails the value hash.
+
+    Plan shape: flags are computed once per VOCAB word on the segmented
+    dictionary; the per-(source, word) occurrence counts aggregate FIRST
+    (map-side combinable), then join the word-level flags — so the audit
+    adds only a vocab-sized join to the shared substrate, and distinct-word
+    counting is a count over the grouped table, never a countDistinct beside
+    a regular aggregate (the Expand pathology)."""
+    occ, dictseg = _bpe_occ_dictseg(spark, sf_dir)
+    wordstats = occ.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    flags = dictseg.select(
+        "word",
+        (F.concat_ws("", F.col("pieces")) != F.col("word"))
+        .cast("int")
+        .alias("__viol_lossless"),
+        (
+            (F.col("n_pieces") < 1)
+            | (F.col("n_pieces") > F.length("word"))
+            | (F.size("pieces") != F.col("n_pieces"))
+            | F.exists("pieces", lambda p: p == F.lit(""))
+        )
+        .cast("int")
+        .alias("__viol_bounds"),
+    )
+    return (
+        wordstats.join(flags, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("__occ").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_words"),
+            (F.sum("__viol_lossless") == 0).alias("lossless_ok"),
+            (F.sum("__viol_bounds") == 0).alias("bounds_ok"),
+        )
+    )
+
+
+# Tokenizer-level counts mirror operators.text.tokens exactly (lower, trim,
+# split on \s+, drop empty tokens); the segmentation invariants are asserted
+# as literals — see the docstring for why that is the provable surface.
+_BPE_AUDIT_SQL = r"""
+WITH occ AS (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+    FROM documents
+), f AS (
+    SELECT source, word FROM occ WHERE word IS NOT NULL AND word != ''
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words,
+       TRUE AS lossless_ok,
+       TRUE AS bounds_ok
+FROM f GROUP BY source
+"""
+
+QUERIES["bpe_roundtrip_audit"] = bpe_roundtrip_audit
+ORACLES["bpe_roundtrip_audit"] = _BPE_AUDIT_SQL
 
 
 _EPOCHS = {"src0": 2.5, "src1": 0.4, "src2": 3.0}

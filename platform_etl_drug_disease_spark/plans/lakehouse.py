@@ -597,9 +597,111 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return day_rows.unionByName(week_rows).unionByName(total_rows)
 
 
+def hll_rollup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hll_user_rollup``'s driver-provable audit twin (VERDICT r5 item 2,
+    the ``adjacency_degree_audit`` pattern): per rollup cell (day / week /
+    all-time) the output carries the EXACT distinct-user count, the
+    tolerance bound derived purely from it (``greatest(4, ceil(0.1·exact))``
+    ≈ 6× the lgK=12 sketch's 1.6% rsd), and ``hll_ok`` — whether the merged
+    DataSketches estimate landed inside the bound. The estimate itself never
+    appears in the output: HLL union is a register max, order-insensitive,
+    so ``hll_ok`` is deterministic and the oracle asserts TRUE per cell.
+
+    Scale shape: ONE events scan → distinct (day, user) pairs, persisted and
+    consumed by all four paths (the daily sketch build — HLL is
+    duplicate-insensitive, so sketching the deduped pairs yields identical
+    registers — plus the three exact levels). Week and all-time estimates
+    are SKETCH MERGES of the persisted daily sketches, exactly the
+    pre-aggregated rollup pattern the headline query demonstrates; the exact
+    side re-aggregates the deduped pair table, whose cardinality is bounded
+    by |days|×|users|, not the event count."""
+    ev = load_table(spark, sf_dir, "events", ["ts", "user_id"])
+    pairs = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .persist()
+    )
+    daily = (
+        pairs.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk")).persist()
+    )
+    est = (
+        daily.select(
+            F.lit("day").alias("level"),
+            F.date_format("day", "yyyy-MM-dd").alias("period"),
+            F.hll_sketch_estimate("sk").alias("__est"),
+        )
+        .unionByName(
+            daily.groupBy(F.date_trunc("week", "day").alias("week"))
+            .agg(F.hll_union_agg("sk").alias("sk"))
+            .select(
+                F.lit("week").alias("level"),
+                F.date_format("week", "yyyy-MM-dd").alias("period"),
+                F.hll_sketch_estimate("sk").alias("__est"),
+            )
+        )
+        .unionByName(
+            daily.agg(F.hll_union_agg("sk").alias("sk")).select(
+                F.lit("all").alias("level"),
+                F.lit("all").alias("period"),
+                F.hll_sketch_estimate("sk").alias("__est"),
+            )
+        )
+    )
+    exact = (
+        pairs.groupBy(F.date_format("day", "yyyy-MM-dd").alias("period"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .select(F.lit("day").alias("level"), "period", "n_exact")
+        .unionByName(
+            pairs.select(F.date_trunc("week", "day").alias("week"), "user_id")
+            .distinct()
+            .groupBy(F.date_format("week", "yyyy-MM-dd").alias("period"))
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .select(F.lit("week").alias("level"), "period", "n_exact")
+        )
+        .unionByName(
+            pairs.select("user_id")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .select(
+                F.lit("all").alias("level"), F.lit("all").alias("period"), "n_exact"
+            )
+        )
+    )
+    bound = F.greatest(F.lit(4), F.ceil(F.col("n_exact") * 0.1)).cast("bigint")
+    return exact.join(est, ["level", "period"]).select(
+        "level",
+        "period",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        bound.alias("err_bound"),
+        (F.abs(F.col("__est") - F.col("n_exact")) <= bound).alias("hll_ok"),
+    )
+
+
+_HLL_AUDIT_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), cells AS (
+    SELECT 'day' AS level, strftime(day, '%Y-%m-%d') AS period,
+           COUNT(DISTINCT user_id) AS n_exact
+    FROM pairs GROUP BY 1, 2
+    UNION ALL
+    SELECT 'week', strftime(date_trunc('week', day), '%Y-%m-%d'),
+           COUNT(DISTINCT user_id)
+    FROM pairs GROUP BY 1, 2
+    UNION ALL
+    SELECT 'all', 'all', COUNT(DISTINCT user_id) FROM pairs
+)
+SELECT level, period, CAST(n_exact AS BIGINT) AS n_exact,
+       greatest(4, CAST(ceil(n_exact * 0.1) AS BIGINT)) AS err_bound,
+       TRUE AS hll_ok
+FROM cells
+"""
+
+
 QUERIES = {
     "cdc_upsert_stats": cdc_upsert_stats,
     "hll_user_rollup": hll_user_rollup,
+    "hll_rollup_audit": hll_rollup_audit,
     "zorder_locality_stats": zorder_locality_stats,
     "reservoir_sample_stats": reservoir_sample_stats,
     "dq_audit": dq_audit,
@@ -612,6 +714,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_upsert_stats": _CDC_SQL,
+    "hll_rollup_audit": _HLL_AUDIT_SQL,
     "zorder_locality_stats": _Z_SQL,
     "reservoir_sample_stats": _RES_SQL,
     "dq_audit": _DQ_SQL,

@@ -707,6 +707,79 @@ def price_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tdigest_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``price_tdigest_quantiles``'s driver-provable audit twin (VERDICT r5
+    item 2, the ``adjacency_degree_audit`` pattern): the sketch estimate is
+    engine-specific and never appears in the output — what does is the EXACT
+    disc quantile at each p (an actual data element, bit-identical across
+    engines) plus ``ok_p*`` booleans recording whether the sketch landed
+    inside a deterministic rank bracket.
+
+    Bracket: ``percentile_approx(accuracy=10000)`` guarantees the returned
+    element's rank is within ``n/accuracy = 1e-4·n`` of ``p·n`` for ANY
+    partition/merge order, so the value bracket
+    ``[sorted[max(1, floor((p−2e-3)·n))], sorted[min(n, ceil((p+2e-3)·n))]]``
+    (a 20× margin) contains it deterministically — the booleans are stable
+    TRUE and the oracle asserts them as literals. Exact values and brackets
+    come from ONE rank-arithmetic pass over the per-(flag, value) histogram
+    (``operators/scans.py:value_histogram`` — grid-bounded state, the same
+    machinery as ``price_quantiles_per_flag``); the sketch side is a second
+    map-side-combinable aggregate over the fact scan. No per-group sorted
+    arrays anywhere on the Spark side."""
+    from platform_etl_drug_disease_spark.operators.scans import value_histogram
+
+    li = load_table(spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+    hist = value_histogram(li, ["l_returnflag"], "l_extendedprice")
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = hist.groupBy("l_returnflag").agg(F.sum("c").alias("__n"))
+    h = hist.withColumn("__cum", F.sum("c").over(cum_w)).join(
+        F.broadcast(n), ["l_returnflag"]
+    )
+    margin = 0.002
+    aggs = [F.max("__n").cast("bigint").alias("n")]
+    for label, p in (("p25", 0.25), ("p50", 0.50), ("p75", 0.75)):
+        pos = F.greatest(F.lit(1), F.ceil(F.col("__n") * F.lit(p)))
+        lo_pos = F.greatest(F.lit(1), F.floor(F.col("__n") * F.lit(p - margin)))
+        hi_pos = F.least(F.col("__n"), F.ceil(F.col("__n") * F.lit(p + margin)))
+        val = F.col("l_extendedprice")
+        aggs.append(F.min(F.when(F.col("__cum") >= pos, val)).alias(label))
+        aggs.append(F.min(F.when(F.col("__cum") >= lo_pos, val)).alias(f"__lo_{label}"))
+        aggs.append(F.min(F.when(F.col("__cum") >= hi_pos, val)).alias(f"__hi_{label}"))
+    exact = h.groupBy("l_returnflag").agg(*aggs)
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias("__apx")
+    )
+    joined = exact.join(sk, "l_returnflag")
+    oks = [
+        (
+            (F.col("__apx").getItem(i) >= F.col(f"__lo_{label}"))
+            & (F.col("__apx").getItem(i) <= F.col(f"__hi_{label}"))
+        ).alias(f"ok_{label}")
+        for i, label in enumerate(("p25", "p50", "p75"))
+    ]
+    return joined.select("l_returnflag", "n", "p25", "p50", "p75", *oks)
+
+
+_TDIGEST_AUDIT_SQL = """
+WITH g AS (
+    SELECT l_returnflag,
+           list_sort(list(l_extendedprice)) AS xs,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       xs[CAST(greatest(1, ceil(n * 0.25)) AS BIGINT)] AS p25,
+       xs[CAST(greatest(1, ceil(n * 0.50)) AS BIGINT)] AS p50,
+       xs[CAST(greatest(1, ceil(n * 0.75)) AS BIGINT)] AS p75,
+       TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+FROM g
+"""
+
+
 def quantity_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt — the wide→long inverse of the A7 pivot, via the native
     ``DataFrame.unpivot`` (no per-column union scan of the source: one pass
@@ -742,6 +815,7 @@ QUERIES = {
     "price_quantity_corr": price_quantity_corr,
     "price_quantity_regression": price_quantity_regression,
     "price_tdigest_quantiles": price_tdigest_quantiles,
+    "tdigest_quantile_audit": tdigest_quantile_audit,
     "segment_acctbal_zscore": segment_acctbal_zscore,
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
@@ -764,6 +838,7 @@ QUERIES = {
 
 ORACLES = {
     "flagship_harmonic_topk": _FLAGSHIP_SQL,
+    "tdigest_quantile_audit": _TDIGEST_AUDIT_SQL,
     "quantity_unpivot": _UNPIVOT_SQL,
     "price_quantity_corr": _CORR_SQL,
     "price_quantity_regression": _REGR_SQL,

@@ -86,19 +86,28 @@ def test_window_is_50_and_fully_oracled():
     )
 
 
-def test_window_rotation_is_mostly_first_time():
+def test_window_includes_all_unproven():
+    """Saturated-regime rotation contract (round 6+): ever-driver-proven
+    reached ~the full catalog in r5, so "≥80% first-time" is arithmetically
+    impossible and the binding invariant becomes the ADD-THEN-FREEZE policy
+    (VERDICT r5 item 5): EVERY oracled catalog query with no strict green
+    driver row in rounds < WINDOW_ROUND must be in the window — no addition
+    ever waits a round for driver proof — and the leftover slots are
+    re-greens (which the oldest-evidence-first policy in plans/__init__.py
+    allocates)."""
     from platform_etl_drug_disease_spark.plans import WINDOW_ROUND
 
-    w = _window()
+    q, o = _catalog()
+    w = set(_window())
     # Compare only against rounds before the window's own round — the driver
     # deposits CORRECTNESS_r{WINDOW_ROUND}.json covering exactly this window,
     # which must not count as "already proven" for rotation purposes.
     proven = _ever_proven(before_round=WINDOW_ROUND)
-    first_time = [n for n in w if n not in proven]
-    assert len(first_time) >= 40, (
-        f"rotation contract: ≥80% of the window must be first-time-checked; "
-        f"only {len(first_time)}/50 are (already proven: "
-        f"{sorted(set(w) & proven)})"
+    unproven_oracled = [n for n in q if n not in proven and n in o]
+    left_out = [n for n in unproven_oracled if n not in w]
+    assert not left_out, (
+        f"add-then-freeze contract: oracled queries with no driver row that "
+        f"the round-{WINDOW_ROUND} window fails to include: {left_out}"
     )
 
 

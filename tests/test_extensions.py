@@ -866,3 +866,95 @@ def test_quality_keeper_beats_min_id(spark, tmp_path):
     assert r["keeper_id"] == 2, "higher-quality member must win over min id"
     assert r["keeper_quality"] > r["min_id_quality"]
     assert r["tokens_dropped"] == 15  # doc 1's token count
+
+
+def test_tdigest_audit_exact_quantiles_and_brackets(spark):
+    """The audit twin's exact p25/p50/p75 must equal the proven
+    rank-arithmetic quantiles (price_quantiles_per_flag), and every sketch
+    bracket boolean must be TRUE — at accuracy=10000 the sketch's rank error
+    is ≤ 1e-4·n while the bracket allows 2e-3·n (20× margin), so a FALSE
+    means the audit bracket itself regressed, not sketch noise."""
+    from platform_etl_drug_disease_spark.plans.relational import (
+        price_quantiles_per_flag,
+        tdigest_quantile_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    audit = {r["l_returnflag"]: r for r in tdigest_quantile_audit(spark, sf).collect()}
+    exact = {r["l_returnflag"]: r for r in price_quantiles_per_flag(spark, sf).collect()}
+    assert set(audit) == set(exact)
+    for flag, a in audit.items():
+        e = exact[flag]
+        assert a["n"] == e["n"]
+        for p in ("p25", "p50", "p75"):
+            assert a[p] == e[p], f"{flag}/{p}: audit exact != rank-arithmetic"
+            assert a[f"ok_{p}"] is True, f"{flag}/{p}: sketch left the bracket"
+
+
+def test_hll_rollup_audit_matches_rollup_and_bounds(spark):
+    """Audit cells must mirror hll_user_rollup's (level, period) grid exactly,
+    every hll_ok must be TRUE, and n_exact must be consistent across levels
+    (each week ≥ max of its days, ≤ sum; all-time ≥ max week)."""
+    from platform_etl_drug_disease_spark.plans.lakehouse import (
+        hll_rollup_audit,
+        hll_user_rollup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    audit = hll_rollup_audit(spark, sf).collect()
+    est_cells = {
+        (r["level"], r["period"]) for r in hll_user_rollup(spark, sf).collect()
+    }
+    assert {(r["level"], r["period"]) for r in audit} == est_cells
+    assert all(r["hll_ok"] for r in audit)
+    days = [r for r in audit if r["level"] == "day"]
+    weeks = [r for r in audit if r["level"] == "week"]
+    alls = [r for r in audit if r["level"] == "all"]
+    assert len(alls) == 1 and len(weeks) >= 1 and len(days) >= len(weeks)
+    assert alls[0]["n_exact"] >= max(r["n_exact"] for r in weeks)
+    assert max(r["n_exact"] for r in weeks) >= max(r["n_exact"] for r in days) / 7
+
+
+def test_bpe_roundtrip_audit_invariants(spark):
+    """Both invariant booleans hold on the fixture, and the tokenizer-level
+    counts agree with bpe_encode_stats' word counts per source."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        bpe_encode_stats,
+        bpe_roundtrip_audit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    audit = {r["source"]: r for r in bpe_roundtrip_audit(spark, sf).collect()}
+    stats = {r["source"]: r for r in bpe_encode_stats(spark, sf).collect()}
+    assert set(audit) == set(stats)
+    for src, a in audit.items():
+        assert a["lossless_ok"] is True and a["bounds_ok"] is True
+        assert a["n_words"] == stats[src]["n_words"]
+        assert 0 < a["n_distinct_words"] <= a["n_words"]
+
+
+def test_jaccard_topk_equals_window_cut_of_full_pairs(spark):
+    """The bounded-top-k path must produce exactly the per-doc top-3 (by
+    jaccard DESC, neighbour ASC) of the symmetrized full thresholded pair
+    set — the mergeable cut may never change the result, only the plan."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pairs = dedup_ngram_jaccard(spark, sf).collect()
+    sym: dict[int, list[tuple[float, int]]] = {}
+    for r in pairs:
+        sym.setdefault(r["id_a"], []).append((-r["jaccard"], r["id_b"]))
+        sym.setdefault(r["id_b"], []).append((-r["jaccard"], r["id_a"]))
+    expected = set()
+    for doc, nbrs in sym.items():
+        for rank, (negj, nbr) in enumerate(sorted(nbrs)[:3], start=1):
+            expected.add((doc, rank, nbr, -negj))
+    got = {
+        (r["doc_id"], r["nbr_rank"], r["nbr_id"], r["jaccard"])
+        for r in dedup_ngram_jaccard_topk(spark, sf).collect()
+    }
+    assert got == expected
+    assert expected, "fixture must contain at least one near-dup pair"
