@@ -39,7 +39,11 @@ EXCLUDED: dict[str, str] = {
         "proportional to delivered output by design — a cap would bound the "
         "output sort, not the verify join that dominates. The documented "
         "scale path for near-dup at 100 TB is MinHash+LSH; "
-        "dedup_minhash_lsh is the timed representative (4.9s at sf~1). "
+        "dedup_minhash_lsh is the timed representative (4.9s at sf~1), and "
+        "round 6 adds dedup_ngram_jaccard_topk as the TIMED exact-path "
+        "representative with a bounded k*n output contract (it shares this "
+        "query's candidate/verify stage, so its timing carries the exact "
+        "path's cost honestly; what it fixes is the result-set contract). "
         "Correctness stays fully gated: the query remains in queries()/"
         "oracle_sql() and tools/oracle_check runs it every round "
         "(driver-proven green in CORRECTNESS_r02)."

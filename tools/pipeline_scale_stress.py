@@ -200,22 +200,98 @@ def run_both_sinks(spark, inputs: dict, sink_dir: str) -> float:
     return wall
 
 
-def skew_net_engages(spark, inputs: dict) -> bool:
+def network_shuffle_stats(spark, inputs: dict) -> list[dict]:
+    """Raw MapOutputStatistics for every shuffle stage of the network build
+    (the neighbour-explode join): per-stage max/median partition bytes. This
+    is the ground truth the AQE skew verdicts summarize — recorded so the
+    PERF.md table can show the hub key's actual byte skew at each scale
+    (round-5 lesson: debug skew decisions from bytesByPartitionId, not from
+    plan strings alone). Runs under the SAME armed confs as the skew check
+    (autoBroadcast off → the neighbour join is an SMJ whose exchanges carry
+    the raw per-key distribution; with defaults the dims broadcast and
+    there is no shuffle to measure), with the skew/coalesce REWRITES off so
+    the recorded bytes are the pre-AQE distribution, not the post-split
+    one."""
+    import statistics
+
+    from platform_etl_drug_disease_spark.plans.domain_loaders import (
+        shape_expression,
+        shape_targets,
+    )
+    from platform_etl_drug_disease_spark.plans.network import (
+        tissue_filtered_network,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    stats: list[dict] = []
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        net = tissue_filtered_network(
+            inputs["interactions"],
+            shape_targets(inputs["target"]),
+            shape_expression(inputs["expression"]),
+        )
+        net.collect()
+
+        def walk(node) -> None:
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan())
+                return
+            if cls.endswith("QueryStageExec"):
+                if "Shuffle" in cls:
+                    ms = node.mapStats()
+                    if ms.isDefined():
+                        xs = list(ms.get().bytesByPartitionId())
+                        nz = [x for x in xs if x > 0] or [0]
+                        stats.append(
+                            {
+                                "partitions": len(xs),
+                                "max_bytes": max(xs),
+                                "median_nonzero_bytes": int(statistics.median(nz)),
+                            }
+                        )
+                walk(node.plan())
+                return
+            it = node.children().iterator()
+            while it.hasNext():
+                walk(it.next())
+
+        walk(net._jdf.queryExecution().executedPlan())
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    spark.catalog.clearCache()
+    return stats
+
+
+def skew_net_engages(spark, inputs: dict, coalesce: bool = False) -> bool:
     """Arm the AQE skew net at fixture-sized thresholds and check the
     network build (the neighbour-explode join feeding the propagate path):
     the planted mega-hub's key must come out of AQE as a skew=true SMJ.
 
-    coalescePartitions is disabled for THIS check only (measured, round 5):
-    at fixture scale the stage totals ~1 MB, so CoalesceShufflePartitions
-    (parallelismFirst + 1 MB minPartitionSize) merges the ~29 KB raw
-    partitions into ≥1 MB reads BEFORE the skew comparison — after which
-    the 164 KB hot-key partition is no longer ≥ factor × median and the
-    split is (correctly) skipped. At real scale every partition exceeds
-    minPartitionSize, coalescing is a no-op, and the two rules compose —
-    so disabling coalesce here is the honest toy-scale proxy for the
-    100-TB plan, not a cheat. With coalesce on, this returns False at any
-    fixture size; with it off, the planted hub key splits (verified
-    against raw MapOutputStatistics: hot 164,239 B vs median 29,539 B)."""
+    ``coalesce=False`` (the toy-scale proxy, measured round 5): at 1×–10×
+    the stage totals ~1 MB, so CoalesceShufflePartitions (parallelismFirst
+    + 1 MB minPartitionSize) merges the ~29 KB raw partitions into ≥1 MB
+    reads BEFORE the skew comparison — after which the 164 KB hot-key
+    partition is no longer ≥ factor × median and the split is (correctly)
+    skipped; disabling coalesce exposes the raw distribution.
+
+    ``coalesce=True`` (round 6, the data-bound check): once median raw
+    partitions exceed coalesce's 1 MB minPartitionSize the merge is a no-op
+    and the two AQE rules compose WITHOUT any workaround — the 100× fixture
+    is the first scale where that regime is reachable locally, so the 100×
+    run asserts skew=true with coalesce LEFT ON, closing the round-5
+    negative result with a measurement instead of an argument."""
     from platform_etl_drug_disease_spark.plans.domain_loaders import (
         shape_expression,
         shape_targets,
@@ -230,7 +306,8 @@ def skew_net_engages(spark, inputs: dict) -> bool:
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.coalescePartitions.enabled":
+            "true" if coalesce else "false",
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
     try:
@@ -276,22 +353,34 @@ def main() -> None:
         n_assoc = spark.read.parquet(os.path.join(sink, "associations")).count()
         n_dd = spark.read.json(os.path.join(sink, "drug_disease")).count()
         skew = skew_net_engages(spark, inputs)
+        skew_coalesced = skew_net_engages(spark, inputs, coalesce=True)
+        shuffles = network_shuffle_stats(spark, inputs)
+        hot = max(shuffles, key=lambda s: s["max_bytes"]) if shuffles else None
         results[scale] = {
             "scale": scale,
             "wall_sec": round(min(walls), 3),
             "associations_rows": n_assoc,
             "drug_disease_rows": n_dd,
             "aqe_skew_split_on_network_join": skew,
+            "aqe_skew_split_with_coalesce_on": skew_coalesced,
+            "network_hot_shuffle": hot,
         }
         print(json.dumps(results[scale]))
-    if len(scales) == 2:
-        lo, hi = scales
+    if len(scales) >= 2:
+        ratios = [
+            {
+                "scales": f"{lo}->{hi}",
+                "data_ratio": hi / lo,
+                "wall_ratio": round(
+                    results[hi]["wall_sec"] / results[lo]["wall_sec"], 3
+                ),
+            }
+            for lo, hi in zip(scales, scales[1:])
+        ]
         print(json.dumps({
             "metric": "pipeline_scale_stress",
-            "wall_ratio": round(results[hi]["wall_sec"] / results[lo]["wall_sec"], 3),
-            "data_ratio": hi / lo,
-            "low": results[lo],
-            "high": results[hi],
+            "ratios": ratios,
+            "results": results,
         }))
 
 
