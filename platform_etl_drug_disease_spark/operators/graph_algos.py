@@ -402,6 +402,20 @@ def hits_scores(
         # discipline as bfs_levels) so the persisted input can be RELEASED
         # immediately — without this, each half-step's cache accumulated
         # for the life of the session (ADVICE r4).
+        #
+        # Round-6 trade-off measurement (tools/hits_tradeoff.py, VERDICT r5
+        # item 8) pins this as the ONLY depth-scalable form, not merely the
+        # bounded-cache one: wall grows linearly in n_iters (2.2/3.9/7.3 s
+        # at k=2/4/8, sf0.1). The "cheaper" alternatives both lose —
+        # deferred unpersist-on-next-step (persist each half-step, release
+        # the previous after the next materializes) keeps lineage nested,
+        # and because the normalizer references `scores` TWICE (main side +
+        # broadcast total) the analyzed logical plan DOUBLES per half-step
+        # (measured ×2.3: 6.6k → 241k plan chars by half-step 6; per-step
+        # count wall 1.3 s → 165 s at sf0.001 — caching bounds executor
+        # memory, not driver re-analysis) and never finishes k=4 at sf0.1;
+        # skipping the persist entirely runs the half-step subtree twice
+        # inside one checkpoint job, measured ~2.2× eager at k=2.
         s = scores.persist()
         tot = s.agg(F.sum(F.col("s").cast(_DEC)).cast("double").alias("t"))
         out = (
