@@ -288,13 +288,24 @@ def dedup_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, block_col="lang",
         max_shingle_df=256,
     )
+    # symmetrize in ONE pass: a union of two selects over `pairs` would
+    # reference the whole candidate/verify subtree twice and execute it
+    # twice (measured +12 s at sf≈1 — the same double-subtree cost the HITS
+    # trade-off pinned); a 2-element explode emits both directions from a
+    # single execution, no persist needed.
     sym = pairs.select(
-        F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr_id"), "jaccard"
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr_id"), "jaccard"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("doc_id"), F.col("id_b").alias("nbr_id")
+                ),
+                F.struct(
+                    F.col("id_b").alias("doc_id"), F.col("id_a").alias("nbr_id")
+                ),
+            )
+        ).alias("e"),
+        "jaccard",
+    ).select("e.doc_id", "e.nbr_id", "jaccard")
     top = bounded_top_k_rows(
         sym, ["doc_id"], [-F.col("jaccard"), F.col("nbr_id")], k=3
     )
