@@ -175,3 +175,26 @@ def test_scaled_power_law_fixture_runs_full_dag(spark, tmp_path):
     # the hub target's neighbourhood must actually propagate: T1 appears as
     # an association target (it receives evidence from every partner)
     assert assoc.where(F.col("target_id") == "T1").count() > 0
+
+
+def test_network_shuffle_stats_capture(spark, tmp_path):
+    """The MapOutputStatistics walker (round-6 stress instrument) must find
+    at least one shuffle stage of the network build under the armed SMJ
+    confs and report sane byte stats — guards the PERF.md hub-skew numbers
+    against JVM-API drift (the walker reaches into QueryStageExec/mapStats
+    via py4j, which has no compile-time contract)."""
+    from tools.pipeline_scale_stress import (
+        load_inputs,
+        network_shuffle_stats,
+        write_fixture,
+    )
+
+    write_fixture(spark, scale=1, out_dir=str(tmp_path), base_targets=60)
+    inputs = load_inputs(spark, str(tmp_path))
+    stats = network_shuffle_stats(spark, inputs)
+    assert stats, "no shuffle stage captured under autoBroadcast=-1"
+    for s in stats:
+        assert s["partitions"] > 0
+        assert s["max_bytes"] >= s["median_nonzero_bytes"] >= 0
+    # restored confs: the armed run must not leak into the session
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") != "false"
