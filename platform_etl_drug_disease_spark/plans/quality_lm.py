@@ -267,11 +267,135 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# count-min frequency sketch — the frequency member of the sketch family
+# (HLL = distinct, t-digest = quantiles, Bloom = membership, MinHash =
+# similarity). Unlike those, an md5-hashed CMS is FULLY deterministic on both
+# engines, so the entire sketch — counters, estimates, overcounts — is
+# value-hash-checked end to end; no audit twin needed.
+# ---------------------------------------------------------------------------
+
+CMS_W = 1024  # buckets per row: counter table is D×W rows, FIXED memory
+CMS_D = 4     # independent hash rows: est = min over rows
+
+
+def _cms_bucket(d: int, col) -> F.Column:
+    """Row-``d`` bucket of a token: md5-derived 60-bit int (the repo's
+    cross-engine hash family) mod CMS_W. Non-negative, so Spark pmod and
+    DuckDB ``%`` agree."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(CMS_W))
+
+
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, audited against exact
+    counts for the top-20 tokens: per probe token — exact count, CMS
+    estimate (min over CMS_D md5-hashed counter rows), the overcount
+    (collision mass, ≥ 0 by construction), and the ``never_undercount``
+    guarantee boolean.
+
+    Why it's in the catalog: CMS is the 100-TB frequency primitive — the
+    counter table is CMS_D×CMS_W rows of map-side-combinable integer sums
+    (FIXED memory no matter the corpus; mergeable across shards/streams by
+    plain addition), where the exact per-token count table grows with the
+    vocabulary. The probabilistic ε·N error bound is deliberately NOT
+    asserted (for fixed hashes it only holds in expectation; asserting it
+    would make the oracle flaky at some scale) — the deterministic
+    one-sided guarantee is, and the measured overcount is a hash-checked
+    VALUE, so any hash/bucketing drift fails the driver gate.
+
+    Plan shape: one token scan feeds both the exact counts (top-20 via
+    TakeOrderedAndProject over the aggregate) and the sketch build (a
+    4-struct explode_outer per token → groupBy (d, bucket), 4,096 result
+    rows); the 80-row probe set broadcasts into the counter join. The
+    4-way explode rides the house explode_outer+isNotNull form (the
+    InferFiltersFromGenerate guard)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    occ = (
+        docs.select(F.explode_outer(tx.tokens("text")).alias("tok"))
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(20)
+
+    def cms_rows(src: DataFrame, *keep: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"), _cms_bucket(d, F.col("tok")).alias("bucket")
+                )
+                for d in range(CMS_D)
+            ]
+        )
+        return (
+            src.select(*keep, F.explode_outer(arr).alias("e"))
+            .where(F.col("e").isNotNull())
+            .select(*keep, "e.d", "e.bucket")
+        )
+
+    counters = cms_rows(occ).groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    probes = cms_rows(top, "tok", "exact_cnt")
+    est = (
+        counters.join(F.broadcast(probes), ["d", "bucket"])
+        .groupBy("tok")
+        .agg(
+            F.max("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.min("cnt").cast("bigint").alias("cms_est"),
+        )
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("never_undercount"),
+    )
+
+
+_CMS_SQL = rf"""
+WITH occ AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+), f AS (
+    SELECT tok FROM occ WHERE tok IS NOT NULL AND tok != ''
+), exact AS (
+    SELECT tok, COUNT(*) AS exact_cnt FROM f GROUP BY tok
+), top AS (
+    SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20
+), rows_d AS (
+    SELECT d FROM (VALUES (0), (1), (2), (3)) v(d)
+), counters AS (
+    SELECT r.d,
+           ('0x' || substr(md5(concat('cms', r.d, ':', f.tok)), 1, 15))::BIGINT
+               % {CMS_W} AS bucket,
+           COUNT(*) AS cnt
+    FROM f, rows_d r GROUP BY 1, 2
+), probes AS (
+    SELECT t.tok, t.exact_cnt, r.d,
+           ('0x' || substr(md5(concat('cms', r.d, ':', t.tok)), 1, 15))::BIGINT
+               % {CMS_W} AS bucket
+    FROM top t, rows_d r
+)
+SELECT p.tok,
+       CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overcount,
+       (MIN(c.cnt) >= p.exact_cnt) AS never_undercount
+FROM probes p JOIN counters c ON p.d = c.d AND p.bucket = c.bucket
+GROUP BY p.tok, p.exact_cnt
+"""
+
+
 QUERIES = {
     "quality_lm_score": quality_lm_score,
     "vocab_zipf_stats": vocab_zipf_stats,
     "heavy_shingle_stats": heavy_shingle_stats,
     "pmi_collocations": pmi_collocations,
+    "cms_token_frequency": cms_token_frequency,
 }
 
 ORACLES = {
@@ -279,6 +403,7 @@ ORACLES = {
     "vocab_zipf_stats": _VOCAB_SQL,
     "heavy_shingle_stats": _HEAVY_SQL,
     "pmi_collocations": _PMI_SQL,
+    "cms_token_frequency": _CMS_SQL,
 }
 
 

@@ -958,3 +958,53 @@ def test_jaccard_topk_equals_window_cut_of_full_pairs(spark):
     }
     assert got == expected
     assert expected, "fixture must contain at least one near-dup pair"
+
+
+def test_cms_token_frequency_guarantees(spark):
+    """CMS invariants on the fixture: 20 probe rows (the true top-20), the
+    one-sided never-undercount guarantee everywhere, overcount arithmetic
+    consistent, and per-row bucket conservation (every token lands in
+    exactly one in-range bucket per hash row — the property that makes the
+    D×W counter table mergeable by plain addition)."""
+    import pyspark.sql.functions as F
+
+    from platform_etl_drug_disease_spark.operators import text as tx
+    from platform_etl_drug_disease_spark.plans.quality_lm import (
+        CMS_D,
+        CMS_W,
+        _cms_bucket,
+        cms_token_frequency,
+    )
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = cms_token_frequency(spark, sf).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["never_undercount"] is True
+        assert r["overcount"] >= 0
+        assert r["cms_est"] == r["exact_cnt"] + r["overcount"]
+
+    # independent top-20 recount: the probe set must be the exact top-20
+    occ = (
+        load_table(spark, sf, "documents", ["doc_id", "text"])
+        .select(F.explode_outer(tx.tokens("text")).alias("tok"))
+        .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
+    )
+    expect = {
+        (r["tok"], r["cnt"])
+        for r in occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(20)
+        .collect()
+    }
+    assert {(r["tok"], r["exact_cnt"]) for r in rows} == expect
+
+    # bucket conservation per hash row
+    n = occ.count()
+    for d in range(CMS_D):
+        in_range = occ.select(_cms_bucket(d, F.col("tok")).alias("b")).where(
+            (F.col("b") >= 0) & (F.col("b") < CMS_W)
+        )
+        assert in_range.count() == n
