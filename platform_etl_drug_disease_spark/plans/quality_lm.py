@@ -280,11 +280,14 @@ CMS_D = 4     # independent hash rows: est = min over rows
 
 
 def _cms_bucket(d: int, col) -> F.Column:
-    """Row-``d`` bucket of a token: md5-derived 60-bit int (the repo's
-    cross-engine hash family) mod CMS_W. Non-negative, so Spark pmod and
-    DuckDB ``%`` agree."""
+    """Row-``d`` bucket of a token: ONE md5 digest per token, the 4 hash
+    rows taken from its disjoint 8-hex-char (32-bit) slices — the repo's
+    cross-engine hash family, at a quarter of the hashing cost of 4
+    independent salted digests (measured: the salted form made md5 the
+    query's hot path at sf≈1). Non-negative, so Spark pmod and DuckDB
+    ``%`` agree."""
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), col)), 1, 15), 16, 10
+        F.substring(F.md5(col), 1 + 8 * d, 8), 16, 10
     ).cast("bigint")
     return F.pmod(h, F.lit(CMS_W))
 
@@ -306,18 +309,25 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-sided guarantee is, and the measured overcount is a hash-checked
     VALUE, so any hash/bucketing drift fails the driver gate.
 
-    Plan shape: one token scan feeds both the exact counts (top-20 via
-    TakeOrderedAndProject over the aggregate) and the sketch build (a
-    4-struct explode_outer per token → groupBy (d, bucket), 4,096 result
-    rows); the 80-row probe set broadcasts into the counter join. The
-    4-way explode rides the house explode_outer+isNotNull form (the
+    Plan shape: ONE token scan → the map-side-combinable exact count table
+    (vocab-sized, persisted — consumed by the top-20 TakeOrderedAndProject
+    AND the sketch build); the counters are the SAME multiset sum built
+    from (token, count) rows — ``counter(d,b) = Σ count over tokens
+    hashing to b`` — so md5 runs once per DISTINCT token instead of once
+    per occurrence (measured 10.3 s → sub-second at sf≈1: occurrence-level
+    hashing made md5 the hot path on a ~15M-token corpus; vocabulary is
+    Heaps-sublinear, which is the same cost argument as the BPE apply).
+    The 80-row probe set broadcasts into the counter join; the 4-way
+    explode rides the house explode_outer+isNotNull form (the
     InferFiltersFromGenerate guard)."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     occ = (
         docs.select(F.explode_outer(tx.tokens("text")).alias("tok"))
         .where(F.col("tok").isNotNull() & (F.col("tok") != ""))
     )
-    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    exact = (
+        occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt")).persist()
+    )
     top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(20)
 
     def cms_rows(src: DataFrame, *keep: str) -> DataFrame:
@@ -335,8 +345,8 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*keep, "e.d", "e.bucket")
         )
 
-    counters = cms_rows(occ).groupBy("d", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    counters = cms_rows(exact, "exact_cnt").groupBy("d", "bucket").agg(
+        F.sum("exact_cnt").alias("cnt")
     )
     probes = cms_rows(top, "tok", "exact_cnt")
     est = (
@@ -370,13 +380,13 @@ WITH occ AS (
     SELECT d FROM (VALUES (0), (1), (2), (3)) v(d)
 ), counters AS (
     SELECT r.d,
-           ('0x' || substr(md5(concat('cms', r.d, ':', f.tok)), 1, 15))::BIGINT
+           ('0x' || substr(md5(e.tok), 1 + 8 * r.d, 8))::BIGINT
                % {CMS_W} AS bucket,
-           COUNT(*) AS cnt
-    FROM f, rows_d r GROUP BY 1, 2
+           SUM(e.exact_cnt) AS cnt
+    FROM exact e, rows_d r GROUP BY 1, 2
 ), probes AS (
     SELECT t.tok, t.exact_cnt, r.d,
-           ('0x' || substr(md5(concat('cms', r.d, ':', t.tok)), 1, 15))::BIGINT
+           ('0x' || substr(md5(t.tok), 1 + 8 * r.d, 8))::BIGINT
                % {CMS_W} AS bucket
     FROM top t, rows_d r
 )
