@@ -44,6 +44,13 @@ queries land BEFORE the window rotates each round, and the rotation
 includes every not-yet-driver-proven oracled query — so no addition ever
 waits a full round for driver proof. tests/test_catalog_contract.py
 enforces this (`test_window_includes_all_unproven`).
+
+Pre-staged round-7 rotation: land any round-7 additions FIRST, then set
+the window to 5 pins + those additions + re-greens biased oldest-driver-
+evidence-first — after a green CORRECTNESS_r06 the oldest remaining
+evidence is the r2-latest cohort (adjacency_lut-era relational/dedup/
+retrieval queries; see the r6 re-green comment below for the ones already
+re-proven). Bump WINDOW_ROUND to 7 with the rotation.
 """
 
 from __future__ import annotations
