@@ -685,6 +685,121 @@ def jaccard_pairs(
     )
 
 
+def containment_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    k: int = 3,
+    block_col: str | None = None,
+    max_shingle_df: int | None = 256,
+) -> DataFrame:
+    """Per-doc top-``k`` CONTAINING documents by shingle containment
+    ``c(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold`` — the ASYMMETRIC
+    near-dup relation. Symmetric Jaccard structurally misses size-skewed
+    duplication (a doc quoted whole inside a 10× larger aggregator page has
+    J ≈ 0.1 at any useful threshold but containment ≈ 1.0), and that
+    wrapped-inclusion pattern is a major residual duplicate class in web
+    training corpora after Jaccard/MinHash passes.
+
+    Candidate generation is the PPJoin prefix principle adapted to the
+    one-sided constraint: ``c(A,B) ≥ τ`` forces B to share at least one of
+    A's ``⌊|sh_A|·(1−τ)⌋ + 1`` globally-RAREST shingles (if B misses the
+    whole prefix, the intersection is at most ``|sh_A| − prefix_len <
+    τ·|sh_A|``), so the join runs A-prefix × all-docs — and because every
+    prefix shingle passed the ``max_shingle_df`` cap, the B side per join
+    key is at most ``max_shingle_df`` rows: candidate fan-out is
+    Σ_A prefix_len(A) × df ≤ cap, never corpus². Unlike the Jaccard join
+    there is NO prefix on B (containment puts no constraint on the
+    container's size — that asymmetry is the point). As in
+    :func:`jaccard_pairs`, the df cap bounds prefix membership only
+    (documented contract: a doc whose shingles are almost all hotter than
+    the cap can miss containers); verification counts the TRUE intersection
+    over ALL shingles, hot included, so reported values are exact.
+
+    Output contract is bounded at k·n from the start (the lesson of
+    ``dedup_ngram_jaccard``): per contained doc, its k strongest containers
+    by (containment DESC, container id ASC), cut with the mergeable
+    :func:`~platform_etl_drug_disease_spark.operators.scans.bounded_top_k_rows`
+    — no per-doc window over an unbounded pair set. Returns
+    (id_a, id_b, containment) rows, ≤ k per id_a."""
+    from platform_etl_drug_disease_spark.operators.scans import bounded_top_k_rows
+    from pyspark.sql import Window
+
+    cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    keep = cols + [F.col(text_col)]
+    sh = (
+        with_shingles(df.select(*keep), text_col, shingle_n)
+        .select(*cols, F.col("sh"), F.size("sh").alias("__sz"))
+        .persist()  # consumed by the exploded join and the size lookup
+    )
+    # 8-byte hashed shingle keys for every shuffle, as in jaccard_pairs
+    # (same birthday-bounded collision argument; the oracle joins on raw
+    # shingle text — any consistent key gives identical counts).
+    exploded = sh.select(
+        *cols, F.col("__sz"), F.explode("sh").alias("__s")
+    ).select(*cols, F.col("__sz"), F.xxhash64("__s").alias("shingle"))
+    freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    if max_shingle_df is not None:
+        freq = freq.where(F.col("__df") <= max_shingle_df)
+    w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
+    prefix_len = F.floor(F.col("__sz") * F.lit(1.0 - threshold)).cast("int") + 1
+    pref = (
+        exploded.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= prefix_len)
+        .select(*cols, "shingle", "__sz")
+    )
+    a, b = pref.alias("a"), exploded.alias("b")
+    # size prune, lossless by arithmetic: c(A,B) ≥ τ needs |A∩B| ≥ τ·|sh_A|,
+    # and |A∩B| ≤ |sh_B| — so a container smaller than τ·|sh_A| can never
+    # qualify. Applied INSIDE the candidate join, it kills the coincidental
+    # shared-rare-shingle pairs with small B before they reach the verify
+    # fan-out (the verify costs O(candidates × |sh_A|); measured 52.3 s →
+    # see the catalog query docstring for the post-prune number at sf≈1 on
+    # the replica-dense corpus). The 1e-6 slack mirrors jaccard_pairs'
+    # inter_floor guard against float round-off at exact boundaries.
+    cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & (
+            F.col("b.__sz").cast("double")
+            >= F.lit(threshold) * F.col("a.__sz") - F.lit(1e-6)
+        )
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = sh.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a"))
+    scored = (
+        inter.join(sizes, "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("__inter").cast("double") / F.col("__sz_a"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+    return bounded_top_k_rows(
+        scored, ["id_a"], [-F.col("containment"), F.col("id_b")], k=k
+    )
+
+
 def simhash64(text_tokens: Column, prefix_hex: int = 15) -> Column:
     """SimHash over a token array: per-bit majority vote of md5-derived
     60-bit token hashes (15 hex chars — fits a signed bigint).

@@ -24,16 +24,17 @@ explicit rows-only allowlist. The whole catalog — window and tail — is
 verified every round by ``tools/oracle_check.py`` (195/195 at r3).
 
 Round-6 window (current, per VERDICT r5 items 1/2/5/6): the 5 pinned
-gates, ALL 12 never-driver-proven oracled queries — the 7 round-5
+gates, ALL 13 never-driver-proven oracled queries — the 7 round-5
 additions (`dedup_recall_audit`, `dsir_importance_stats`,
 `doremi_mixture_stats`, `doremi_token_quota`, `curation_funnel_stats`,
-`dedup_quality_keeper`, `jl_projection_recall`) plus the 5 round-6
+`dedup_quality_keeper`, `jl_projection_recall`) plus the 6 round-6
 additions (`tdigest_quantile_audit`, `hll_rollup_audit`,
 `bpe_roundtrip_audit` — the audit twins that make the sketch/greedy
 family hash-provable — `dedup_ngram_jaccard_topk`, the headline-safe
-exact-Jaccard variant, and `cms_token_frequency`, the fully-deterministic
-count-min frequency sketch) — and 33 re-green slots filled oldest-driver-
-evidence-first (all 19 queries whose latest strict green is r1, then 14
+exact-Jaccard variant, `cms_token_frequency`, the fully-deterministic
+count-min frequency sketch, and `dedup_containment_topk`, asymmetric
+wrapped-inclusion dedup) — and 32 re-green slots filled oldest-driver-
+evidence-first (all 19 queries whose latest strict green is r1, then 13
 r2/r3-era high-value picks). WINDOW_ROWS_ONLY_OK is RETIRED: every
 window entry now carries a full value-hash oracle; the 4 rows-only
 sketch/greedy originals stay in the catalog tail (pytest-pinned accuracy,
@@ -77,9 +78,9 @@ WINDOW_ROUND = 6
 WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
 
 # The 50 driver-scored queries, in scoring order. Round-6 rotation: 5 pinned
-# gates + ALL 12 never-driver-proven oracled queries (7 round-5 additions +
-# 5 round-6 additions, landed BEFORE this freeze per the add-then-freeze
-# policy) + 33 oldest-evidence re-greens (every r1-latest query, then r2/r3
+# gates + ALL 13 never-driver-proven oracled queries (7 round-5 additions +
+# 6 round-6 additions, landed BEFORE this freeze per the add-then-freeze
+# policy) + 32 oldest-evidence re-greens (every r1-latest query, then r2/r3
 # high-value picks). Every entry carries a full value-hash oracle.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
@@ -104,6 +105,7 @@ _DRIVER_WINDOW = [
     "bpe_roundtrip_audit",
     "dedup_ngram_jaccard_topk",
     "cms_token_frequency",
+    "dedup_containment_topk",
     # re-greens: every query whose latest strict green driver row is ROUND 1
     "corpus_split_stats",
     "customers_without_orders",
@@ -136,7 +138,6 @@ _DRIVER_WINDOW = [
     "knn_cosine_bruteforce",
     "knn_cosine_ivf",
     "knn_pq_adc",
-    "multimodal_features",
     "pii_scrub_stats",
     "propagate_scores",
     "semantic_dedup_cells",

@@ -1008,3 +1008,40 @@ def test_cms_token_frequency_guarantees(spark):
             (F.col("b") >= 0) & (F.col("b") < CMS_W)
         )
         assert in_range.count() == n
+
+
+def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+    """The asymmetric-class claim, planted: a small doc quoted WHOLE inside
+    a 10x larger aggregator page must surface as a containment~1.0 container
+    while the symmetric Jaccard pair set at tau=0.5 misses the pair
+    entirely (J = |A|/|B| ~ 0.1)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        containment_topk,
+        jaccard_pairs,
+    )
+
+    quoted = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(8))
+    filler = " ".join(f"filler{j} pad{j} noise{j}" for j in range(80))
+    rows = [
+        (1, quoted),                          # the small original
+        (2, filler + " " + quoted),           # aggregator wrapping it whole
+        (9, " ".join(f"z{i}" for i in range(30))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    jac = jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.5,
+                        max_shingle_df=None).collect()
+    assert not any({r["id_a"], r["id_b"]} == {1, 2} for r in jac), (
+        "fixture broken: the planted pair must be BELOW symmetric J=0.5"
+    )
+    top = containment_topk(df, "doc_id", "text", shingle_n=3, threshold=0.8,
+                           k=3, max_shingle_df=None).collect()
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in top}
+    assert (1, 2) in got, "containment must surface the wrapped inclusion"
+    assert got[(1, 2)] >= 0.95
+    assert not any(a == 9 or b == 9 for a, b in got), "unrelated doc clean"
+    # asymmetry: the big page is NOT contained in the small one
+    assert (2, 1) not in got
