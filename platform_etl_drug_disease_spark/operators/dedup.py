@@ -472,6 +472,32 @@ def connected_components_star(
     return comp.union(roots)
 
 
+def _min_inter(sz: Column, threshold: float) -> Column:
+    """Smallest integer intersection satisfying ``inter / sz ≥ threshold``:
+    ``ceil(τ·sz − 1e-6)``. The 1e-6 slack absorbs float representation error
+    in BOTH directions safely: if τ·sz is truly an integer m, the computed
+    double lands within ±ulp of m and ``ceil(m − 1e-6) = m`` regardless of
+    rounding direction; if it is truly non-integral, the slack can only pull
+    the ceil DOWN by one, which loosens the bound (more candidates, never
+    fewer) — lossless either way."""
+    return F.ceil(sz.cast("double") * F.lit(threshold) - F.lit(1e-6)).cast("int")
+
+
+def _prefix_len(sz: Column, threshold: float) -> Column:
+    """PPJoin prefix length ``sz − ⌈τ·sz⌉ + 1``, integer-exact.
+
+    Losslessness: a qualifying pair needs ``inter ≥ ⌈τ·sz⌉`` elements of the
+    sz-element ranked list, so missing an entire prefix of this length caps
+    the intersection at ``sz − prefix_len = ⌈τ·sz⌉ − 1 < τ·sz`` — at least
+    one prefix element must be shared. The naive float form
+    ``floor(sz·(1−τ)) + 1`` silently evaluates ``1−0.8`` as
+    0.19999999999999996, making the prefix one element SHORT for every sz
+    that is a multiple of 5 at τ=0.8 (e.g. sz=5 → 1, lossless needs 2) and
+    dropping boundary-containment pairs (ADVICE r6, medium). ``_min_inter``'s
+    epsilon errs toward a LONGER prefix, which only adds candidates."""
+    return sz - _min_inter(sz, threshold) + 1
+
+
 def jaccard_candidates(
     sh: DataFrame,
     id_col: str,
@@ -531,8 +557,8 @@ def jaccard_pairs(
     (the PPJoin prefix principle) with an exact count-based verify.
 
     Candidate generation: two docs can have Jaccard ≥ τ only if they share
-    at least one shingle among each doc's ``⌊|sh|·(1−τ)⌋ + 1`` RAREST
-    shingles (global order = ascending document frequency, shingle text as
+    at least one shingle among each doc's ``|sh| − ⌈τ·|sh|⌉ + 1`` RAREST
+    (integer-exact, :func:`_prefix_len`) shingles (global order = ascending document frequency, shingle text as
     tie-break) — rarer-prefix overlap is a necessary condition, so the
     filter is lossless for the thresholded output. The self-join therefore
     runs only over prefix rows: join fan-out is Σ_s df_prefix(s)², and
@@ -596,7 +622,7 @@ def jaccard_pairs(
 
     w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
     wc = Window.partitionBy(F.col(id_col))
-    prefix_len = F.floor(F.col("__sz") * F.lit(1.0 - threshold)).cast("int") + 1
+    prefix_len = _prefix_len(F.col("__sz"), threshold)
     pref = (
         exploded.join(freq, "shingle")
         .withColumn("__rn", F.row_number().over(w))
@@ -705,9 +731,11 @@ def containment_topk(
 
     Candidate generation is the PPJoin prefix principle adapted to the
     one-sided constraint: ``c(A,B) ≥ τ`` forces B to share at least one of
-    A's ``⌊|sh_A|·(1−τ)⌋ + 1`` globally-RAREST shingles (if B misses the
-    whole prefix, the intersection is at most ``|sh_A| − prefix_len <
-    τ·|sh_A|``), so the join runs A-prefix × all-docs — and because every
+    A's ``|sh_A| − ⌈τ·|sh_A|⌉ + 1`` globally-RAREST shingles (if B misses
+    the whole prefix, the intersection is at most ``|sh_A| − prefix_len <
+    τ·|sh_A|``; integer-exact via :func:`_prefix_len` — the float form was
+    one short at |sh_A| multiples of 5, ADVICE r6), so the join runs
+    A-prefix × all-docs — and because every
     prefix shingle passed the ``max_shingle_df`` cap, the B side per join
     key is at most ``max_shingle_df`` rows: candidate fan-out is
     Σ_A prefix_len(A) × df ≤ cap, never corpus². Unlike the Jaccard join
@@ -744,7 +772,7 @@ def containment_topk(
     if max_shingle_df is not None:
         freq = freq.where(F.col("__df") <= max_shingle_df)
     w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
-    prefix_len = F.floor(F.col("__sz") * F.lit(1.0 - threshold)).cast("int") + 1
+    prefix_len = _prefix_len(F.col("__sz"), threshold)
     pref = (
         exploded.join(freq, "shingle")
         .withColumn("__rn", F.row_number().over(w))

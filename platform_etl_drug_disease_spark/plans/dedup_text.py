@@ -236,7 +236,7 @@ ranked AS (
     FROM ex JOIN freq USING (s)
 ),
 pref AS (SELECT doc_id, lang, s FROM ranked
-         WHERE rn <= CAST(floor(sz * 0.5) AS INT) + 1),
+         WHERE rn <= sz - CAST(ceil(sz * 0.5 - 1e-6) AS INT) + 1),
 cands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM pref a JOIN pref b
@@ -349,8 +349,9 @@ def dedup_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     J ≈ |A|/|B| (below any useful symmetric threshold) but containment
     ≈ 1.0 — the wrapped-inclusion duplicate class (aggregators, quote
     farms, boilerplate-framed mirrors) that survives Jaccard passes.
-    One-sided prefix filter (A's ⌊|sh|·0.2⌋+1 rarest shingles, df≤256
-    cap on prefix membership only) plus the lossless size prune
+    One-sided prefix filter (A's |sh|−⌈0.8·|sh|⌉+1 rarest shingles,
+    integer-exact — ADVICE r6 boundary fix — df≤256 cap on prefix
+    membership only) plus the lossless size prune
     (|sh_B| ≥ τ·|sh_A| — measured 52.3 → 36.2 s at sf≈1), exact verify
     over all shingles, bounded k·n output. Cost profile at sf≈1 is
     in-family with `dedup_ngram_jaccard_topk` (the replica-dense corpus
@@ -383,7 +384,9 @@ ranked AS (
     FROM ex JOIN freq USING (s)
 ),
 pref AS (SELECT doc_id, lang, sz, s FROM ranked
-         WHERE rn <= CAST(floor(sz * 0.19999999999999996) AS INT) + 1),
+         -- integer-exact PPJoin prefix sz - ceil(tau*sz) + 1 (ADVICE r6:
+         -- the float form floor(sz*(1-0.8)) is one short at multiples of 5)
+         WHERE rn <= sz - CAST(ceil(sz * 0.8 - 1e-6) AS INT) + 1),
 cands AS (
     -- size prune mirror: a container smaller than tau*|sh(A)| can never
     -- reach containment tau (|A inter B| <= |sh(B)|); 1e-6 slack matches
@@ -571,7 +574,7 @@ ranked AS (
     FROM ex JOIN freq USING (s)
 ),
 pref AS (SELECT doc_id, s FROM ranked
-         WHERE rn <= CAST(floor(sz * 0.5) AS INT) + 1),
+         WHERE rn <= sz - CAST(ceil(sz * 0.5 - 1e-6) AS INT) + 1),
 tcands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -1010,7 +1010,7 @@ def test_cms_token_frequency_guarantees(spark):
         assert in_range.count() == n
 
 
-def test_containment_catches_what_jaccard_misses(spark, tmp_path):
+def test_containment_catches_what_jaccard_misses(spark):
     """The asymmetric-class claim, planted: a small doc quoted WHOLE inside
     a 10x larger aggregator page must surface as a containment~1.0 container
     while the symmetric Jaccard pair set at tau=0.5 misses the pair
@@ -1030,7 +1030,6 @@ def test_containment_catches_what_jaccard_misses(spark, tmp_path):
         (9, " ".join(f"z{i}" for i in range(30))),  # unrelated
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
 
     jac = jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.5,
                         max_shingle_df=None).collect()
@@ -1045,3 +1044,46 @@ def test_containment_catches_what_jaccard_misses(spark, tmp_path):
     assert not any(a == 9 or b == 9 for a, b in got), "unrelated doc clean"
     # asymmetry: the big page is NOT contained in the small one
     assert (2, 1) not in got
+
+
+def test_containment_boundary_prefix_is_lossless(spark, tmp_path):
+    """ADVICE r6 (medium) regression: a pair at containment EXACTLY τ=0.8
+    whose container shares NONE of the contained doc's old (one-short)
+    prefix. Doc A has |sh|=5 (a multiple of 5 — the float-arithmetic
+    failure class: floor(5·0.19999999999999996)+1 = 1, lossless needs
+    5−⌈4⌉+1 = 2); B shares exactly 4 of A's 5 shingles and MISSES the
+    globally-rarest one (df=1 — A's entire length-1 buggy prefix), so the
+    buggy formula silently dropped the pair on both engines. The fixed
+    integer-exact prefix (rank ≤ 2) reaches a shared df=2 shingle, and the
+    DuckDB oracle mirror must deliver the identical pair."""
+    from platform_etl_drug_disease_spark.operators.dedup import containment_topk
+    from platform_etl_drug_disease_spark.plans.dedup_text import _CONTAINMENT_SQL
+
+    a_text = "a1 a2 a3 a4 a5 a6 a7"               # 5 shingles
+    b_text = "x1 x2 a2 a3 a4 a5 a6 a7 y1 y2"      # shares 4 of them, 8 total
+    rows = [(1, a_text, "en", "s"), (2, b_text, "en", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_topk(
+            df, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+            max_shingle_df=None,
+        ).collect()
+    }
+    assert got.get((1, 2)) == 0.8, (
+        f"boundary pair at containment exactly 0.8 must survive the prefix "
+        f"filter (got {got})"
+    )
+
+    # cross-engine: the oracle SQL mirror carries the same fix
+    import duckdb
+
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = {
+        (r[0], r[2]): r[3]
+        for r in con.execute(_CONTAINMENT_SQL).fetchall()
+    }
+    assert oracle.get((1, 2)) == 0.8, f"oracle missed the boundary pair: {oracle}"
