@@ -543,71 +543,33 @@ def jaccard_candidates(
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
+def _jaccard_prefix_stage(
+    sh: DataFrame,
     id_col: str,
-    text_col: str,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    block_col: str | None = None,
-    max_shingle_df: int | None = 256,
-    shingles: DataFrame | None = None,
-) -> DataFrame:
-    """n-gram Jaccard near-dup pairs via PREFIX-FILTERED shingle blocking
-    (the PPJoin prefix principle) with an exact count-based verify.
+    cols: list[Column],
+    threshold: float,
+    max_shingle_df: int | None,
+    block_col: str | None,
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, hashed_exploded) — :func:`jaccard_pairs`' lossless
+    PPJoin candidate stage over a ``(id, sh, __sz)`` table, factored out so
+    the scale-stress harness (tools/dedup_scale_stress.py) can COUNT
+    candidates without paying the verify; jaccard_pairs consumes both
+    returns (the exploded rows feed its verify). Losslessness arguments
+    live in jaccard_pairs' docstring.
 
-    Candidate generation: two docs can have Jaccard ≥ τ only if they share
-    at least one shingle among each doc's ``|sh| − ⌈τ·|sh|⌉ + 1`` RAREST
-    (integer-exact, :func:`_prefix_len`) shingles (global order = ascending document frequency, shingle text as
-    tie-break) — rarer-prefix overlap is a necessary condition, so the
-    filter is lossless for the thresholded output. The self-join therefore
-    runs only over prefix rows: join fan-out is Σ_s df_prefix(s)², and
-    prefix membership deliberately concentrates on LOW-df shingles, so the
-    quadratic term collapses (measured 23× → ~3× data-scaling on a
-    duplicate-heavy corpus at sf≈1). ``max_shingle_df`` additionally drops
-    pathological stop-phrase shingles from prefixes (never from values).
+    Shingles ride every downstream shuffle as 8-byte xxhash64 keys, not
+    ~25-byte strings: the verify fan-out (candidates × |sh| rows) is the
+    dominant shuffle, and long keys cut its bytes ~3× and make the joins/
+    aggregations integer-keyed. Collision risk is birthday-bounded over
+    the DISTINCT shingle vocabulary (~272k at sf≈1 → P ≈ 4e-9); a
+    collision would merge two shingles corpus-wide, which both candidate
+    generation and verify would see consistently. The canonical prefix
+    order becomes (df, hash) — any consistent global order keeps the
+    prefix filter lossless, so the thresholded output (and the oracle,
+    which orders by (df, text)) is unchanged."""
+    from pyspark.sql import Window
 
-    Verification is exact over ALL shingles, hot included, and ships no
-    arrays: shingle arrays are distinct per doc (shingles_from_tokens), so
-    ``candidates ⋈ exploded_a ⋈ exploded_b`` grouped by pair COUNTS the true
-    intersection; union follows from per-doc sizes. O(candidates × |sh|)
-    narrow rows, never O(n²) and never array-width shuffle bytes.
-
-    Returns (id_a, id_b, jaccard ≥ threshold), jaccard rounded to 6 places.
-
-    ``shingles``: optional prebuilt ``(id_col, sh)`` table (the
-    :func:`_shingle_table` shape, unblocked only) — pass an already-PERSISTED
-    one to share the tokenize/shingle work with another consumer (e.g. the
-    MinHash candidate side of a recall audit) instead of computing it twice.
-    """
-    if shingles is not None and block_col is not None:
-        raise ValueError("a prebuilt shingle table carries no block column")
-    cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    if shingles is not None:
-        # derived from the caller's persisted table: the projection is free,
-        # so no second persist layer is stacked on top.
-        sh = shingles.select(
-            F.col(id_col), F.col("sh"), F.size("sh").alias("__sz")
-        )
-    else:
-        # persist: consumed by the exploded join and the per-doc size lookup.
-        # No size(sh)>0 filter — see _shingle_table for why (predicate
-        # pushdown would duplicate the shingle expression; explode drops
-        # empties anyway).
-        keep = cols + [F.col(text_col)]
-        sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
-            *cols, F.col("sh"), F.size("sh").alias("__sz")
-        ).persist()
-    # shingles ride every downstream shuffle as 8-byte xxhash64 keys, not
-    # ~25-byte strings: the verify fan-out (candidates × |sh| rows) is the
-    # dominant shuffle, and long keys cut its bytes ~3× and make the joins/
-    # aggregations integer-keyed. Collision risk is birthday-bounded over
-    # the DISTINCT shingle vocabulary (~272k at sf≈1 → P ≈ 4e-9); a
-    # collision would merge two shingles corpus-wide, which both candidate
-    # generation and verify would see consistently. The canonical prefix
-    # order becomes (df, hash) — any consistent global order keeps the
-    # prefix filter lossless, so the thresholded output (and the oracle,
-    # which orders by (df, text)) is unchanged.
     exploded = sh.select(
         *cols, F.col("__sz"), F.explode("sh").alias("__s")
     ).select(*cols, F.col("__sz"), F.xxhash64("__s").alias("shingle"))
@@ -618,8 +580,6 @@ def jaccard_pairs(
     # with freq doubles as the hot-shingle drop (inner join ⇒ capped-out
     # shingles never enter prefixes). Window shuffle is keyed by doc id —
     # the same key the signature/verify stages already shuffle on.
-    from pyspark.sql import Window
-
     w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
     wc = Window.partitionBy(F.col(id_col))
     prefix_len = _prefix_len(F.col("__sz"), threshold)
@@ -685,6 +645,67 @@ def jaccard_pairs(
         - F.lit(1e-6)
     )
     cand = pairj.where(ub.cast("double") >= inter_floor).select("id_a", "id_b")
+    return cand, exploded
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_shingle_df: int | None = 256,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via PREFIX-FILTERED shingle blocking
+    (the PPJoin prefix principle) with an exact count-based verify.
+
+    Candidate generation: two docs can have Jaccard ≥ τ only if they share
+    at least one shingle among each doc's ``|sh| − ⌈τ·|sh|⌉ + 1`` RAREST
+    (integer-exact, :func:`_prefix_len`) shingles (global order = ascending document frequency, shingle text as
+    tie-break) — rarer-prefix overlap is a necessary condition, so the
+    filter is lossless for the thresholded output. The self-join therefore
+    runs only over prefix rows: join fan-out is Σ_s df_prefix(s)², and
+    prefix membership deliberately concentrates on LOW-df shingles, so the
+    quadratic term collapses (measured 23× → ~3× data-scaling on a
+    duplicate-heavy corpus at sf≈1). ``max_shingle_df`` additionally drops
+    pathological stop-phrase shingles from prefixes (never from values).
+
+    Verification is exact over ALL shingles, hot included, and ships no
+    arrays: shingle arrays are distinct per doc (shingles_from_tokens), so
+    ``candidates ⋈ exploded_a ⋈ exploded_b`` grouped by pair COUNTS the true
+    intersection; union follows from per-doc sizes. O(candidates × |sh|)
+    narrow rows, never O(n²) and never array-width shuffle bytes.
+
+    Returns (id_a, id_b, jaccard ≥ threshold), jaccard rounded to 6 places.
+
+    ``shingles``: optional prebuilt ``(id_col, sh)`` table (the
+    :func:`_shingle_table` shape, unblocked only) — pass an already-PERSISTED
+    one to share the tokenize/shingle work with another consumer (e.g. the
+    MinHash candidate side of a recall audit) instead of computing it twice.
+    """
+    if shingles is not None and block_col is not None:
+        raise ValueError("a prebuilt shingle table carries no block column")
+    cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
+    if shingles is not None:
+        # derived from the caller's persisted table: the projection is free,
+        # so no second persist layer is stacked on top.
+        sh = shingles.select(
+            F.col(id_col), F.col("sh"), F.size("sh").alias("__sz")
+        )
+    else:
+        # persist: consumed by the exploded join and the per-doc size lookup.
+        # No size(sh)>0 filter — see _shingle_table for why (predicate
+        # pushdown would duplicate the shingle expression; explode drops
+        # empties anyway).
+        keep = cols + [F.col(text_col)]
+        sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
+            *cols, F.col("sh"), F.size("sh").alias("__sz")
+        ).persist()
+    cand, exploded = _jaccard_prefix_stage(
+        sh, id_col, cols, threshold, max_shingle_df, block_col
+    )
     ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
     inter_cnt = (
@@ -711,23 +732,26 @@ def jaccard_pairs(
     )
 
 
-def containment_topk(
+def containment_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.8,
-    k: int = 3,
     block_col: str | None = None,
     max_shingle_df: int | None = 256,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc top-``k`` CONTAINING documents by shingle containment
-    ``c(A,B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold`` — the ASYMMETRIC
-    near-dup relation. Symmetric Jaccard structurally misses size-skewed
-    duplication (a doc quoted whole inside a 10× larger aggregator page has
-    J ≈ 0.1 at any useful threshold but containment ≈ 1.0), and that
-    wrapped-inclusion pattern is a major residual duplicate class in web
-    training corpora after Jaccard/MinHash passes.
+    """EXACT (id_a, id_b, containment ≥ threshold) pairs by shingle
+    containment ``c(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the ASYMMETRIC
+    near-dup relation, lossless prefix-filtered. Symmetric Jaccard
+    structurally misses size-skewed duplication (a doc quoted whole inside
+    a 10× larger aggregator page has J ≈ 0.1 at any useful threshold but
+    containment ≈ 1.0), and that wrapped-inclusion pattern is a major
+    residual duplicate class in web training corpora after Jaccard/MinHash
+    passes. This is the exact-truth side of the family;
+    :func:`containment_minhash_topk` is the sub-quadratic 100-TB candidate
+    path, and the catalog's ``containment_recall_audit`` prices the gap.
 
     Candidate generation is the PPJoin prefix principle adapted to the
     one-sided constraint: ``c(A,B) ≥ τ`` forces B to share at least one of
@@ -746,22 +770,35 @@ def containment_topk(
     the cap can miss containers); verification counts the TRUE intersection
     over ALL shingles, hot included, so reported values are exact.
 
-    Output contract is bounded at k·n from the start (the lesson of
-    ``dedup_ngram_jaccard``): per contained doc, its k strongest containers
-    by (containment DESC, container id ASC), cut with the mergeable
-    :func:`~platform_etl_drug_disease_spark.operators.scans.bounded_top_k_rows`
-    — no per-doc window over an unbounded pair set. Returns
-    (id_a, id_b, containment) rows, ≤ k per id_a."""
-    from platform_etl_drug_disease_spark.operators.scans import bounded_top_k_rows
+    Output is the full thresholded pair set (unbounded on replica-dense
+    corpora — c(A,B)=1 both ways inside exact-dup clusters); catalog-facing
+    consumers use :func:`containment_topk` for the bounded k·n contract, or
+    aggregate immediately (the recall audit). Returns
+    (id_a, id_b, containment) rows, containment rounded to 6 places.
+
+    ``shingles``: optional prebuilt ``(id_col, sh)`` table (the
+    :func:`_shingle_table` shape, unblocked only) — pass an already-PERSISTED
+    one to share the tokenize/shingle work with another consumer (the
+    MinHash candidate side of the recall audit, a co-running Jaccard pass)
+    instead of computing it twice; mirrors ``jaccard_pairs(shingles=)``."""
     from pyspark.sql import Window
 
+    if shingles is not None and block_col is not None:
+        raise ValueError("a prebuilt shingle table carries no block column")
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    keep = cols + [F.col(text_col)]
-    sh = (
-        with_shingles(df.select(*keep), text_col, shingle_n)
-        .select(*cols, F.col("sh"), F.size("sh").alias("__sz"))
-        .persist()  # consumed by the exploded join and the size lookup
-    )
+    if shingles is not None:
+        # derived from the caller's persisted table: the projection is free,
+        # so no second persist layer is stacked on top.
+        sh = shingles.select(
+            F.col(id_col), F.col("sh"), F.size("sh").alias("__sz")
+        )
+    else:
+        keep = cols + [F.col(text_col)]
+        sh = (
+            with_shingles(df.select(*keep), text_col, shingle_n)
+            .select(*cols, F.col("sh"), F.size("sh").alias("__sz"))
+            .persist()  # consumed by the exploded join and the size lookup
+        )
     # 8-byte hashed shingle keys for every shuffle, as in jaccard_pairs
     # (same birthday-bounded collision argument; the oracle joins on raw
     # shingle text — any consistent key gives identical counts).
@@ -814,6 +851,259 @@ def containment_topk(
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     sizes = sh.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a"))
+    return (
+        inter.join(sizes, "id_a")
+        .withColumn(
+            "containment",
+            F.round(F.col("__inter").cast("double") / F.col("__sz_a"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def containment_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    k: int = 3,
+    block_col: str | None = None,
+    max_shingle_df: int | None = 256,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc top-``k`` containers from the EXACT :func:`containment_pairs`
+    relation, bounded at k·n from the start (the lesson of
+    ``dedup_ngram_jaccard``): per contained doc, its k strongest containers
+    by (containment DESC, container id ASC), cut with the mergeable
+    :func:`~platform_etl_drug_disease_spark.operators.scans.bounded_top_k_rows`
+    — no per-doc window over an unbounded pair set. Returns
+    (id_a, id_b, containment) rows, ≤ k per id_a."""
+    from platform_etl_drug_disease_spark.operators.scans import bounded_top_k_rows
+
+    scored = containment_pairs(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        block_col=block_col,
+        max_shingle_df=max_shingle_df,
+        shingles=shingles,
+    )
+    return bounded_top_k_rows(
+        scored, ["id_a"], [-F.col("containment"), F.col("id_b")], k=k
+    )
+
+
+def minhash_slot_rows(
+    sh: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    max_shingle_df: int | None = 256,
+) -> DataFrame:
+    """(id, __sz, slot, val) rows — one row per MinHash signature slot of
+    each doc, the index shape of single-slot (r=1) LSH.
+
+    Same hash family as :func:`banded_signatures` (one md5 per shingle →
+    60-bit int, ``min(h XOR seed_i)`` per slot, :func:`minhash_seeds`
+    literals shared with the DuckDB oracles) and the same exploded
+    aggregate plan shape (codegen'd min-aggregates under one groupBy, never
+    nested HOF lambdas — the 40× finding). ``__sz`` is the FULL
+    distinct-shingle count (size prunes reason about true sizes), computed
+    before the df cap.
+
+    ``max_shingle_df`` drops HOT shingles (document frequency above the
+    cap) before the minima are taken — the load-bearing difference from the
+    banded (r=4) index, where a boilerplate shingle in one slot still needs
+    3 more slot agreements to collide. Under r=1 a boilerplate shingle that
+    hashes low under some mixer becomes the slot-min of every doc carrying
+    it, and the bucket join then emits a QUADRATIC-in-boilerplate-mass
+    candidate set (measured: 92.7× candidates for 10× data on a corpus
+    where 30% of docs share one 8-token phrase — tools/dedup_scale_stress
+    caught it). With the cap, every slot key's pre-image is one concrete
+    shingle shared by every doc in the bucket, so bucket size ≤ the
+    shingle's df ≤ cap: total candidate mass is Σ_s df_prefix-style, linear
+    in corpus size with a cap-bounded constant — the same Σ df² structure
+    (and the same contract) as the exact prefix path's ``max_shingle_df``.
+    Docs whose shingles are ALL hotter than the cap emit no rows (exact-dup
+    clusters wider than the cap saturate every shingle's df — run exact
+    dedup first, the documented pipeline order)."""
+    seeds = minhash_seeds(n_hashes)
+    ex = sh.select(
+        F.col(id_col), F.size("sh").alias("__sz"), F.explode("sh").alias("s")
+    ).select(
+        F.col(id_col),
+        F.col("__sz"),
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h"),
+    )
+    if max_shingle_df is not None:
+        # the hot set is tiny (frequency tail) → broadcast anti-join, the
+        # jaccard_candidates pattern; df is counted on the 60-bit hash (a
+        # collision would merge two shingles' df consistently on both
+        # engines — the oracle counts on raw text, same birthday argument
+        # as the verify keys).
+        hot = (
+            ex.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("__h")
+        )
+        ex = ex.join(F.broadcast(hot), "__h", "left_anti")
+    sig = ex.groupBy(id_col).agg(
+        F.first("__sz").alias("__sz"),
+        *[
+            F.min(F.col("__h").bitwiseXOR(F.lit(seeds[i]))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return sig.select(
+        F.col(id_col),
+        F.col("__sz"),
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(n_hashes)])).alias(
+            "slot", "val"
+        ),
+    )
+
+
+def containment_minhash_candidates(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    max_shingle_df: int | None = 256,
+    max_slot_df: int | None = 1024,
+) -> DataFrame:
+    """Sub-quadratic candidate (id_a, id_b) pairs for the CONTAINMENT
+    relation — the 100-TB sibling of :func:`containment_pairs`' exact
+    one-sided prefix join, mirroring how MinHash+LSH is the scale path of
+    exact Jaccard. The exact prefix join's fan-out is Σ_A prefix·df —
+    df-capped per key but linear in Σprefix; this stage is
+    signature-bucket-bounded instead and never touches shingle rows for
+    candidate generation.
+
+    Scheme: single-slot (r=1, b=n_hashes) MinHash LSH. A pair collides iff
+    ANY signature slot agrees; per slot P(agree) = J(A,B), so P(candidate)
+    = 1 − (1 − J)^n. Containment pairs can have LOW Jaccard at HIGH size
+    skew — c(A,B) ≥ τ only bounds ``J ≥ τ/(1 + R − τ)`` with R = |B|/|A| —
+    which is exactly why the banded (r=4) Jaccard scheme is wrong here: at
+    R = 8 and τ = 0.8, J can be ~0.1, where 1−(1−J⁴)⁴ ≈ 0.0004 but the
+    single-slot curve still gives 1−(1−J)^16 ≈ 0.81. Recall therefore
+    decays with size skew by design; the catalog's
+    ``containment_recall_audit`` prices the measured recall per
+    (containment decile × size-ratio stratum) against this closed-form
+    bound, and the exact path remains the truth source.
+
+    Three pruning rules:
+    - lossless size prune: |A∩B| ≤ |sh_B| and c ≥ τ force |sh_B| ≥ τ·|sh_A|
+      (the 1e-6 slack mirrors the exact path's float-boundary guard);
+    - ``max_shingle_df``: hot shingles never enter the signature minima
+      (:func:`minhash_slot_rows`) — THE linearity guarantee: every slot
+      key's bucket is then one concrete df≤cap shingle's doc set, so
+      candidate mass has the exact path's Σ df² structure instead of
+      boilerplate-quadratic (measured 92.7× → see dedup_scale_stress);
+    - hot-key cap ``max_slot_df``, a residual belt-and-braces guard on
+      (slot, val) bucket width (with the df cap active it can only bind on
+      hash-collision pile-ups; kept because candidate generation must never
+      be quadratic under ANY parameterization, e.g. max_shingle_df=None).
+
+    Both caps bound candidate GENERATION only — verification counts the
+    true intersection over ALL shingles, so emitted values are exact; the
+    recall cost is the df-cap contract the exact path already documents (a
+    doc whose shingles are almost all hotter than the cap can miss
+    containers; exact-dup clusters wider than the cap go dark — run exact
+    dedup first).
+
+    Returns DISTINCT ordered (id_a = contained, id_b = container) pairs —
+    both directions can qualify for similar-size pairs, matching the exact
+    relation. Deterministic (md5 + fixed seeds): the DuckDB oracle replays
+    the identical index."""
+    rows = minhash_slot_rows(sh, id_col, n_hashes, max_shingle_df=max_shingle_df)
+    if max_slot_df is not None:
+        hot = (
+            rows.groupBy("slot", "val")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_slot_df)
+            .select("slot", "val")
+        )
+        # the hot set is tiny (frequency tail) → broadcast anti-join; its
+        # groupBy is a map-side-combined shuffle of (slot, val, count) only.
+        rows = rows.join(F.broadcast(hot), ["slot", "val"], "left_anti")
+    a, b = rows.alias("a"), rows.alias("b")
+    cond = (
+        (F.col("a.slot") == F.col("b.slot"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & (
+            F.col("b.__sz").cast("double")
+            >= F.lit(threshold) * F.col("a.__sz") - F.lit(1e-6)
+        )
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def containment_minhash_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    k: int = 3,
+    n_hashes: int = 16,
+    max_shingle_df: int | None = 256,
+    max_slot_df: int | None = 1024,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc top-``k`` containers via the SUB-QUADRATIC candidate stage
+    (:func:`containment_minhash_candidates`) with the same exact count-based
+    verify and bounded k·n output as :func:`containment_topk` — the 100-TB
+    form of the containment family. Verification counts the TRUE
+    intersection over ALL shingles (hot-capped keys included), so every
+    emitted containment value is exact; only RECALL is approximate, priced
+    by the catalog's ``containment_recall_audit``.
+
+    ``shingles``: optional prebuilt PERSISTED ``(id_col, sh)`` table shared
+    with co-running family members (one tokenize/shingle pass for the whole
+    family — the reuse hook ``jaccard_pairs``/``containment_pairs`` carry)."""
+    from platform_etl_drug_disease_spark.operators.scans import bounded_top_k_rows
+
+    if shingles is not None:
+        sh = shingles
+    else:
+        sh = _shingle_table(df, id_col, text_col, shingle_n).persist()
+    cand = containment_minhash_candidates(
+        sh,
+        id_col,
+        threshold=threshold,
+        n_hashes=n_hashes,
+        max_shingle_df=max_shingle_df,
+        max_slot_df=max_slot_df,
+    )
+    # exact verify, shared shape with containment_pairs/minhash_lsh_dedup:
+    # candidates ⋈ exploded(A) ⋈ exploded(B) counted per pair IS the true
+    # intersection (arrays are distinct per doc); 8-byte xxhash64 keys on
+    # the verify shuffle (birthday-bounded over the shingle vocabulary).
+    exploded = sh.select(F.col(id_col), F.explode("sh").alias("__s")).select(
+        F.col(id_col), F.xxhash64("__s").alias("shingle")
+    )
+    ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
+    ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sizes = sh.select(F.col(id_col).alias("id_a"), F.size("sh").alias("__sz_a"))
     scored = (
         inter.join(sizes, "id_a")
         .withColumn(

@@ -7,51 +7,33 @@ tables). ``__spark_entry__.py`` merges them for the driver's correctness gate.
 Ordering matters: the driver records CORRECTNESS rows for the FIRST 50
 ``queries()`` entries only. ``_DRIVER_WINDOW`` pins those 50 explicitly.
 
-Rotation policy (round 3+, per VERDICT r2 item 2): the window is 50/round;
-each round keeps 5 pinned gates (the reference-parity pipeline, its
-whitelist variant, the flagship, the LLM-side flagship DAG, and the sink
-round-trip) and fills the remaining 45 slots with queries that have NEVER
-had a driver CORRECTNESS row — pushing the ever-driver-proven union toward
-full catalog coverage (r1∪r2 = 76, ∪r3 = 114 by the strict rows+schema+hash
-criterion). SURVEY §2 operator ids exercised only by previously-rotated-out
-queries stay driver-proven via their green rows in the committed
-CORRECTNESS_r0N.json artifacts; tests/test_catalog_contract.py asserts
-every §2 id has an exercising query in (window ∪ ever-driver-proven).
-Every in-window entry carries a full value-hash oracle; the rows-only-by-
-design variants (HLL estimate values, BPE greedy encode, t-digest
-quantiles) keep their accuracy pytests and rotate in at round 5 under an
-explicit rows-only allowlist. The whole catalog — window and tail — is
-verified every round by ``tools/oracle_check.py`` (195/195 at r3).
+Rotation policy (live; per-round history lives in COVERAGE.md §Rotation):
+the window is 50/round; each round keeps 5 pinned gates (the
+reference-parity pipeline, its whitelist variant, the flagship, the
+LLM-side flagship DAG, and the sink round-trip). ADD-THEN-FREEZE
+(standing, test-enforced by `test_window_includes_all_unproven`): new
+catalog queries land BEFORE the window rotates, and the rotation includes
+EVERY oracled query with no strict green driver row yet — no addition
+ever waits a round for driver proof. Remaining slots are re-greens filled
+oldest-driver-evidence-first (latest strict green round per query,
+computed from the committed CORRECTNESS_r0N.json artifacts). SURVEY §2
+operator ids exercised only by rotated-out queries stay driver-proven via
+those committed artifacts; tests/test_catalog_contract.py asserts every
+§2 id keeps an exercising query in (window ∪ ever-driver-proven). Every
+window entry carries a full value-hash oracle (WINDOW_ROWS_ONLY_OK is
+retired — the 4 rows-only sketch/greedy originals live in the catalog
+tail with pytest-pinned accuracy and hash-provable audit twins). The
+whole catalog — window and tail — is verified every round by
+``tools/oracle_check.py``.
 
-Round-6 window (current, per VERDICT r5 items 1/2/5/6): the 5 pinned
-gates, ALL 13 never-driver-proven oracled queries — the 7 round-5
-additions (`dedup_recall_audit`, `dsir_importance_stats`,
-`doremi_mixture_stats`, `doremi_token_quota`, `curation_funnel_stats`,
-`dedup_quality_keeper`, `jl_projection_recall`) plus the 6 round-6
-additions (`tdigest_quantile_audit`, `hll_rollup_audit`,
-`bpe_roundtrip_audit` — the audit twins that make the sketch/greedy
-family hash-provable — `dedup_ngram_jaccard_topk`, the headline-safe
-exact-Jaccard variant, `cms_token_frequency`, the fully-deterministic
-count-min frequency sketch, and `dedup_containment_topk`, asymmetric
-wrapped-inclusion dedup) — and 32 re-green slots filled oldest-driver-
-evidence-first (all 19 queries whose latest strict green is r1, then 13
-r2/r3-era high-value picks). WINDOW_ROWS_ONLY_OK is RETIRED: every
-window entry now carries a full value-hash oracle; the 4 rows-only
-sketch/greedy originals stay in the catalog tail (pytest-pinned accuracy,
-oracle_check rows-only), each paired with a hash-provable audit twin.
-
-ADD-THEN-FREEZE POLICY (VERDICT r5 item 5, standing): new catalog
-queries land BEFORE the window rotates each round, and the rotation
-includes every not-yet-driver-proven oracled query — so no addition ever
-waits a full round for driver proof. tests/test_catalog_contract.py
-enforces this (`test_window_includes_all_unproven`).
-
-Pre-staged round-7 rotation: land any round-7 additions FIRST, then set
-the window to 5 pins + those additions + re-greens biased oldest-driver-
-evidence-first — after a green CORRECTNESS_r06 the oldest remaining
-evidence is the r2-latest cohort (adjacency_lut-era relational/dedup/
-retrieval queries; see the r6 re-green comment below for the ones already
-re-proven). Bump WINDOW_ROUND to 7 with the rotation.
+Round-7 window (current): the 5 pins; the 2 round-7 additions
+(`dedup_containment_minhash_topk` — the containment family's
+sub-quadratic candidate path — and `containment_recall_audit`, its
+per-(decile × size-stratum) recall pricing vs the exact truth, VERDICT r6
+item 2); then all 32 queries whose latest strict green is round 2 (the
+oldest cohort after the fully-green r6), then 11 round-3-era picks
+covering the dedup/streaming/ANN/BPE/decontamination/SQL-surface
+families.
 """
 
 from __future__ import annotations
@@ -67,7 +49,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # artifacts from rounds STRICTLY BEFORE it — otherwise the rotation test goes
 # red the moment the driver deposits the in-flight round's own artifact
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
-WINDOW_ROUND = 6
+WINDOW_ROUND = 7
 
 # RETIRED round 6 (VERDICT r5 item 2): every window entry now carries a full
 # value-hash oracle. The rows-only sketch/greedy originals
@@ -77,11 +59,11 @@ WINDOW_ROUND = 6
 # bpe_roundtrip_audit, hll_rollup_audit) carrying their driver proof.
 WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# The 50 driver-scored queries, in scoring order. Round-6 rotation: 5 pinned
-# gates + ALL 13 never-driver-proven oracled queries (7 round-5 additions +
-# 6 round-6 additions, landed BEFORE this freeze per the add-then-freeze
-# policy) + 32 oldest-evidence re-greens (every r1-latest query, then r2/r3
-# high-value picks). Every entry carries a full value-hash oracle.
+# The 50 driver-scored queries, in scoring order. Round-7 rotation: 5 pinned
+# gates + the 2 round-7 additions (landed BEFORE this freeze per
+# add-then-freeze) + 43 oldest-evidence re-greens (the entire r2-latest
+# cohort of 32, then 11 r3-era family representatives). Every entry carries
+# a full value-hash oracle.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
     # S5/S6 write->read-back)
@@ -90,58 +72,55 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # round-5 additions, first driver rows
-    "dedup_recall_audit",
-    "dsir_importance_stats",
-    "doremi_mixture_stats",
-    "doremi_token_quota",
-    "curation_funnel_stats",
-    "dedup_quality_keeper",
-    "jl_projection_recall",
-    # round-6 additions (audit twins + headline-safe exact-Jaccard top-k +
-    # the fully-deterministic count-min frequency sketch)
-    "tdigest_quantile_audit",
-    "hll_rollup_audit",
-    "bpe_roundtrip_audit",
-    "dedup_ngram_jaccard_topk",
-    "cms_token_frequency",
-    "dedup_containment_topk",
-    # re-greens: every query whose latest strict green driver row is ROUND 1
-    "corpus_split_stats",
-    "customers_without_orders",
-    "daily_event_type_pivot",
-    "event_interarrival_stats",
-    "hourly_windows",
-    "order_case_buckets",
-    "order_lineitem_right",
-    "order_priority_rollup",
-    "order_value_buckets",
-    "price_quantiles_per_flag",
-    "price_quantity_corr",
-    "quantity_unpivot",
-    "salted_supplier_revenue",
-    "sliding_windows",
-    "status_priority_cube",
-    "supplier_score_blend",
-    "top_customers_per_nation",
-    "two_hop_reach",
-    "typed_json_histogram",
-    # re-greens: r2/r3-era high-value picks (dedup/ANN/streaming/graph/
-    # lakehouse representatives; adjacency_degree_audit re-proves the A2
-    # audit-twin pattern alongside the three new twins)
-    "adjacency_lut",
-    "adjacency_degree_audit",
-    "cdc_upsert_stats",
-    "dedup_cluster_components",
-    "dedup_exact",
-    "embedding_near_dup",
-    "knn_cosine_bruteforce",
-    "knn_cosine_ivf",
-    "knn_pq_adc",
-    "pii_scrub_stats",
-    "propagate_scores",
-    "semantic_dedup_cells",
-    "streaming_hourly_windows",
+    # round-7 additions, first driver rows (containment scale path + audit)
+    "dedup_containment_minhash_topk",
+    "containment_recall_audit",
+    # re-greens: every query whose latest strict green driver row is ROUND 2
+    "asof_latest_click",
+    "bm25_search",
+    "corpus_mix_stats",
+    "customer_order_left",
+    "customers_with_open_orders",
+    "dedup_ngram_jaccard",
+    "doc_chunking",
+    "errors_near_purchase",
+    "hof_acctbal_pipeline",
+    "hybrid_rrf_search",
+    "json_props_rollup",
+    "lang_id_heuristic",
+    "leakage_safe_split",
+    "multimodal_features",
+    "nested_struct_rollup",
+    "part_id_synthesis",
+    "pricing_summary",
+    "priority_set_algebra",
+    "quality_lm_score",
+    "region_descendants",
+    "region_segment_flatten",
+    "returnflag_pivot",
+    "revenue_by_nation",
+    "scd2_history_stats",
+    "segment_acctbal_zscore",
+    "segment_set_algebra",
+    "symmetric_trade_edges",
+    "text_stats",
+    "tfidf_top_terms",
+    "token_bin_packing",
+    "token_fingerprints",
+    "user_sessions",
+    # re-greens: r3-era picks (dedup, streaming, ANN, BPE induction,
+    # decontamination, quality-AUC, and the same-SQL-text surface)
+    "dedup_simhash",
+    "dedup_incremental",
+    "dedup_cluster_components_star",
+    "streaming_session_windows",
+    "streaming_user_totals",
+    "sql_text_revenue",
+    "knn_cosine_ivf_kmeans",
+    "bpe_merge_pair_stats",
+    "decontaminate_stats",
+    "embedding_decontaminate",
+    "exact_auc_stats",
 ]
 
 

@@ -25,6 +25,9 @@ from platform_etl_drug_disease_spark.operators.sampling import (
 from platform_etl_drug_disease_spark.operators.dedup import (
     connected_components,
     connected_components_star,
+    containment_minhash_candidates,
+    containment_minhash_topk,
+    containment_pairs,
     containment_topk,
     incremental_minhash_matches,
     minhash_lsh_dedup,
@@ -620,6 +623,285 @@ SELECT jaccard_decile,
        {bound_case} AS lsh_bound
 FROM scored GROUP BY jaccard_decile
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment family, scale path + audit (round 7; VERDICT r6 item 2).
+# ---------------------------------------------------------------------------
+
+# Mirror of operators/dedup.py:minhash_slot_rows (df-capped signatures) +
+# containment_minhash_candidates at τ={tau}: hot shingles (df > 256) never
+# enter the slot minima (the r=1 linearity guarantee — see the operator
+# docstring), minima per slot over md5-60bit XOR the shared seed literals,
+# residual (slot, val) bucket cap 1024, and the lossless |sh_B| ≥ τ·|sh_A|
+# size prune inside the bucket join. sz is the FULL shingle count (the size
+# prune reasons about true sizes), taken before the df cap. The Spark side
+# counts df on the 60-bit hash, this mirror on raw shingle text — identical
+# under the same birthday bound as the verify keys.
+_CONTAINMENT_MINHASH_CANDS_SQL = (
+    """
+, cex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+ckeep AS (SELECT s FROM cex GROUP BY s HAVING COUNT(*) <= 256),
+chash AS (
+    SELECT c.doc_id, c.sz,
+           CAST(('0x' || substr(md5(c.s), 1, 15)) AS BIGINT) AS h
+    FROM cex c SEMI JOIN ckeep k ON c.s = k.s
+),
+sigrows AS (
+    SELECT ch.doc_id, min(ch.sz) AS sz, t.i AS slot,
+           min(xor(ch.h, ("""
+    + _MINHASH_SEEDS_SQL
+    + """)[t.i + 1])) AS val
+    FROM chash ch CROSS JOIN range(0, 16) AS t(i)
+    GROUP BY ch.doc_id, t.i
+),
+hotslots AS (
+    SELECT slot, val FROM sigrows GROUP BY slot, val HAVING COUNT(*) > 1024
+),
+coldrows AS (
+    SELECT sr.doc_id, sr.sz, sr.slot, sr.val
+    FROM sigrows sr ANTI JOIN hotslots h
+      ON sr.slot = h.slot AND sr.val = h.val
+),
+mcands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM coldrows a JOIN coldrows b
+      ON a.slot = b.slot AND a.val = b.val
+     AND a.doc_id != b.doc_id
+     AND b.sz * 1.0 >= {tau} * a.sz - 1e-6
+)
+"""
+)
+
+_CONTAINMENT_MINHASH_SQL = (
+    _SHINGLES_CTE
+    + _CONTAINMENT_MINHASH_CANDS_SQL.format(tau="0.8")
+    + """
+, ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM mcands c
+    JOIN ex ea ON ea.doc_id = c.id_a
+    JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+    GROUP BY c.id_a, c.id_b
+),
+scored AS (
+    SELECT i.id_a, i.id_b,
+           round(i.n_inter * 1.0 / sa.sz, 6) AS containment
+    FROM inter i
+    JOIN (SELECT DISTINCT doc_id, sz FROM ex) sa ON i.id_a = sa.doc_id
+)
+SELECT id_a AS doc_id, CAST(rn AS BIGINT) AS container_rank,
+       id_b AS container_id, containment
+FROM (
+    SELECT id_a, id_b, containment,
+           row_number() OVER (PARTITION BY id_a
+                              ORDER BY containment DESC, id_b) AS rn
+    FROM scored WHERE containment >= 0.8
+) WHERE rn <= 3
+"""
+)
+
+
+def dedup_containment_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic sibling of ``dedup_containment_topk``: per doc, top-3
+    containers by trigram containment ≥ 0.8, candidates from single-slot
+    (r=1, b=16) MinHash LSH instead of the exact one-sided prefix join
+    (operators/dedup.containment_minhash_topk). The exact path's candidate
+    fan-out is Σ_A prefix_len(A)·df — linear in corpus shingle mass; this
+    one is bounded by signature-bucket sizes (hot-key-capped at 1024),
+    which track duplicate mass — the documented 100-TB candidate shape, the
+    same relationship MinHash+LSH has to exact Jaccard. Emitted containment
+    values are EXACT (full count-based verify); only recall is approximate
+    — P(candidate) = 1−(1−J)^16 with J ≥ τ/(1+R−τ) at size ratio R — and
+    ``containment_recall_audit`` prices it per (decile × size stratum).
+    Unblocked (no lang partition): the scale path must stand without
+    blocking help."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    top = containment_minhash_topk(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+        n_hashes=16, max_shingle_df=256, max_slot_df=1024,
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("containment").desc(), "id_b")
+    return top.select(
+        F.col("id_a").alias("doc_id"),
+        F.row_number().over(w).cast("bigint").alias("container_rank"),
+        F.col("id_b").alias("container_id"),
+        "containment",
+    )
+
+
+def _containment_bound_literals() -> list[tuple[int, int, str]]:
+    """P(single-slot candidate | containment = c, size ratio R) lower bound
+    per audit cell: J(A,B) = c/(1 + R − c) is the Jaccard floor at
+    containment c and R = |sh_B|/|sh_A|, so with 16 independent slots
+    P ≥ 1 − (1 − J_min)^16 evaluated at the cell's WORST corner — c at the
+    decile's lower edge d/10 and R at the stratum's upper edge 2^(δ+1)
+    (size_delta δ = floor(log2 sz_B) − floor(log2 sz_A) means
+    R < 2^(δ+1)). The pooled δ=4 cell ("4 or more") has unbounded R →
+    bound 0. Rounded to 6 places IN PYTHON and carried as identical decimal
+    literals on both engines (pow is not cross-engine IEEE-exact)."""
+    import math
+
+    out: list[tuple[int, int, str]] = []
+    for d in range(5, 11):
+        for delta in range(-1, 5):
+            if delta >= 4:
+                p = 0.0
+            else:
+                c_lo = d / 10.0
+                r_max = float(2 ** (delta + 1))
+                j_min = min(c_lo / (1.0 + r_max - c_lo), 1.0)
+                p = 1.0 - (1.0 - j_min) ** 16
+            out.append((d, delta, f"{math.floor(p * 1e6 + 0.5) / 1e6:.6f}"))
+    return out
+
+
+def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the single-slot MinHash containment stage against
+    the EXACT containment truth (τ=0.5), resolved per (containment decile ×
+    size-ratio stratum), with the closed-form slot bound 1−(1−J_min)^16 at
+    each cell's worst corner alongside (:func:`_containment_bound_literals`)
+    — the ``dedup_recall_audit`` pattern applied to the asymmetric family.
+
+    2-D because containment recall decays along BOTH axes: lower containment
+    AND higher size skew reduce the Jaccard floor J = c/(1+R−c) the LSH
+    actually sees. size_delta = floor(log2 |sh_B|) − floor(log2 |sh_A|),
+    computed INTEGER-EXACT as binary-digit counts (length(bin(sz))−1 on both
+    engines — floor(log/log 2) is not reliably exact at powers of two),
+    clamped to [−1, 4] (τ=0.5 forces |sh_B| ≥ |sh_A|/2 ⇒ δ ≥ −1; δ=4 pools
+    "≥16×", where the bound is 0 and the exact path is the only coverage).
+
+    ONE shingle table feeds truth, candidates, and sizes (the ``shingles=``
+    reuse hook, VERDICT r6 item 3). Both sides are the existing
+    sub-corpus-quadratic pipelines; the audit join is equi-keyed on (id_a,
+    id_b); output ≤ 36 cells."""
+    from platform_etl_drug_disease_spark.operators.dedup import _shingle_table
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sh = _shingle_table(docs, "doc_id", "text", shingle_n=3).persist()
+    truth = containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        block_col=None, max_shingle_df=256, shingles=sh,
+    )
+    cands = containment_minhash_candidates(
+        sh, "doc_id", threshold=0.5, n_hashes=16, max_shingle_df=256,
+        max_slot_df=1024
+    ).withColumn("__hit", F.lit(1))
+    sizes = sh.select("doc_id", F.size("sh").alias("__sz"))
+    t = truth.join(
+        sizes.select(F.col("doc_id").alias("id_a"), F.col("__sz").alias("__sz_a")),
+        "id_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("id_b"), F.col("__sz").alias("__sz_b")),
+        "id_b",
+    )
+    # integer-exact floor(log2): binary digit count − 1 (sz ≥ 1 always —
+    # truth pairs require a non-empty intersection).
+    strat_a = F.length(F.bin(F.col("__sz_a"))) - 1
+    strat_b = F.length(F.bin(F.col("__sz_b"))) - 1
+    delta = F.least(F.greatest(strat_b - strat_a, F.lit(-1)), F.lit(4)).cast("int")
+    # +1e-9 absorbs representation error of e.g. 0.6*10 (same grid argument
+    # as dedup_recall_audit; round-6 values live on a 1e-5 grid after ×10).
+    decile = F.floor(F.col("containment") * F.lit(10.0) + F.lit(1e-9)).cast("int")
+    bound = F.lit(None).cast("double")
+    for d, dl, txt in _containment_bound_literals():
+        bound = F.when(
+            (F.col("containment_decile") == d) & (F.col("size_delta") == dl),
+            F.lit(float(txt)),
+        ).otherwise(bound)
+    return (
+        t.join(cands, ["id_a", "id_b"], "left")
+        .select(
+            decile.alias("containment_decile"),
+            delta.alias("size_delta"),
+            F.coalesce(F.col("__hit"), F.lit(0)).alias("__hit"),
+        )
+        .groupBy("containment_decile", "size_delta")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum("__hit").cast("bigint").alias("n_recalled"),
+        )
+        .withColumn(
+            "recall",
+            dround(
+                F.col("n_recalled").cast("double") / F.col("n_true").cast("double"),
+                6,
+            ),
+        )
+        .withColumn("slot_bound", bound)
+    )
+
+
+def _containment_recall_audit_sql() -> str:
+    """Truth = the proven _CONTAINMENT_SQL core at τ=0.5 minus lang blocking;
+    candidates = _CONTAINMENT_MINHASH_CANDS_SQL (df-capped signatures). The
+    Spark prefix ranks by (df, xxhash64) and this mirror by (df, shingle
+    text) — both consistent global orders, so the lossless prefix filter
+    yields the same thresholded truth (the dedup_ngram_jaccard-proven
+    pattern)."""
+    bound_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN containment_decile = {d} AND size_delta = {dl} THEN {txt}"
+            for d, dl, txt in _containment_bound_literals()
+        )
+        + " END"
+    )
+    return (
+        _SHINGLES_CTE
+        + _CONTAINMENT_MINHASH_CANDS_SQL.format(tau="0.5")
+        + f"""
+, ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s HAVING COUNT(*) <= 256),
+ranked AS (
+    SELECT ex.doc_id, ex.sz, ex.s,
+           row_number() OVER (PARTITION BY ex.doc_id
+                              ORDER BY freq.df, ex.s) AS rn
+    FROM ex JOIN freq USING (s)
+),
+pref AS (SELECT doc_id, sz, s FROM ranked
+         WHERE rn <= sz - CAST(ceil(sz * 0.5 - 1e-6) AS INT) + 1),
+tcands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN ex b
+      ON a.s = b.s AND a.doc_id != b.doc_id
+     AND b.sz * 1.0 >= 0.5 * a.sz - 1e-6
+),
+tinter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM tcands c
+    JOIN ex ea ON ea.doc_id = c.id_a
+    JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+    GROUP BY c.id_a, c.id_b
+),
+truth AS (
+    SELECT * FROM (
+        SELECT i.id_a, i.id_b,
+               round(i.n_inter * 1.0 / sa.sz, 6) AS containment,
+               sa.sz AS sz_a, sb.sz AS sz_b
+        FROM tinter i
+        JOIN (SELECT DISTINCT doc_id, sz FROM ex) sa ON i.id_a = sa.doc_id
+        JOIN (SELECT DISTINCT doc_id, sz FROM ex) sb ON i.id_b = sb.doc_id
+    ) WHERE containment >= 0.5
+),
+cells AS (
+    SELECT CAST(floor(t.containment * 10 + 1e-9) AS INT) AS containment_decile,
+           CAST(least(greatest((length(bin(t.sz_b)) - 1)
+                               - (length(bin(t.sz_a)) - 1), -1), 4) AS INT)
+               AS size_delta,
+           CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+    FROM truth t
+    LEFT JOIN mcands m ON t.id_a = m.id_a AND t.id_b = m.id_b
+)
+SELECT containment_decile, size_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(hit) AS BIGINT) AS n_recalled,
+       floor(SUM(hit) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall,
+       {bound_case} AS slot_bound
+FROM cells GROUP BY containment_decile, size_delta
+"""
+    )
 
 
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1245,6 +1527,8 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_topk": dedup_ngram_jaccard_topk,
     "dedup_containment_topk": dedup_containment_topk,
+    "dedup_containment_minhash_topk": dedup_containment_minhash_topk,
+    "containment_recall_audit": containment_recall_audit,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_recall_audit": dedup_recall_audit,
     "dedup_cluster_components": dedup_cluster_components,
@@ -1271,6 +1555,8 @@ ORACLES = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_ngram_jaccard_topk": _JACCARD_TOPK_SQL,
     "dedup_containment_topk": _CONTAINMENT_SQL,
+    "dedup_containment_minhash_topk": _CONTAINMENT_MINHASH_SQL,
+    "containment_recall_audit": _containment_recall_audit_sql(),
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_recall_audit": _recall_audit_sql(),
     "dedup_cluster_components": _CC_SQL,

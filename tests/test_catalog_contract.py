@@ -241,6 +241,21 @@ def test_bench_headline_covers_catalog():
         assert reason.strip(), f"exclusion without a reason: {name}"
 
 
+def test_bench_exclusion_list_is_frozen():
+    """The exclusion list is FROZEN at the two exact-truth measurement
+    instruments (VERDICT r6 item 6): `dedup_ngram_jaccard` (the unbounded
+    exact relation, retained only as the recall audits' truth source — its
+    exact-verify cost is carried in the headline by
+    `dedup_ngram_jaccard_topk`) and `dedup_recall_audit` (which composes
+    that same unbounded truth side). Any new exclusion is a silent-basis
+    change for every BENCH artifact consumer and must be a deliberate,
+    reviewed edit of BOTH this test and bench.EXCLUDED — growing the list
+    is how a headline quietly stops covering the catalog."""
+    import bench
+
+    assert set(bench.EXCLUDED) == {"dedup_ngram_jaccard", "dedup_recall_audit"}
+
+
 @pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_PERF_LOCKSTEP", "1") == "0",
     reason="PERF.md regeneration in progress",

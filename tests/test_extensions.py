@@ -1087,3 +1087,173 @@ def test_containment_boundary_prefix_is_lossless(spark, tmp_path):
         for r in con.execute(_CONTAINMENT_SQL).fetchall()
     }
     assert oracle.get((1, 2)) == 0.8, f"oracle missed the boundary pair: {oracle}"
+
+
+def _py_shingles(text: str) -> frozenset[str]:
+    """Python mirror of operators.text tokenize+trigram-shingle (the audit
+    tests compute expected truth with set arithmetic instead of hand-pins)."""
+    t = text.strip().lower().split()
+    return frozenset(
+        " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+    ) if len(t) >= 3 else frozenset()
+
+
+def _containment_audit_corpus() -> list[tuple[int, str]]:
+    """Planted containment pairs across (decile × size-stratum) cells:
+    20 pairs each at (c=1, Δ=0), (c=0.8, Δ=0), (c=1, Δ=2), (c=1, Δ≥4 pooled)
+    — token namespaces unique per pair so no cross-pair truth. Reverse
+    directions land in whatever cell their c(B,A) implies; the test derives
+    ALL expected cells from the Python mirror rather than hand-pinning."""
+    rows, did = [], 0
+    specs = [
+        ("e", 22, 22, 4),    # c=1.0, szB=24  (Δ0)  + reverse c≈0.833
+        ("f", 22, 18, 8),    # c=0.8, szB=24  (Δ0)  + reverse c≈0.667
+        ("g", 22, 22, 70),   # c=1.0, szB=90  (Δ2)  reverse below 0.5
+        ("h", 22, 22, 620),  # c=1.0, szB=640 (Δ5→pooled 4)
+    ]
+    for tag, n_a, k, n_fill in specs:
+        for p in range(20):
+            a = [f"{tag}{p}w{i}" for i in range(n_a)]
+            b = a[:k] + [f"{tag}{p}v{i}" for i in range(n_fill)]
+            rows.append((did, " ".join(a)))
+            rows.append((did + 1, " ".join(b)))
+            did += 2
+    return rows
+
+
+def test_containment_recall_audit_cells(spark, tmp_path):
+    """containment_recall_audit on the planted corpus: truth cell counts
+    must equal the Python set-arithmetic mirror over all ordered pairs,
+    measured recall must meet the 1−(1−J_min)^16 slot bound in EVERY cell
+    (deterministic fixed-hash pins, not statistics), and the near-size
+    high-containment cells must recall fully. The Δ≥4 pooled cell carries
+    bound 0 — the honest statement that the scale path does not cover
+    extreme size skew (the exact path and this audit do)."""
+    import math
+
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        _containment_bound_literals,
+        containment_recall_audit,
+    )
+
+    rows = _containment_audit_corpus()
+    spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    sh = {i: _py_shingles(t) for i, t in rows}
+    expected: dict[tuple[int, int], int] = {}
+    for ia, sa in sh.items():
+        for ib, sb in sh.items():
+            if ia == ib or not sa:
+                continue
+            c = round(len(sa & sb) / len(sa), 6)
+            if c < 0.5:
+                continue
+            dec = int(math.floor(c * 10 + 1e-9))
+            delta = (len(sb).bit_length() - 1) - (len(sa).bit_length() - 1)
+            delta = max(-1, min(delta, 4))
+            expected[(dec, delta)] = expected.get((dec, delta), 0) + 1
+
+    out = {
+        (r["containment_decile"], r["size_delta"]): r
+        for r in containment_recall_audit(spark, str(tmp_path)).collect()
+    }
+    bounds = {(d, dl): float(txt) for d, dl, txt in _containment_bound_literals()}
+    assert {k: r["n_true"] for k, r in out.items()} == expected
+    for cell, r in out.items():
+        assert 0 <= r["n_recalled"] <= r["n_true"]
+        assert r["slot_bound"] == bounds[cell]
+        assert r["recall"] >= r["slot_bound"], (
+            f"cell {cell}: recall {r['recall']} below slot bound "
+            f"{r['slot_bound']}"
+        )
+    assert (10, 0) in out and out[(10, 0)]["recall"] == 1.0
+    assert (10, 2) in out, "planted Δ=2 wrappers must be in truth"
+    assert (10, 4) in out and out[(10, 4)]["slot_bound"] == 0.0
+
+
+def test_containment_bound_literals_shape():
+    """Bound table sanity: monotone in both axes (higher containment ⇒
+    higher Jaccard floor; bigger size skew ⇒ lower), pooled Δ=4 exactly 0,
+    and the near-size identical-doc corner ≈ certain."""
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        _containment_bound_literals,
+    )
+
+    b = {(d, dl): float(t) for d, dl, t in _containment_bound_literals()}
+    assert set(b) == {(d, dl) for d in range(5, 11) for dl in range(-1, 5)}
+    for d in range(5, 11):
+        for dl in range(-1, 4):
+            assert b[(d, dl)] >= b[(d, dl + 1)]
+            if d < 10:
+                assert b[(d + 1, dl)] >= b[(d, dl)]
+        assert b[(d, 4)] == 0.0
+    assert b[(10, -1)] == 1.0
+
+
+def test_containment_minhash_subset_of_exact_with_exact_values(spark):
+    """The scale path may MISS pairs (recall priced by the audit) but every
+    pair it emits must carry the EXACT containment value — verify is the
+    same count-based stage, so minhash-topk output ⊆ the exact thresholded
+    relation, value-identical; and the near-size planted wrapper is found."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        containment_minhash_topk,
+        containment_pairs,
+    )
+
+    rows = [(i, t) for i, t in _containment_audit_corpus()]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.8,
+            max_shingle_df=None,
+        ).collect()
+    }
+    mh = containment_minhash_topk(
+        df, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+    ).collect()
+    assert mh, "minhash path must find the near-size planted wrappers"
+    for r in mh:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"minhash emitted a non-truth pair {key}"
+        assert r["containment"] == exact[key], (
+            f"{key}: minhash value {r['containment']} != exact {exact[key]}"
+        )
+    # the Δ=0 whole-inclusion pairs have J ≈ 20/24 — single-slot collision
+    # is near-certain; their absence would mean the index is broken.
+    got = {(r["id_a"], r["id_b"]) for r in mh}
+    assert (0, 1) in got
+
+
+def test_containment_shingles_hook_shares_one_pass(spark):
+    """`shingles=`: a prebuilt persisted shingle table must give identical
+    results for BOTH family members (exact top-k and minhash top-k) as the
+    build-it-yourself path — the one-tokenize-pass reuse hook (VERDICT r6
+    item 3)."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        _shingle_table,
+        containment_minhash_topk,
+        containment_topk,
+    )
+
+    rows = [(i, t) for i, t in _containment_audit_corpus()][:40]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sh = _shingle_table(df, "doc_id", "text", 3).persist()
+    try:
+        for fn in (containment_topk, containment_minhash_topk):
+            base = set(
+                map(tuple, fn(df, "doc_id", "text", threshold=0.8, k=3).collect())
+            )
+            shared = set(
+                map(
+                    tuple,
+                    fn(
+                        df, "doc_id", "text", threshold=0.8, k=3, shingles=sh
+                    ).collect(),
+                )
+            )
+            assert base == shared, f"{fn.__name__} diverges under shingles="
+    finally:
+        sh.unpersist()
