@@ -1118,6 +1118,167 @@ def containment_minhash_topk(
     )
 
 
+def incremental_containment_matches(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    n_hashes: int = 16,
+    max_shingle_df: int | None = 256,
+    max_slot_df: int | None = 1024,
+) -> DataFrame:
+    """Continuous-ingestion CONTAINMENT: is a NEW doc already carried
+    (wholly or near-wholly) inside an EXISTING corpus doc? Candidates only
+    where a new doc and a corpus doc agree on a single-slot MinHash key
+    (:func:`minhash_slot_rows`, df-capped per side) AND the corpus doc
+    passes the lossless size prune |sh_corpus| ≥ τ·|sh_new|; then the exact
+    count-based verify. Returns (new_id, corpus_id, containment ≥ τ) — the
+    asymmetric sibling of :func:`incremental_minhash_matches`, closing the
+    family's serve-path gap (a freshly-crawled page quoted whole inside an
+    aggregator already in the corpus has J ≈ |new|/|corpus| — invisible to
+    the banded Jaccard matcher at any useful threshold).
+
+    Serve-path property: per-batch cost tracks the batch size and df-capped
+    bucket widths, never corpus size — no corpus self-join anywhere. At
+    100 TB the corpus side is the PERSISTED slot-row index plus the
+    exploded (id, shingle) table, written once per corpus snapshot; here
+    both sides are computed from text because the fixture has no snapshot
+    store. The df cap is computed PER SIDE (batch-side df over the batch,
+    corpus-side over the corpus) — the index must be buildable without
+    seeing future batches."""
+    new_sh = _shingle_table(new_df, id_col, text_col, shingle_n).persist()
+    corpus_sh = _shingle_table(corpus_df, id_col, text_col, shingle_n).persist()
+    nrows = minhash_slot_rows(
+        new_sh, id_col, n_hashes, max_shingle_df=max_shingle_df
+    )
+    crows = minhash_slot_rows(
+        corpus_sh, id_col, n_hashes, max_shingle_df=max_shingle_df
+    )
+    if max_slot_df is not None:
+        # residual bucket-width guard on the CORPUS side only (the index);
+        # the batch side is small by contract.
+        hot = (
+            crows.groupBy("slot", "val")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_slot_df)
+            .select("slot", "val")
+        )
+        crows = crows.join(F.broadcast(hot), ["slot", "val"], "left_anti")
+    cands = (
+        nrows.alias("n")
+        .join(
+            crows.alias("c"),
+            (F.col("n.slot") == F.col("c.slot"))
+            & (F.col("n.val") == F.col("c.val"))
+            & (
+                F.col("c.__sz").cast("double")
+                >= F.lit(threshold) * F.col("n.__sz") - F.lit(1e-6)
+            ),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    ex_n = new_sh.select(
+        F.col(id_col).alias("new_id"), F.explode("sh").alias("__s")
+    ).select(F.col("new_id"), F.xxhash64("__s").alias("shingle"))
+    ex_c = corpus_sh.select(
+        F.col(id_col).alias("corpus_id"), F.explode("sh").alias("__s")
+    ).select(F.col("corpus_id"), F.xxhash64("__s").alias("shingle"))
+    inter_cnt = (
+        cands.join(ex_n, "new_id")
+        .join(ex_c, ["corpus_id", "shingle"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sz_n = new_sh.select(
+        F.col(id_col).alias("new_id"), F.size("sh").alias("__sz_n")
+    )
+    return (
+        inter_cnt.join(sz_n, "new_id")
+        .withColumn(
+            "containment",
+            F.round(F.col("__inter").cast("double") / F.col("__sz_n"), 6),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("new_id", "corpus_id", "containment")
+    )
+
+
+def quoted_spans(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Longest VERBATIM token run shared by each (id_a, id_b) pair — the
+    positional refinement of bag-of-shingles containment. Containment says
+    "most of A's shingles appear somewhere in B"; a quoted span says they
+    appear CONTIGUOUSLY IN ORDER — the difference between an actual
+    quotation (aggregators, quote farms — removable span) and topical
+    vocabulary overlap (keep). Returns (id_a, id_b,
+    longest_quote_tokens), one row per input pair with ≥1 shared n-gram;
+    pairs sharing none emit no row (no match ⇒ no quote).
+
+    Plan: positional n-grams per doc (window ``lead`` over token position —
+    no self-join), then for the BOUNDED input pair set only, equi-join A's
+    and B's positional n-gram rows on the gram. A run of consecutive
+    positions on the same diagonal (j − i constant) is a verbatim match of
+    run+n−1 tokens; runs are found with the gaps-and-islands identity
+    ``i − row_number() over (pair, diag ORDER BY i)`` — no iteration. A
+    gram repeated in a doc yields one row per occurrence (positional, NOT
+    the distinct-shingle table), so fan-out per pair is Σ_g cnt_a·cnt_b —
+    bounded by pair-set size × per-doc gram multiplicity, and the pair set
+    comes from an already-bounded candidate stage (containment/Jaccard
+    top-k), never all-pairs. Spark shuffles 8-byte xxhash64 gram keys; the
+    oracle joins raw text (same birthday argument as the dedup verifies)."""
+    from platform_etl_drug_disease_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    wl = Window.partitionBy(id_col).orderBy("pos")
+    g = toks
+    for k in range(1, n):
+        g = g.withColumn(f"t{k}", F.lead("tok", k).over(wl))
+    grams = g.where(F.col(f"t{n - 1}").isNotNull()).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(
+            F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)])
+        ).alias("g"),
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("i"), F.col("g")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("j"), F.col("g")
+    )
+    hits = (
+        pairs.select("id_a", "id_b")
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .select("id_a", "id_b", "i", (F.col("j") - F.col("i")).alias("diag"))
+        .distinct()  # a gram repeated in B puts (i, diag) once per j; dedup
+    )
+    wr = Window.partitionBy("id_a", "id_b", "diag").orderBy("i")
+    runs = hits.withColumn("island", F.col("i") - F.row_number().over(wr))
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "island")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.max("__run") + F.lit(n - 1))
+            .cast("bigint")
+            .alias("longest_quote_tokens")
+        )
+    )
+
+
 def simhash64(text_tokens: Column, prefix_hex: int = 15) -> Column:
     """SimHash over a token array: per-bit majority vote of md5-derived
     60-bit token hashes (15 hex chars — fits a signed bigint).

@@ -26,14 +26,21 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-7 window (current): the 5 pins; the 2 round-7 additions
+Round-7 window (current): the 5 pins; the round-7 additions
 (`dedup_containment_minhash_topk` — the containment family's
 sub-quadratic candidate path — and `containment_recall_audit`, its
 per-(decile × size-stratum) recall pricing vs the exact truth, VERDICT r6
 item 2); then all 32 queries whose latest strict green is round 2 (the
-oldest cohort after the fully-green r6), then 11 round-3-era picks
+oldest cohort after the fully-green r6), then round-3-era picks
 covering the dedup/streaming/ANN/BPE/decontamination/SQL-surface
 families.
+
+Pre-staged round-8 rotation: land any round-8 additions FIRST
+(add-then-freeze), bump WINDOW_ROUND to 8, keep the 5 pins, fill the
+remaining slots oldest-driver-evidence-first — after a green
+CORRECTNESS_r07 the oldest cohort is the ~31 remaining r3-latest queries
+(calibration/graph/streaming/lakehouse-era; enumerate from the committed
+artifacts), then the r4-latest cohort.
 """
 
 from __future__ import annotations
@@ -72,9 +79,12 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # round-7 additions, first driver rows (containment scale path + audit)
+    # round-7 additions, first driver rows (containment scale path + audit
+    # + the family's serve-path matcher)
     "dedup_containment_minhash_topk",
     "containment_recall_audit",
+    "containment_incremental",
+    "quoted_span_stats",
     # re-greens: every query whose latest strict green driver row is ROUND 2
     "asof_latest_click",
     "bm25_search",
@@ -119,8 +129,6 @@ _DRIVER_WINDOW = [
     "knn_cosine_ivf_kmeans",
     "bpe_merge_pair_stats",
     "decontaminate_stats",
-    "embedding_decontaminate",
-    "exact_auc_stats",
 ]
 
 

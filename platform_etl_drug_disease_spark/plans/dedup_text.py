@@ -29,6 +29,8 @@ from platform_etl_drug_disease_spark.operators.dedup import (
     containment_minhash_topk,
     containment_pairs,
     containment_topk,
+    incremental_containment_matches,
+    quoted_spans,
     incremental_minhash_matches,
     minhash_lsh_dedup,
     exact_dedup_clusters,
@@ -729,6 +731,202 @@ def dedup_containment_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("id_b").alias("container_id"),
         "containment",
     )
+
+
+def containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion containment: docs with ``doc_id % 10 == 0`` play
+    the incoming batch, the rest the existing corpus; each new doc is
+    matched as CONTAINED (trigram containment ≥ 0.8) against the corpus
+    slot-row index + size prune, exact count-verified
+    (operators/dedup.incremental_containment_matches). The asymmetric
+    sibling of ``dedup_incremental`` — a fresh page quoted whole inside an
+    already-indexed aggregator has J ≈ |new|/|corpus|, invisible to the
+    banded Jaccard matcher; this catches it at per-batch cost (no corpus
+    self-join anywhere in the plan)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    return incremental_containment_matches(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        "doc_id",
+        "text",
+        shingle_n=3,
+        threshold=0.8,
+        n_hashes=16,
+        max_shingle_df=256,
+        max_slot_df=1024,
+    )
+
+
+# Mirror of incremental_containment_matches over the %10 split: per-side
+# df-capped slot signatures (the batch's df over the batch, the corpus's
+# over the corpus — the index must be buildable without future batches),
+# corpus-side residual bucket cap, size prune inside the bucket join,
+# exact verify over the UNCAPPED shingle rows of both sides.
+_CONTAINMENT_INCR_SQL = (
+    _SHINGLES_CTE
+    + """
+, nex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
+          WHERE doc_id % 10 = 0),
+nkeep AS (SELECT s FROM nex GROUP BY s HAVING COUNT(*) <= 256),
+nhash AS (
+    SELECT n.doc_id, n.sz,
+           CAST(('0x' || substr(md5(n.s), 1, 15)) AS BIGINT) AS h
+    FROM nex n SEMI JOIN nkeep k ON n.s = k.s
+),
+nsig AS (
+    SELECT nh.doc_id, min(nh.sz) AS sz, t.i AS slot,
+           min(xor(nh.h, ("""
+    + _MINHASH_SEEDS_SQL
+    + """)[t.i + 1])) AS val
+    FROM nhash nh CROSS JOIN range(0, 16) AS t(i)
+    GROUP BY nh.doc_id, t.i
+),
+icex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
+         WHERE doc_id % 10 <> 0),
+ickeep AS (SELECT s FROM icex GROUP BY s HAVING COUNT(*) <= 256),
+ichash AS (
+    SELECT c.doc_id, c.sz,
+           CAST(('0x' || substr(md5(c.s), 1, 15)) AS BIGINT) AS h
+    FROM icex c SEMI JOIN ickeep k ON c.s = k.s
+),
+icsig AS (
+    SELECT ch.doc_id, min(ch.sz) AS sz, t.i AS slot,
+           min(xor(ch.h, ("""
+    + _MINHASH_SEEDS_SQL
+    + """)[t.i + 1])) AS val
+    FROM ichash ch CROSS JOIN range(0, 16) AS t(i)
+    GROUP BY ch.doc_id, t.i
+),
+ichot AS (SELECT slot, val FROM icsig GROUP BY slot, val HAVING COUNT(*) > 1024),
+iccold AS (
+    SELECT c.doc_id, c.sz, c.slot, c.val
+    FROM icsig c ANTI JOIN ichot h ON c.slot = h.slot AND c.val = h.val
+),
+imcands AS (
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+    FROM nsig n JOIN iccold c
+      ON n.slot = c.slot AND n.val = c.val
+     AND c.sz * 1.0 >= 0.8 * n.sz - 1e-6
+),
+ivinter AS (
+    SELECT m.new_id, m.corpus_id, COUNT(*) AS n_inter
+    FROM imcands m
+    JOIN nex en ON en.doc_id = m.new_id
+    JOIN icex ec ON ec.doc_id = m.corpus_id AND ec.s = en.s
+    GROUP BY m.new_id, m.corpus_id
+)
+SELECT new_id, corpus_id, containment FROM (
+    SELECT v.new_id, v.corpus_id,
+           round(v.n_inter * 1.0 / sn.sz, 6) AS containment
+    FROM ivinter v
+    JOIN (SELECT DISTINCT doc_id, sz FROM nex) sn ON v.new_id = sn.doc_id
+) WHERE containment >= 0.8
+"""
+)
+
+
+def quoted_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-quote refinement of the containment relation: for each
+    (contained doc → top-3 containers) pair of the exact containment top-k
+    (τ=0.8, unblocked), the longest VERBATIM token run shared in order
+    (operators/dedup.quoted_spans — positional trigram diagonals + the
+    gaps-and-islands identity, no iteration). Bag containment alone cannot
+    distinguish an actual quotation (removable span — aggregators, quote
+    farms) from topical vocabulary overlap; pairing each containment score
+    with its longest quote length is the curation-grade signal. Cost: the
+    positional join runs over the BOUNDED k·n pair set only — the
+    expensive candidate discovery is the already-priced containment
+    stage."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    # persisted: consumed as the spans' pair set AND joined back for the
+    # containment column — without it the whole prefix/verify pipeline
+    # runs twice.
+    top = containment_topk(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+        max_shingle_df=256,
+    ).persist()
+    spans = quoted_spans(docs, top, "doc_id", "text", n=3)
+    return top.join(spans, ["id_a", "id_b"]).select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("container_id"),
+        "containment",
+        "longest_quote_tokens",
+    )
+
+
+# Mirror: unblocked containment top-k core (the proven _CONTAINMENT_SQL
+# minus lang blocking) + positional trigrams (1-based list index i ↔ the
+# Spark side's 0-based pos = i − 1; diagonals are position DIFFERENCES so
+# the base cancels) + islands via i − row_number() per (pair, diag).
+_QUOTED_SPAN_SQL = _SHINGLES_CTE + """
+, ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s HAVING COUNT(*) <= 256),
+ranked AS (
+    SELECT ex.doc_id, ex.sz, ex.s,
+           row_number() OVER (PARTITION BY ex.doc_id
+                              ORDER BY freq.df, ex.s) AS rn
+    FROM ex JOIN freq USING (s)
+),
+pref AS (SELECT doc_id, sz, s FROM ranked
+         WHERE rn <= sz - CAST(ceil(sz * 0.8 - 1e-6) AS INT) + 1),
+qcands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN ex b
+      ON a.s = b.s AND a.doc_id != b.doc_id
+     AND b.sz * 1.0 >= 0.8 * a.sz - 1e-6
+),
+qinter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM qcands c
+    JOIN ex ea ON ea.doc_id = c.id_a
+    JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+    GROUP BY c.id_a, c.id_b
+),
+tpk AS (
+    SELECT id_a, id_b, containment FROM (
+        SELECT id_a, id_b, containment,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY containment DESC, id_b) AS rn
+        FROM (
+            SELECT i.id_a, i.id_b,
+                   round(i.n_inter * 1.0 / sa.sz, 6) AS containment
+            FROM qinter i
+            JOIN (SELECT DISTINCT doc_id, sz FROM ex) sa ON i.id_a = sa.doc_id
+        ) WHERE containment >= 0.8
+    ) WHERE rn <= 3
+),
+pgrams AS (
+    SELECT doc_id, unnest(range(1, len(t) - 1)) AS i, t
+    FROM toks
+),
+pg AS (
+    SELECT doc_id, i - 1 AS pos,
+           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+    FROM pgrams
+),
+hits AS (
+    SELECT DISTINCT p.id_a, p.id_b, a.pos AS i, b.pos - a.pos AS diag
+    FROM tpk p
+    JOIN pg a ON a.doc_id = p.id_a
+    JOIN pg b ON b.doc_id = p.id_b AND b.g = a.g
+),
+runs AS (
+    SELECT id_a, id_b, diag,
+           i - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                  ORDER BY i) AS island
+    FROM hits
+),
+spans AS (
+    SELECT id_a, id_b, CAST(MAX(cnt) + 2 AS BIGINT) AS longest_quote_tokens
+    FROM (
+        SELECT id_a, id_b, diag, island, COUNT(*) AS cnt
+        FROM runs GROUP BY id_a, id_b, diag, island
+    ) GROUP BY id_a, id_b
+)
+SELECT t.id_a AS doc_id, t.id_b AS container_id, t.containment,
+       s.longest_quote_tokens
+FROM tpk t JOIN spans s ON t.id_a = s.id_a AND t.id_b = s.id_b
+"""
 
 
 def _containment_bound_literals() -> list[tuple[int, int, str]]:
@@ -1529,6 +1727,8 @@ QUERIES = {
     "dedup_containment_topk": dedup_containment_topk,
     "dedup_containment_minhash_topk": dedup_containment_minhash_topk,
     "containment_recall_audit": containment_recall_audit,
+    "containment_incremental": containment_incremental,
+    "quoted_span_stats": quoted_span_stats,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_recall_audit": dedup_recall_audit,
     "dedup_cluster_components": dedup_cluster_components,
@@ -1557,6 +1757,8 @@ ORACLES = {
     "dedup_containment_topk": _CONTAINMENT_SQL,
     "dedup_containment_minhash_topk": _CONTAINMENT_MINHASH_SQL,
     "containment_recall_audit": _containment_recall_audit_sql(),
+    "containment_incremental": _CONTAINMENT_INCR_SQL,
+    "quoted_span_stats": _QUOTED_SPAN_SQL,
     "dedup_minhash_lsh": _MINHASH_SQL,
     "dedup_recall_audit": _recall_audit_sql(),
     "dedup_cluster_components": _CC_SQL,

@@ -1227,6 +1227,74 @@ def test_containment_minhash_subset_of_exact_with_exact_values(spark):
     assert (0, 1) in got
 
 
+def test_incremental_containment_serve_path(spark):
+    """incremental_containment_matches: a new doc quoted whole inside an
+    already-indexed corpus page is caught at containment ≈ 1.0 while the
+    banded Jaccard matcher misses it (J = |new|/|corpus| ≈ 0.1); direction
+    is new-contained-in-corpus only; unrelated new docs come back clean."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        incremental_containment_matches,
+        incremental_minhash_matches,
+    )
+
+    quoted = " ".join(f"q{i} r{i} s{i}" for i in range(8))
+    filler = " ".join(f"f{j} g{j} h{j}" for j in range(80))
+    corpus = spark.createDataFrame(
+        [(100, filler + " " + quoted),             # aggregator wrapping it
+         (101, " ".join(f"c{i}" for i in range(40)))],  # unrelated corpus doc
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, quoted),                              # the wrapped new doc
+         (2, " ".join(f"n{i}" for i in range(30)))],    # unrelated new doc
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_id"], r["corpus_id"]): r["containment"]
+        for r in incremental_containment_matches(
+            batch, corpus, "doc_id", "text", shingle_n=3, threshold=0.8
+        ).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)] >= 0.95
+    assert all(n == 1 for n, _ in got), "unrelated new doc must come back clean"
+    jac = incremental_minhash_matches(
+        batch, corpus, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).collect()
+    assert not jac, "fixture broken: the Jaccard matcher must miss the pair"
+
+
+def test_quoted_spans_measures_verbatim_runs(spark):
+    """quoted_spans must report the longest IN-ORDER contiguous token run,
+    not bag overlap: a whole quote scores its full length, an interrupted
+    quote scores its longest half — on pairs whose bag containment is
+    nearly identical (0.93 vs 1.0), which is exactly what containment alone
+    cannot see."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        containment_topk,
+        quoted_spans,
+    )
+
+    a = [f"a{i}" for i in range(30)]
+    filler = [f"f{j}" for j in range(20)]
+    junk = [f"j{j}" for j in range(10)]
+    rows = [
+        (1, " ".join(a)),                                  # the original
+        (2, " ".join(filler + a)),                         # quoted WHOLE
+        (3, " ".join(a[:15] + junk + a[15:])),             # split quote
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = containment_topk(
+        df, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+        max_shingle_df=None,
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["longest_quote_tokens"]
+        for r in quoted_spans(df, pairs, "doc_id", "text", n=3).collect()
+    }
+    assert got[(1, 2)] == 30, f"whole quote must score 30 tokens: {got}"
+    assert got[(1, 3)] == 15, f"split quote must score its longest half: {got}"
+
+
 def test_containment_shingles_hook_shares_one_pass(spark):
     """`shingles=`: a prebuilt persisted shingle table must give identical
     results for BOTH family members (exact top-k and minhash top-k) as the
