@@ -635,7 +635,7 @@ FROM scored GROUP BY jaccard_decile
 # containment_minhash_candidates at τ={tau}: hot shingles (df > 256) never
 # enter the slot minima (the r=1 linearity guarantee — see the operator
 # docstring), minima per slot over md5-60bit XOR the shared seed literals,
-# residual (slot, val) bucket cap 1024, and the lossless |sh_B| ≥ τ·|sh_A|
+# residual (slot, val) bucket cap 32, and the lossless |sh_B| ≥ τ·|sh_A|
 # size prune inside the bucket join. sz is the FULL shingle count (the size
 # prune reasons about true sizes), taken before the df cap. The Spark side
 # counts df on the 60-bit hash, this mirror on raw shingle text — identical
@@ -658,7 +658,7 @@ sigrows AS (
     GROUP BY ch.doc_id, t.i
 ),
 hotslots AS (
-    SELECT slot, val FROM sigrows GROUP BY slot, val HAVING COUNT(*) > 1024
+    SELECT slot, val FROM sigrows GROUP BY slot, val HAVING COUNT(*) > 32
 ),
 coldrows AS (
     SELECT sr.doc_id, sr.sz, sr.slot, sr.val
@@ -711,7 +711,7 @@ def dedup_containment_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFram
     (r=1, b=16) MinHash LSH instead of the exact one-sided prefix join
     (operators/dedup.containment_minhash_topk). The exact path's candidate
     fan-out is Σ_A prefix_len(A)·df — linear in corpus shingle mass; this
-    one is bounded by signature-bucket sizes (hot-key-capped at 1024),
+    one is bounded by signature-bucket sizes (bucket-capped at 32),
     which track duplicate mass — the documented 100-TB candidate shape, the
     same relationship MinHash+LSH has to exact Jaccard. Emitted containment
     values are EXACT (full count-based verify); only recall is approximate
@@ -722,7 +722,7 @@ def dedup_containment_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFram
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     top = containment_minhash_topk(
         docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
-        n_hashes=16, max_shingle_df=256, max_slot_df=1024,
+        n_hashes=16, max_shingle_df=256, max_slot_df=32,
     )
     w = Window.partitionBy("id_a").orderBy(F.col("containment").desc(), "id_b")
     return top.select(
@@ -753,7 +753,7 @@ def containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         n_hashes=16,
         max_shingle_df=256,
-        max_slot_df=1024,
+        max_slot_df=32,
     )
 
 
@@ -797,7 +797,7 @@ icsig AS (
     FROM ichash ch CROSS JOIN range(0, 16) AS t(i)
     GROUP BY ch.doc_id, t.i
 ),
-ichot AS (SELECT slot, val FROM icsig GROUP BY slot, val HAVING COUNT(*) > 1024),
+ichot AS (SELECT slot, val FROM icsig GROUP BY slot, val HAVING COUNT(*) > 32),
 iccold AS (
     SELECT c.doc_id, c.sz, c.slot, c.val
     FROM icsig c ANTI JOIN ichot h ON c.slot = h.slot AND c.val = h.val
@@ -836,14 +836,16 @@ def quoted_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its longest quote length is the curation-grade signal. Cost: the
     positional join runs over the BOUNDED k·n pair set only — the
     expensive candidate discovery is the already-priced containment
-    stage."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    stage, lang-BLOCKED like `dedup_containment_topk` (verbatim quotation
+    is same-language by construction, and blocking keeps the discovery in
+    that query's measured cost class instead of the ~2× unblocked one)."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text", "lang"])
     # persisted: consumed as the spans' pair set AND joined back for the
     # containment column — without it the whole prefix/verify pipeline
     # runs twice.
     top = containment_topk(
         docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
-        max_shingle_df=256,
+        block_col="lang", max_shingle_df=256,
     ).persist()
     spans = quoted_spans(docs, top, "doc_id", "text", n=3)
     return top.join(spans, ["id_a", "id_b"]).select(
@@ -854,25 +856,25 @@ def quoted_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirror: unblocked containment top-k core (the proven _CONTAINMENT_SQL
-# minus lang blocking) + positional trigrams (1-based list index i ↔ the
+# Mirror: the proven lang-blocked containment top-k core (_CONTAINMENT_SQL
+# shape) + positional trigrams (1-based list index i ↔ the
 # Spark side's 0-based pos = i − 1; diagonals are position DIFFERENCES so
 # the base cancels) + islands via i − row_number() per (pair, diag).
 _QUOTED_SPAN_SQL = _SHINGLES_CTE + """
-, ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
+, ex AS (SELECT doc_id, lang, len(sh) AS sz, unnest(sh) AS s FROM sh),
 freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s HAVING COUNT(*) <= 256),
 ranked AS (
-    SELECT ex.doc_id, ex.sz, ex.s,
+    SELECT ex.doc_id, ex.lang, ex.sz, ex.s,
            row_number() OVER (PARTITION BY ex.doc_id
                               ORDER BY freq.df, ex.s) AS rn
     FROM ex JOIN freq USING (s)
 ),
-pref AS (SELECT doc_id, sz, s FROM ranked
+pref AS (SELECT doc_id, lang, sz, s FROM ranked
          WHERE rn <= sz - CAST(ceil(sz * 0.8 - 1e-6) AS INT) + 1),
 qcands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM pref a JOIN ex b
-      ON a.s = b.s AND a.doc_id != b.doc_id
+      ON a.s = b.s AND a.doc_id != b.doc_id AND a.lang = b.lang
      AND b.sz * 1.0 >= 0.8 * a.sz - 1e-6
 ),
 qinter AS (
@@ -957,18 +959,25 @@ def _containment_bound_literals() -> list[tuple[int, int, str]]:
 
 def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate recall of the single-slot MinHash containment stage against
-    the EXACT containment truth (τ=0.5), resolved per (containment decile ×
-    size-ratio stratum), with the closed-form slot bound 1−(1−J_min)^16 at
-    each cell's worst corner alongside (:func:`_containment_bound_literals`)
-    — the ``dedup_recall_audit`` pattern applied to the asymmetric family.
+    the EXACT containment truth at the SHIPPED operating threshold (τ=0.8 —
+    auditing the exact configuration `dedup_containment_minhash_topk`
+    serves, and keeping the truth side in the τ=0.8 cost class the headline
+    already prices; a τ=0.5 truth puts HALF of every doc's shingles in the
+    one-sided prefix and measured 601 s at sf≈1), resolved per (containment
+    decile × size-ratio stratum), with the closed-form slot bound
+    1−(1−J_min)^16 at each cell's worst corner alongside
+    (:func:`_containment_bound_literals`) — the ``dedup_recall_audit``
+    pattern applied to the asymmetric family.
 
     2-D because containment recall decays along BOTH axes: lower containment
     AND higher size skew reduce the Jaccard floor J = c/(1+R−c) the LSH
     actually sees. size_delta = floor(log2 |sh_B|) − floor(log2 |sh_A|),
     computed INTEGER-EXACT as binary-digit counts (length(bin(sz))−1 on both
     engines — floor(log/log 2) is not reliably exact at powers of two),
-    clamped to [−1, 4] (τ=0.5 forces |sh_B| ≥ |sh_A|/2 ⇒ δ ≥ −1; δ=4 pools
-    "≥16×", where the bound is 0 and the exact path is the only coverage).
+    clamped to [−1, 4] (τ=0.8 forces |sh_B| ≥ 0.8·|sh_A| ⇒ δ ≥ −1; δ=4
+    pools "≥16×", where the bound is 0 and the exact path is the only
+    coverage). The bound table still carries deciles 5–10 so a lower-τ
+    audit variant can reuse it; τ=0.8 populates 8–10.
 
     ONE shingle table feeds truth, candidates, and sizes (the ``shingles=``
     reuse hook, VERDICT r6 item 3). Both sides are the existing
@@ -979,12 +988,12 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     sh = _shingle_table(docs, "doc_id", "text", shingle_n=3).persist()
     truth = containment_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8,
         block_col=None, max_shingle_df=256, shingles=sh,
     )
     cands = containment_minhash_candidates(
-        sh, "doc_id", threshold=0.5, n_hashes=16, max_shingle_df=256,
-        max_slot_df=1024
+        sh, "doc_id", threshold=0.8, n_hashes=16, max_shingle_df=256,
+        max_slot_df=32
     ).withColumn("__hit", F.lit(1))
     sizes = sh.select("doc_id", F.size("sh").alias("__sz"))
     t = truth.join(
@@ -1032,7 +1041,7 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_recall_audit_sql() -> str:
-    """Truth = the proven _CONTAINMENT_SQL core at τ=0.5 minus lang blocking;
+    """Truth = the proven _CONTAINMENT_SQL core at τ=0.8 minus lang blocking;
     candidates = _CONTAINMENT_MINHASH_CANDS_SQL (df-capped signatures). The
     Spark prefix ranks by (df, xxhash64) and this mirror by (df, shingle
     text) — both consistent global orders, so the lossless prefix filter
@@ -1048,7 +1057,7 @@ def _containment_recall_audit_sql() -> str:
     )
     return (
         _SHINGLES_CTE
-        + _CONTAINMENT_MINHASH_CANDS_SQL.format(tau="0.5")
+        + _CONTAINMENT_MINHASH_CANDS_SQL.format(tau="0.8")
         + f"""
 , ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh),
 freq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s HAVING COUNT(*) <= 256),
@@ -1059,12 +1068,12 @@ ranked AS (
     FROM ex JOIN freq USING (s)
 ),
 pref AS (SELECT doc_id, sz, s FROM ranked
-         WHERE rn <= sz - CAST(ceil(sz * 0.5 - 1e-6) AS INT) + 1),
+         WHERE rn <= sz - CAST(ceil(sz * 0.8 - 1e-6) AS INT) + 1),
 tcands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM pref a JOIN ex b
       ON a.s = b.s AND a.doc_id != b.doc_id
-     AND b.sz * 1.0 >= 0.5 * a.sz - 1e-6
+     AND b.sz * 1.0 >= 0.8 * a.sz - 1e-6
 ),
 tinter AS (
     SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
@@ -1081,7 +1090,7 @@ truth AS (
         FROM tinter i
         JOIN (SELECT DISTINCT doc_id, sz FROM ex) sa ON i.id_a = sa.doc_id
         JOIN (SELECT DISTINCT doc_id, sz FROM ex) sb ON i.id_b = sb.doc_id
-    ) WHERE containment >= 0.5
+    ) WHERE containment >= 0.8
 ),
 cells AS (
     SELECT CAST(floor(t.containment * 10 + 1e-9) AS INT) AS containment_decile,

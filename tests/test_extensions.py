@@ -1148,7 +1148,7 @@ def test_containment_recall_audit_cells(spark, tmp_path):
             if ia == ib or not sa:
                 continue
             c = round(len(sa & sb) / len(sa), 6)
-            if c < 0.5:
+            if c < 0.8:  # the audit's truth threshold (the shipped τ)
                 continue
             dec = int(math.floor(c * 10 + 1e-9))
             delta = (len(sb).bit_length() - 1) - (len(sa).bit_length() - 1)
