@@ -201,6 +201,29 @@ def minhash_lsh_candidates(
     return _candidates_from_shingles(sh, id_col, n_hashes, n_bands)
 
 
+def _count_intersections(
+    cand: DataFrame,
+    ex_a: DataFrame,
+    ex_b: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Exact set-intersection sizes for a candidate pair set: candidates ⋈
+    exploded(A) ⋈ exploded(B) counted per pair IS |sh_A ∩ sh_B| (shingle
+    arrays are distinct per doc), shipping narrow (pair, key) rows instead
+    of array payloads — the verify shape shared by the whole dedup family
+    and mirrored verbatim in every DuckDB oracle (a change here must change
+    them all, which is why it lives in ONE place; round-7 review finding).
+    ``ex_a``/``ex_b`` are (alias, shingle) rows; keys may be raw strings or
+    hashes, as long as both sides agree."""
+    return (
+        cand.join(ex_a, a)
+        .join(ex_b, [b, "shingle"])
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -238,12 +261,7 @@ def minhash_lsh_dedup(
     ex_b = sh.select(
         F.col(id_col).alias("id_b"), F.explode("sh").alias("shingle")
     )
-    inter_cnt = (
-        cands.join(ex_a, "id_a")
-        .join(ex_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter_cnt = _count_intersections(cands, ex_a, ex_b)
     sizes = sh.select(F.col(id_col), F.size("sh").alias("__sz"))
     inter = F.col("__inter").cast("double")
     union = (F.col("__sz_a") + F.col("__sz_b")).cast("double") - inter
@@ -305,12 +323,7 @@ def incremental_minhash_matches(
     ex_c = corpus_sh.select(
         F.col(id_col).alias("corpus_id"), F.explode("sh").alias("shingle")
     )
-    inter_cnt = (
-        cands.join(ex_n, "new_id")
-        .join(ex_c, ["corpus_id", "shingle"])
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter_cnt = _count_intersections(cands, ex_n, ex_c, a="new_id", b="corpus_id")
     sz_n = new_sh.select(
         F.col(id_col).alias("new_id"), F.size("sh").alias("__sz_n")
     )
@@ -543,6 +556,34 @@ def jaccard_candidates(
     )
 
 
+def _resolve_shingle_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    cols: list[Column],
+    block_col: str | None,
+    shingles: DataFrame | None,
+) -> DataFrame:
+    """The ``shingles=`` reuse-hook resolution shared by the pair family:
+    a prebuilt (PERSISTED, unblocked) table is projected for free — no
+    second persist layer — else the table is built and persisted here
+    (consumed by the exploded join and the per-doc size lookup). No
+    ``size(sh) > 0`` filter — see :func:`_shingle_table` for why."""
+    if shingles is not None and block_col is not None:
+        raise ValueError("a prebuilt shingle table carries no block column")
+    if shingles is not None:
+        return shingles.select(
+            F.col(id_col), F.col("sh"), F.size("sh").alias("__sz")
+        )
+    keep = cols + [F.col(text_col)]
+    return (
+        with_shingles(df.select(*keep), text_col, shingle_n)
+        .select(*cols, F.col("sh"), F.size("sh").alias("__sz"))
+        .persist()
+    )
+
+
 def _jaccard_prefix_stage(
     sh: DataFrame,
     id_col: str,
@@ -685,35 +726,16 @@ def jaccard_pairs(
     one to share the tokenize/shingle work with another consumer (e.g. the
     MinHash candidate side of a recall audit) instead of computing it twice.
     """
-    if shingles is not None and block_col is not None:
-        raise ValueError("a prebuilt shingle table carries no block column")
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    if shingles is not None:
-        # derived from the caller's persisted table: the projection is free,
-        # so no second persist layer is stacked on top.
-        sh = shingles.select(
-            F.col(id_col), F.col("sh"), F.size("sh").alias("__sz")
-        )
-    else:
-        # persist: consumed by the exploded join and the per-doc size lookup.
-        # No size(sh)>0 filter — see _shingle_table for why (predicate
-        # pushdown would duplicate the shingle expression; explode drops
-        # empties anyway).
-        keep = cols + [F.col(text_col)]
-        sh = with_shingles(df.select(*keep), text_col, shingle_n).select(
-            *cols, F.col("sh"), F.size("sh").alias("__sz")
-        ).persist()
+    sh = _resolve_shingle_table(
+        df, id_col, text_col, shingle_n, cols, block_col, shingles
+    )
     cand, exploded = _jaccard_prefix_stage(
         sh, id_col, cols, threshold, max_shingle_df, block_col
     )
     ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter_cnt = (
-        cand.join(ex_a, "id_a")
-        .join(ex_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter_cnt = _count_intersections(cand, ex_a, ex_b)
     sizes = sh.select(F.col(id_col), F.col("__sz"))
     inter = F.col("__inter").cast("double")
     union = (F.col("__sz_a") + F.col("__sz_b")).cast("double") - inter
@@ -783,22 +805,10 @@ def containment_pairs(
     instead of computing it twice; mirrors ``jaccard_pairs(shingles=)``."""
     from pyspark.sql import Window
 
-    if shingles is not None and block_col is not None:
-        raise ValueError("a prebuilt shingle table carries no block column")
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
-    if shingles is not None:
-        # derived from the caller's persisted table: the projection is free,
-        # so no second persist layer is stacked on top.
-        sh = shingles.select(
-            F.col(id_col), F.col("sh"), F.size("sh").alias("__sz")
-        )
-    else:
-        keep = cols + [F.col(text_col)]
-        sh = (
-            with_shingles(df.select(*keep), text_col, shingle_n)
-            .select(*cols, F.col("sh"), F.size("sh").alias("__sz"))
-            .persist()  # consumed by the exploded join and the size lookup
-        )
+    sh = _resolve_shingle_table(
+        df, id_col, text_col, shingle_n, cols, block_col, shingles
+    )
     # 8-byte hashed shingle keys for every shuffle, as in jaccard_pairs
     # (same birthday-bounded collision argument; the oracle joins on raw
     # shingle text — any consistent key gives identical counts).
@@ -844,12 +854,7 @@ def containment_pairs(
     )
     ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (
-        cand.join(ex_a, "id_a")
-        .join(ex_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter = _count_intersections(cand, ex_a, ex_b)
     sizes = sh.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a"))
     return (
         inter.join(sizes, "id_a")
@@ -897,11 +902,35 @@ def containment_topk(
     )
 
 
+def _hot_shingle_hashes(
+    sh: DataFrame, id_col: str, max_df: int
+) -> DataFrame:
+    """(__h) rows of shingles with document frequency > ``max_df``, keyed by
+    the 60-bit md5 hash the slot-row universe uses — the PERSISTABLE
+    hot-list of a corpus snapshot. Shipped alongside the slot-row index so
+    incremental matchers can put their batch side in the SAME signature
+    universe as the index (df is counted on the hash; a collision merges
+    two shingles' df consistently on both engines — the documented
+    birthday argument)."""
+    ex = sh.select(F.explode("sh").alias("s")).select(
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("__h")
+    )
+    return (
+        ex.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_df)
+        .select("__h")
+    )
+
+
 def minhash_slot_rows(
     sh: DataFrame,
     id_col: str,
     n_hashes: int = 16,
     max_shingle_df: int | None = 256,
+    hot_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, __sz, slot, val) rows — one row per MinHash signature slot of
     each doc, the index shape of single-slot (r=1) LSH.
@@ -929,7 +958,15 @@ def minhash_slot_rows(
     (and the same contract) as the exact prefix path's ``max_shingle_df``.
     Docs whose shingles are ALL hotter than the cap emit no rows (exact-dup
     clusters wider than the cap saturate every shingle's df — run exact
-    dedup first, the documented pipeline order)."""
+    dedup first, the documented pipeline order).
+
+    ``hot_hashes``: an explicit (__h) hot-list to exclude INSTEAD of
+    computing one from ``sh``'s own df — pass the INDEX corpus's persisted
+    :func:`_hot_shingle_hashes` when signing an incremental batch, so both
+    sides share one signature universe (a batch-local df would keep
+    corpus-hot boilerplate in the batch's minima, and those slots can never
+    match any index value — a silent recall loss below the advertised
+    1−(1−J)^n curve; round-7 review finding)."""
     seeds = minhash_seeds(n_hashes)
     ex = sh.select(
         F.col(id_col), F.size("sh").alias("__sz"), F.explode("sh").alias("s")
@@ -940,19 +977,20 @@ def minhash_slot_rows(
         .cast("bigint")
         .alias("__h"),
     )
-    if max_shingle_df is not None:
-        # the hot set is tiny (frequency tail) → broadcast anti-join, the
-        # jaccard_candidates pattern; df is counted on the 60-bit hash (a
-        # collision would merge two shingles' df consistently on both
-        # engines — the oracle counts on raw text, same birthday argument
-        # as the verify keys).
-        hot = (
+    if hot_hashes is None and max_shingle_df is not None:
+        # df counted on the 60-bit hash (a collision would merge two
+        # shingles' df consistently on both engines — the oracle counts on
+        # raw text, same birthday argument as the verify keys).
+        hot_hashes = (
             ex.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") > max_shingle_df)
             .select("__h")
         )
-        ex = ex.join(F.broadcast(hot), "__h", "left_anti")
+    if hot_hashes is not None:
+        # the hot set is tiny (frequency tail) → broadcast anti-join, the
+        # jaccard_candidates pattern.
+        ex = ex.join(F.broadcast(hot_hashes), "__h", "left_anti")
     sig = ex.groupBy(id_col).agg(
         F.first("__sz").alias("__sz"),
         *[
@@ -1106,12 +1144,7 @@ def containment_minhash_topk(
     )
     ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (
-        cand.join(ex_a, "id_a")
-        .join(ex_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter = _count_intersections(cand, ex_a, ex_b)
     sizes = sh.select(F.col(id_col).alias("id_a"), F.size("sh").alias("__sz_a"))
     scored = (
         inter.join(sizes, "id_a")
@@ -1152,18 +1185,29 @@ def incremental_containment_matches(
     Serve-path property: per-batch cost tracks the batch size and df-capped
     bucket widths, never corpus size — no corpus self-join anywhere. At
     100 TB the corpus side is the PERSISTED slot-row index plus the
-    exploded (id, shingle) table, written once per corpus snapshot; here
-    both sides are computed from text because the fixture has no snapshot
-    store. The df cap is computed PER SIDE (batch-side df over the batch,
-    corpus-side over the corpus) — the index must be buildable without
-    seeing future batches."""
+    exploded (id, shingle) table AND the hot-shingle list
+    (:func:`_hot_shingle_hashes`), all written once per corpus snapshot;
+    here all three are computed from text because the fixture has no
+    snapshot store. The hot-list is the CORPUS's, applied to BOTH sides:
+    the index dropped corpus-hot shingles from its minima, so a batch
+    signed under its own (tiny-df) universe would carry boilerplate minima
+    that can never match any index value — silently losing exactly the
+    boilerplate-framed quoted-page class this matcher exists to catch
+    (round-7 review finding). The index is still buildable without seeing
+    future batches — the batch borrows the index's universe, never the
+    reverse."""
     new_sh = _shingle_table(new_df, id_col, text_col, shingle_n).persist()
     corpus_sh = _shingle_table(corpus_df, id_col, text_col, shingle_n).persist()
+    hot = None
+    if max_shingle_df is not None:
+        # consumed by both sides' anti-joins → persist the (tiny) list
+        # rather than re-scanning corpus shingles per side.
+        hot = _hot_shingle_hashes(corpus_sh, id_col, max_shingle_df).persist()
     nrows = minhash_slot_rows(
-        new_sh, id_col, n_hashes, max_shingle_df=max_shingle_df
+        new_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot
     )
     crows = minhash_slot_rows(
-        corpus_sh, id_col, n_hashes, max_shingle_df=max_shingle_df
+        corpus_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot
     )
     if max_slot_df is not None:
         # residual bucket-width guard on the CORPUS side only (the index);
@@ -1198,12 +1242,7 @@ def incremental_containment_matches(
     ex_c = corpus_sh.select(
         F.col(id_col).alias("corpus_id"), F.explode("sh").alias("__s")
     ).select(F.col("corpus_id"), F.xxhash64("__s").alias("shingle"))
-    inter_cnt = (
-        cands.join(ex_n, "new_id")
-        .join(ex_c, ["corpus_id", "shingle"])
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("__inter"))
-    )
+    inter_cnt = _count_intersections(cands, ex_n, ex_c, a="new_id", b="corpus_id")
     sz_n = new_sh.select(
         F.col(id_col).alias("new_id"), F.size("sh").alias("__sz_n")
     )
@@ -1267,12 +1306,17 @@ def quoted_spans(
     gb = grams.select(
         F.col(id_col).alias("id_b"), F.col("pos").alias("j"), F.col("g")
     )
+    # distinct on the SMALL pair set, not the positional join output: the
+    # joined rows are already unique in (pair, i, diag) — one gram per
+    # (doc, pos) per side and diag determines j — so a distinct there would
+    # shuffle the query's largest intermediate to remove nothing. Duplicate
+    # INPUT pairs would break the islands row_number, hence the cheap guard.
     hits = (
         pairs.select("id_a", "id_b")
+        .distinct()
         .join(ga, "id_a")
         .join(gb, ["id_b", "g"])
         .select("id_a", "id_b", "i", (F.col("j") - F.col("i")).alias("diag"))
-        .distinct()  # a gram repeated in B puts (i, diag) once per j; dedup
     )
     wr = Window.partitionBy("id_a", "id_b", "diag").orderBy("i")
     runs = hits.withColumn("island", F.col("i") - F.row_number().over(wr))

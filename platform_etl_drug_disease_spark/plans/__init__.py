@@ -26,14 +26,15 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-7 window (current): the 5 pins; the round-7 additions
+Round-7 window (current): the 5 pins; the 4 round-7 additions
 (`dedup_containment_minhash_topk` — the containment family's
-sub-quadratic candidate path — and `containment_recall_audit`, its
-per-(decile × size-stratum) recall pricing vs the exact truth, VERDICT r6
-item 2); then all 32 queries whose latest strict green is round 2 (the
-oldest cohort after the fully-green r6), then round-3-era picks
-covering the dedup/streaming/ANN/BPE/decontamination/SQL-surface
-families.
+sub-quadratic candidate path — `containment_recall_audit`, its
+per-(decile × size-stratum) recall pricing vs the exact truth (VERDICT r6
+item 2), `containment_incremental`, the family's serve-path matcher, and
+`quoted_span_stats`, verbatim quoted-span detection); then all 32
+queries whose latest strict green is round 2 (the oldest cohort after
+the fully-green r6), then 9 round-3-era picks covering the
+dedup/streaming/ANN/BPE/decontamination/SQL-surface families.
 
 Pre-staged round-8 rotation: land any round-8 additions FIRST
 (add-then-freeze), bump WINDOW_ROUND to 8, keep the 5 pins, fill the
@@ -67,9 +68,9 @@ WINDOW_ROUND = 7
 WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
 
 # The 50 driver-scored queries, in scoring order. Round-7 rotation: 5 pinned
-# gates + the 2 round-7 additions (landed BEFORE this freeze per
-# add-then-freeze) + 43 oldest-evidence re-greens (the entire r2-latest
-# cohort of 32, then 11 r3-era family representatives). Every entry carries
+# gates + the 4 round-7 additions (landed BEFORE this freeze per
+# add-then-freeze) + 41 oldest-evidence re-greens (the entire r2-latest
+# cohort of 32, then 9 r3-era family representatives). Every entry carries
 # a full value-hash oracle.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;

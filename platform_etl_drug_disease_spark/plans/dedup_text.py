@@ -757,21 +757,25 @@ def containment_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Mirror of incremental_containment_matches over the %10 split: per-side
-# df-capped slot signatures (the batch's df over the batch, the corpus's
-# over the corpus — the index must be buildable without future batches),
-# corpus-side residual bucket cap, size prune inside the bucket join,
-# exact verify over the UNCAPPED shingle rows of both sides.
+# Mirror of incremental_containment_matches over the %10 split: ONE
+# signature universe = the CORPUS's hot-list applied to both sides (the
+# index dropped corpus-hot shingles from its minima; a batch-local df
+# would leave boilerplate minima in the batch that can never match the
+# index — round-7 review finding), corpus-side residual bucket cap, size
+# prune inside the bucket join, exact verify over the UNCAPPED shingle
+# rows of both sides.
 _CONTAINMENT_INCR_SQL = (
     _SHINGLES_CTE
     + """
-, nex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
-          WHERE doc_id % 10 = 0),
-nkeep AS (SELECT s FROM nex GROUP BY s HAVING COUNT(*) <= 256),
+, icex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
+           WHERE doc_id % 10 <> 0),
+ichot AS (SELECT s FROM icex GROUP BY s HAVING COUNT(*) > 256),
+nex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
+        WHERE doc_id % 10 = 0),
 nhash AS (
     SELECT n.doc_id, n.sz,
            CAST(('0x' || substr(md5(n.s), 1, 15)) AS BIGINT) AS h
-    FROM nex n SEMI JOIN nkeep k ON n.s = k.s
+    FROM nex n ANTI JOIN ichot k ON n.s = k.s
 ),
 nsig AS (
     SELECT nh.doc_id, min(nh.sz) AS sz, t.i AS slot,
@@ -781,13 +785,10 @@ nsig AS (
     FROM nhash nh CROSS JOIN range(0, 16) AS t(i)
     GROUP BY nh.doc_id, t.i
 ),
-icex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS s FROM sh
-         WHERE doc_id % 10 <> 0),
-ickeep AS (SELECT s FROM icex GROUP BY s HAVING COUNT(*) <= 256),
 ichash AS (
     SELECT c.doc_id, c.sz,
            CAST(('0x' || substr(md5(c.s), 1, 15)) AS BIGINT) AS h
-    FROM icex c SEMI JOIN ickeep k ON c.s = k.s
+    FROM icex c ANTI JOIN ichot k ON c.s = k.s
 ),
 icsig AS (
     SELECT ch.doc_id, min(ch.sz) AS sz, t.i AS slot,
@@ -797,10 +798,10 @@ icsig AS (
     FROM ichash ch CROSS JOIN range(0, 16) AS t(i)
     GROUP BY ch.doc_id, t.i
 ),
-ichot AS (SELECT slot, val FROM icsig GROUP BY slot, val HAVING COUNT(*) > 32),
+icbhot AS (SELECT slot, val FROM icsig GROUP BY slot, val HAVING COUNT(*) > 32),
 iccold AS (
     SELECT c.doc_id, c.sz, c.slot, c.val
-    FROM icsig c ANTI JOIN ichot h ON c.slot = h.slot AND c.val = h.val
+    FROM icsig c ANTI JOIN icbhot h ON c.slot = h.slot AND c.val = h.val
 ),
 imcands AS (
     SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
@@ -907,7 +908,10 @@ pg AS (
     FROM pgrams
 ),
 hits AS (
-    SELECT DISTINCT p.id_a, p.id_b, a.pos AS i, b.pos - a.pos AS diag
+    -- no DISTINCT: rows are already unique in (pair, i, diag) — one gram
+    -- per (doc, pos) per side, diag determines j; tpk pairs are distinct
+    -- by construction (row_number <= 3)
+    SELECT p.id_a, p.id_b, a.pos AS i, b.pos - a.pos AS diag
     FROM tpk p
     JOIN pg a ON a.doc_id = p.id_a
     JOIN pg b ON b.doc_id = p.id_b AND b.g = a.g

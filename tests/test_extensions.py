@@ -1227,6 +1227,98 @@ def test_containment_minhash_subset_of_exact_with_exact_values(spark):
     assert (0, 1) in got
 
 
+def test_containment_minhash_hot_shingles_never_bucket(spark):
+    """Regression for the round-7 quadratic caught by dedup_scale_stress:
+    docs whose ONLY overlap is a shared boilerplate phrase (df above the
+    shingle cap) must produce ZERO candidates — the hot shingle must never
+    become a slot minimum, else every pair of its carriers collides and
+    candidate mass goes quadratic in boilerplate mass (measured 92.7× for
+    10× data before the fix)."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        _shingle_table,
+        containment_minhash_candidates,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [(i, " ".join(f"d{i}w{j}" for j in range(30)) + " " + boiler)
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = _shingle_table(df, "doc_id", "text", 3).persist()
+    try:
+        # cap below the boilerplate's df (40 carriers) — boiler shingles
+        # are dropped from signatures, and nothing else is shared.
+        cands = containment_minhash_candidates(
+            sh, "doc_id", threshold=0.8, max_shingle_df=16, max_slot_df=None
+        )
+        assert cands.count() == 0, (
+            "boilerplate-only overlap must never produce candidates"
+        )
+        # sanity: with the cap lifted the same corpus DOES bucket on the
+        # boiler min — the quadratic the cap exists to prevent.
+        uncapped = containment_minhash_candidates(
+            sh, "doc_id", threshold=0.8, max_shingle_df=None, max_slot_df=None
+        )
+        assert uncapped.count() > 0
+    finally:
+        sh.unpersist()
+
+
+def test_incremental_batch_signed_in_index_universe(spark):
+    """Round-7 review finding: the batch side of the incremental matcher
+    must be signed under the CORPUS's shingle universe. Mechanism pin: no
+    batch slot value may un-XOR to a corpus-hot hash (such minima can never
+    match any index value); and functionally, a new doc that is mostly
+    corpus-hot boilerplate around a short quote still matches its indexed
+    container."""
+    import pyspark.sql.functions as F
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        _hot_shingle_hashes,
+        _shingle_table,
+        incremental_containment_matches,
+        minhash_seeds,
+        minhash_slot_rows,
+    )
+
+    boiler = " ".join(f"bb{i}" for i in range(30))
+    quote = " ".join(f"qq{i}" for i in range(10))
+    corpus_rows = [(100 + i, boiler + f" uu{i} vv{i} ww{i}") for i in range(8)]
+    corpus_rows.append((200, boiler + " " + quote + " tail1 tail2 tail3"))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1, boiler + " " + quote)], "doc_id long, text string"
+    )
+    cap = 4  # boiler trigrams have corpus df 9 > 4 → corpus-hot
+
+    corpus_sh = _shingle_table(corpus, "doc_id", "text", 3).persist()
+    batch_sh = _shingle_table(batch, "doc_id", "text", 3).persist()
+    hot = _hot_shingle_hashes(corpus_sh, "doc_id", cap).persist()
+    rows = minhash_slot_rows(
+        batch_sh, "doc_id", 16, max_shingle_df=None, hot_hashes=hot
+    )
+    seeds = minhash_seeds(16)
+    seed_expr = F.element_at(
+        F.array(*[F.lit(s) for s in seeds]), F.col("slot") + 1
+    )
+    leaked = (
+        rows.select(F.col("val").bitwiseXOR(seed_expr).alias("__h"))
+        .join(hot, "__h", "inner")
+        .count()
+    )
+    assert leaked == 0, "batch slot minima must never be corpus-hot shingles"
+
+    got = {
+        (r["new_id"], r["corpus_id"]): r["containment"]
+        for r in incremental_containment_matches(
+            batch, corpus, "doc_id", "text", shingle_n=3, threshold=0.8,
+            max_shingle_df=cap,
+        ).collect()
+    }
+    assert (1, 200) in got, (
+        f"boilerplate-framed quote must match its indexed container: {got}"
+    )
+
+
 def test_incremental_containment_serve_path(spark):
     """incremental_containment_matches: a new doc quoted whole inside an
     already-indexed corpus page is caught at containment ≈ 1.0 while the

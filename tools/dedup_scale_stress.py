@@ -163,8 +163,11 @@ def main() -> None:
             sh, "doc_id", [F.col("doc_id")], 0.5, 256, None
         )
         pref_c = pref_c.count()
+        # operator defaults = the SHIPPED dedup_containment_minhash_topk
+        # configuration — the measurement must certify what the catalog
+        # serves, not a looser cap (review finding, round 7).
         cont_c = containment_minhash_candidates(
-            sh.select("doc_id", "sh"), "doc_id", threshold=0.8, max_slot_df=1024
+            sh.select("doc_id", "sh"), "doc_id", threshold=0.8
         ).count()
         sh.unpersist()
 
