@@ -902,9 +902,7 @@ def containment_topk(
     )
 
 
-def _hot_shingle_hashes(
-    sh: DataFrame, id_col: str, max_df: int
-) -> DataFrame:
+def _hot_shingle_hashes(sh: DataFrame, max_df: int) -> DataFrame:
     """(__h) rows of shingles with document frequency > ``max_df``, keyed by
     the 60-bit md5 hash the slot-row universe uses — the PERSISTABLE
     hot-list of a corpus snapshot. Shipped alongside the slot-row index so
@@ -1198,27 +1196,28 @@ def incremental_containment_matches(
     reverse."""
     new_sh = _shingle_table(new_df, id_col, text_col, shingle_n).persist()
     corpus_sh = _shingle_table(corpus_df, id_col, text_col, shingle_n).persist()
-    hot = None
+    hot_shingles = None
     if max_shingle_df is not None:
         # consumed by both sides' anti-joins → persist the (tiny) list
         # rather than re-scanning corpus shingles per side.
-        hot = _hot_shingle_hashes(corpus_sh, id_col, max_shingle_df).persist()
+        hot_shingles = _hot_shingle_hashes(corpus_sh, max_shingle_df).persist()
     nrows = minhash_slot_rows(
-        new_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot
+        new_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot_shingles
     )
     crows = minhash_slot_rows(
-        corpus_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot
+        corpus_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot_shingles
     )
     if max_slot_df is not None:
         # residual bucket-width guard on the CORPUS side only (the index);
-        # the batch side is small by contract.
-        hot = (
+        # the batch side is small by contract. Distinct name from the
+        # shingle hot-list above — unrelated caps (ADVICE r7).
+        hot_buckets = (
             crows.groupBy("slot", "val")
             .agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") > max_slot_df)
             .select("slot", "val")
         )
-        crows = crows.join(F.broadcast(hot), ["slot", "val"], "left_anti")
+        crows = crows.join(F.broadcast(hot_buckets), ["slot", "val"], "left_anti")
     cands = (
         nrows.alias("n")
         .join(

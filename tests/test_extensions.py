@@ -1292,7 +1292,7 @@ def test_incremental_batch_signed_in_index_universe(spark):
 
     corpus_sh = _shingle_table(corpus, "doc_id", "text", 3).persist()
     batch_sh = _shingle_table(batch, "doc_id", "text", 3).persist()
-    hot = _hot_shingle_hashes(corpus_sh, "doc_id", cap).persist()
+    hot = _hot_shingle_hashes(corpus_sh, cap).persist()
     rows = minhash_slot_rows(
         batch_sh, "doc_id", 16, max_shingle_df=None, hot_hashes=hot
     )
