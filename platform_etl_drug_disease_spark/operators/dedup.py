@@ -763,6 +763,7 @@ def containment_pairs(
     block_col: str | None = None,
     max_shingle_df: int | None = 256,
     shingles: DataFrame | None = None,
+    contained_pred: Column | None = None,
 ) -> DataFrame:
     """EXACT (id_a, id_b, containment ≥ threshold) pairs by shingle
     containment ``c(A,B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the ASYMMETRIC
@@ -802,7 +803,17 @@ def containment_pairs(
     :func:`_shingle_table` shape, unblocked only) — pass an already-PERSISTED
     one to share the tokenize/shingle work with another consumer (the
     MinHash candidate side of the recall audit, a co-running Jaccard pass)
-    instead of computing it twice; mirrors ``jaccard_pairs(shingles=)``."""
+    instead of computing it twice; mirrors ``jaccard_pairs(shingles=)``.
+
+    ``contained_pred``: optional boolean Column over the id column that
+    restricts the CONTAINED (A) side — the prefix rows and therefore the
+    candidate join — to the docs it selects, while df counts, the B side,
+    and the verify stay full-corpus. The output is then EXACTLY the subset
+    of the full relation with ``contained_pred(id_a)`` true (every pruning
+    rule is per-A-doc, so dropping A docs drops only their pairs): the
+    hook the sampled recall audit uses to put the exact-truth stage on a
+    deterministic Horvitz–Thompson doc sample at ~p× cost (VERDICT r7
+    item 1)."""
     from pyspark.sql import Window
 
     cols = [F.col(id_col)] + ([F.col(block_col)] if block_col else [])
@@ -820,8 +831,12 @@ def containment_pairs(
         freq = freq.where(F.col("__df") <= max_shingle_df)
     w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
     prefix_len = _prefix_len(F.col("__sz"), threshold)
+    # contained-side restriction BEFORE the prefix window: df comes from the
+    # full-corpus freq table, so sampled-A prefixes are identical to their
+    # full-run prefixes — only fewer of them.
+    pref_src = exploded if contained_pred is None else exploded.where(contained_pred)
     pref = (
-        exploded.join(freq, "shingle")
+        pref_src.join(freq, "shingle")
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= prefix_len)
         .select(*cols, "shingle", "__sz")
@@ -1012,6 +1027,7 @@ def containment_minhash_candidates(
     n_hashes: int = 16,
     max_shingle_df: int | None = 256,
     max_slot_df: int | None = 32,
+    contained_pred: Column | None = None,
 ) -> DataFrame:
     """Sub-quadratic candidate (id_a, id_b) pairs for the CONTAINMENT
     relation — the 100-TB sibling of :func:`containment_pairs`' exact
@@ -1065,7 +1081,14 @@ def containment_minhash_candidates(
     Returns DISTINCT ordered (id_a = contained, id_b = container) pairs —
     both directions can qualify for similar-size pairs, matching the exact
     relation. Deterministic (md5 + fixed seeds): the DuckDB oracle replays
-    the identical index."""
+    the identical index.
+
+    ``contained_pred``: optional boolean Column over the id column
+    restricting the CONTAINED (A) side of the bucket join; the index —
+    signatures, hot lists, B side — stays full-corpus, so sampled-A
+    candidates are exactly the ``contained_pred(id_a)`` subset of the full
+    candidate set (the recall-audit sampling hook, mirroring
+    :func:`containment_pairs`)."""
     rows = minhash_slot_rows(sh, id_col, n_hashes, max_shingle_df=max_shingle_df)
     if max_slot_df is not None:
         hot = (
@@ -1077,7 +1100,8 @@ def containment_minhash_candidates(
         # the hot set is tiny (frequency tail) → broadcast anti-join; its
         # groupBy is a map-side-combined shuffle of (slot, val, count) only.
         rows = rows.join(F.broadcast(hot), ["slot", "val"], "left_anti")
-    a, b = rows.alias("a"), rows.alias("b")
+    a_rows = rows if contained_pred is None else rows.where(contained_pred)
+    a, b = a_rows.alias("a"), rows.alias("b")
     cond = (
         (F.col("a.slot") == F.col("b.slot"))
         & (F.col("a.val") == F.col("b.val"))

@@ -961,43 +961,31 @@ def _containment_bound_literals() -> list[tuple[int, int, str]]:
     return out
 
 
-def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate recall of the single-slot MinHash containment stage against
-    the EXACT containment truth at the SHIPPED operating threshold (τ=0.8 —
-    auditing the exact configuration `dedup_containment_minhash_topk`
-    serves, and keeping the truth side in the τ=0.8 cost class the headline
-    already prices; a τ=0.5 truth puts HALF of every doc's shingles in the
-    one-sided prefix and measured 601 s at sf≈1), resolved per (containment
-    decile × size-ratio stratum), with the closed-form slot bound
-    1−(1−J_min)^16 at each cell's worst corner alongside
-    (:func:`_containment_bound_literals`) — the ``dedup_recall_audit``
-    pattern applied to the asymmetric family.
+def _containment_audit_cells(
+    docs: DataFrame, contained_pred, inv_p: float
+) -> DataFrame:
+    """Shared core of the containment recall audit: exact truth vs MinHash
+    candidates per (containment decile × size-ratio stratum), optionally
+    with the CONTAINED side restricted to a deterministic doc sample.
 
-    2-D because containment recall decays along BOTH axes: lower containment
-    AND higher size skew reduce the Jaccard floor J = c/(1+R−c) the LSH
-    actually sees. size_delta = floor(log2 |sh_B|) − floor(log2 |sh_A|),
-    computed INTEGER-EXACT as binary-digit counts (length(bin(sz))−1 on both
-    engines — floor(log/log 2) is not reliably exact at powers of two),
-    clamped to [−1, 4] (τ=0.8 forces |sh_B| ≥ 0.8·|sh_A| ⇒ δ ≥ −1; δ=4
-    pools "≥16×", where the bound is 0 and the exact path is the only
-    coverage). The bound table still carries deciles 5–10 so a lower-τ
-    audit variant can reuse it; τ=0.8 populates 8–10.
-
-    ONE shingle table feeds truth, candidates, and sizes (the ``shingles=``
-    reuse hook, VERDICT r6 item 3). Both sides are the existing
-    sub-corpus-quadratic pipelines; the audit join is equi-keyed on (id_a,
-    id_b); output ≤ 36 cells."""
+    ``contained_pred`` (boolean Column over doc_id, or None) restricts the
+    A side of BOTH pipelines identically — per-pair recall is a function of
+    the pair alone (candidate membership never depends on other A docs:
+    df counts, hot lists, and the B side stay full-corpus), so sampled
+    cells measure the same per-pair Bernoulli as the full audit, on fewer
+    pairs. ``inv_p`` is the Horvitz–Thompson weight (1/p) used to
+    extrapolate cell mass; 1.0 = full truth (the pytest pin path)."""
     from platform_etl_drug_disease_spark.operators.dedup import _shingle_table
 
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     sh = _shingle_table(docs, "doc_id", "text", shingle_n=3).persist()
     truth = containment_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.8,
         block_col=None, max_shingle_df=256, shingles=sh,
+        contained_pred=contained_pred,
     )
     cands = containment_minhash_candidates(
         sh, "doc_id", threshold=0.8, n_hashes=16, max_shingle_df=256,
-        max_slot_df=32
+        max_slot_df=32, contained_pred=contained_pred,
     ).withColumn("__hit", F.lit(1))
     sizes = sh.select("doc_id", F.size("sh").alias("__sz"))
     t = truth.join(
@@ -1021,7 +1009,7 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("containment_decile") == d) & (F.col("size_delta") == dl),
             F.lit(float(txt)),
         ).otherwise(bound)
-    return (
+    agg = (
         t.join(cands, ["id_a", "id_b"], "left")
         .select(
             decile.alias("containment_decile"),
@@ -1030,27 +1018,114 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("containment_decile", "size_delta")
         .agg(
-            F.count(F.lit(1)).alias("n_true"),
+            F.count(F.lit(1)).alias("n_sampled_true"),
             F.sum("__hit").cast("bigint").alias("n_recalled"),
         )
         .withColumn(
             "recall",
             dround(
-                F.col("n_recalled").cast("double") / F.col("n_true").cast("double"),
+                F.col("n_recalled").cast("double")
+                / F.col("n_sampled_true").cast("double"),
                 6,
             ),
         )
-        .withColumn("slot_bound", bound)
     )
+    # Wilson 95% interval on the per-cell recall, from the SAMPLED pair
+    # count (z = 1.96, z² = 3.8416 as shared decimal literals; the ROUNDED
+    # recall feeds the formula so both engines start from the same 1e-6-grid
+    # value). Wilson rather than normal: at recall = 1.0 the normal
+    # interval collapses to a point, overstating certainty exactly where
+    # the audit's conclusions matter most. Same expression tree as the
+    # oracle SQL — IEEE doubles with identical operation order.
+    n_d = F.col("n_sampled_true").cast("double")
+    r = F.col("recall")
+    denom = F.lit(1.0) + F.lit(3.8416) / n_d
+    center = (r + F.lit(3.8416) / (F.lit(2.0) * n_d)) / denom
+    hw = (F.lit(1.96) / denom) * F.sqrt(
+        r * (F.lit(1.0) - r) / n_d + F.lit(3.8416) / (F.lit(4.0) * n_d * n_d)
+    )
+    return agg.select(
+        "containment_decile",
+        "size_delta",
+        "n_sampled_true",
+        dround(F.col("n_sampled_true").cast("double") * F.lit(inv_p), 1).alias(
+            "est_n_true"
+        ),
+        "n_recalled",
+        "recall",
+        dround(center - hw, 6).alias("recall_ci_lo"),
+        dround(center + hw, 6).alias("recall_ci_hi"),
+    ).withColumn("slot_bound", bound)
+
+
+# deterministic 10% doc sample for the audit's truth stage: md5 bucket of
+# doc_id under a dedicated salt (the sample_extrapolation_audit machinery).
+_AUDIT_SAMPLE_SALT = "cra8"
+_AUDIT_SAMPLE_BUCKETS = 10_000
+_AUDIT_SAMPLE_KEEP = 1_000  # p = 0.1 → HT weight 10
+
+
+def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall of the single-slot MinHash containment stage against
+    the exact containment truth at the SHIPPED operating threshold (τ=0.8 —
+    auditing the exact configuration `dedup_containment_minhash_topk`
+    serves), resolved per (containment decile × size-ratio stratum), with
+    the closed-form slot bound 1−(1−J_min)^16 at each cell's worst corner
+    alongside (:func:`_containment_bound_literals`) — the
+    ``dedup_recall_audit`` pattern applied to the asymmetric family.
+
+    The truth stage runs on a deterministic 10% Horvitz–Thompson doc sample
+    of the CONTAINED side (md5-bucket membership, pure function of doc_id —
+    the ``sample_extrapolation_audit`` machinery), pushed into BOTH
+    pipelines via their ``contained_pred`` hooks: the full-truth audit's
+    one-sided prefix join was the last corpus-quadratic stage in the timed
+    headline (95.9 s of 657.8 s at sf≈1, VERDICT r7 item 1); sampling the A
+    side prices recall at ~p× the cost. Per-pair candidate membership never
+    depends on other A docs (df counts, hot lists, and the container side
+    stay full-corpus), so each sampled cell measures the same per-pair
+    Bernoulli recall as the full audit — ``n_sampled_true`` pairs instead
+    of all of them — and ``tests/test_extensions.py`` pins sampled vs
+    full-truth cells on a planted corpus. Outputs per cell: sampled/HT
+    mass (``n_sampled_true``, ``est_n_true`` = sampled × 10), measured
+    ``recall`` with a Wilson 95% CI (``recall_ci_lo``/``recall_ci_hi``),
+    and the closed-form ``slot_bound``.
+
+    2-D because containment recall decays along BOTH axes: lower containment
+    AND higher size skew reduce the Jaccard floor J = c/(1+R−c) the LSH
+    actually sees. size_delta = floor(log2 |sh_B|) − floor(log2 |sh_A|),
+    computed INTEGER-EXACT as binary-digit counts (length(bin(sz))−1 on both
+    engines — floor(log/log 2) is not reliably exact at powers of two),
+    clamped to [−1, 4] (τ=0.8 forces |sh_B| ≥ 0.8·|sh_A| ⇒ δ ≥ −1; δ=4
+    pools "≥16×", where the bound is 0 and the exact path is the only
+    coverage). The bound table still carries deciles 5–10 so a lower-τ
+    audit variant can reuse it; τ=0.8 populates 8–10.
+
+    ONE shingle table feeds truth, candidates, and sizes (the ``shingles=``
+    reuse hook, VERDICT r6 item 3); the audit join is equi-keyed on (id_a,
+    id_b); output ≤ 36 cells."""
+    from platform_etl_drug_disease_spark.operators.sampling import md5_bucket
+
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    pred = (
+        md5_bucket("doc_id", _AUDIT_SAMPLE_BUCKETS, _AUDIT_SAMPLE_SALT)
+        < _AUDIT_SAMPLE_KEEP
+    )
+    return _containment_audit_cells(docs, pred, 10.0)
 
 
 def _containment_recall_audit_sql() -> str:
-    """Truth = the proven _CONTAINMENT_SQL core at τ=0.8 minus lang blocking;
-    candidates = _CONTAINMENT_MINHASH_CANDS_SQL (df-capped signatures). The
+    """Truth = the proven _CONTAINMENT_SQL core at τ=0.8 minus lang blocking,
+    with the contained (A) side restricted to the same deterministic 10%
+    md5-bucket sample the Spark plan pushes through ``contained_pred``
+    (membership is a pure function of doc_id — both engines compute the
+    identical sample); candidates = _CONTAINMENT_MINHASH_CANDS_SQL
+    (df-capped signatures, full-corpus index — the LEFT JOIN restricts to
+    sampled truth, so leaving mcands unfiltered is value-identical). The
     Spark prefix ranks by (df, xxhash64) and this mirror by (df, shingle
     text) — both consistent global orders, so the lossless prefix filter
     yields the same thresholded truth (the dedup_ngram_jaccard-proven
-    pattern)."""
+    pattern). Wilson CI arithmetic mirrors the Spark expression tree
+    op-for-op on the ROUNDED recall."""
     bound_case = (
         "CASE "
         + " ".join(
@@ -1058,6 +1133,17 @@ def _containment_recall_audit_sql() -> str:
             for d, dl, txt in _containment_bound_literals()
         )
         + " END"
+    )
+    sample_pred = (
+        f"CAST(('0x' || substr(md5('{_AUDIT_SAMPLE_SALT}' || "
+        f"CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) "
+        f"% {_AUDIT_SAMPLE_BUCKETS} < {_AUDIT_SAMPLE_KEEP}"
+    )
+    wilson_denom = "(1.0 + 3.8416 / n_d)"
+    wilson_center = f"((recall + 3.8416 / (2.0 * n_d)) / {wilson_denom})"
+    wilson_hw = (
+        f"((1.96 / {wilson_denom}) * sqrt(recall * (1.0 - recall) / n_d"
+        f" + 3.8416 / (4.0 * n_d * n_d)))"
     )
     return (
         _SHINGLES_CTE
@@ -1072,7 +1158,8 @@ ranked AS (
     FROM ex JOIN freq USING (s)
 ),
 pref AS (SELECT doc_id, sz, s FROM ranked
-         WHERE rn <= sz - CAST(ceil(sz * 0.8 - 1e-6) AS INT) + 1),
+         WHERE rn <= sz - CAST(ceil(sz * 0.8 - 1e-6) AS INT) + 1
+           AND {sample_pred}),
 tcands AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM pref a JOIN ex b
@@ -1104,13 +1191,22 @@ cells AS (
            CASE WHEN m.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
     FROM truth t
     LEFT JOIN mcands m ON t.id_a = m.id_a AND t.id_b = m.id_b
+),
+agg AS (
+    SELECT containment_decile, size_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled_true,
+           CAST(COUNT(*) AS DOUBLE) AS n_d,
+           CAST(SUM(hit) AS BIGINT) AS n_recalled,
+           floor(SUM(hit) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall
+    FROM cells GROUP BY containment_decile, size_delta
 )
-SELECT containment_decile, size_delta,
-       CAST(COUNT(*) AS BIGINT) AS n_true,
-       CAST(SUM(hit) AS BIGINT) AS n_recalled,
-       floor(SUM(hit) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS recall,
+SELECT containment_decile, size_delta, n_sampled_true,
+       floor((n_d * 10.0) * 10.0 + 0.5) / 10.0 AS est_n_true,
+       n_recalled, recall,
+       floor(({wilson_center} - {wilson_hw}) * 1e6 + 0.5) / 1e6 AS recall_ci_lo,
+       floor(({wilson_center} + {wilson_hw}) * 1e6 + 0.5) / 1e6 AS recall_ci_hi,
        {bound_case} AS slot_bound
-FROM cells GROUP BY containment_decile, size_delta
+FROM agg
 """
     )
 

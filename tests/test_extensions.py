@@ -1121,17 +1121,39 @@ def _containment_audit_corpus() -> list[tuple[int, str]]:
     return rows
 
 
+def _py_audit_sample(doc_id: int) -> bool:
+    """Python mirror of the audit's deterministic 10% md5-bucket sample."""
+    import hashlib
+
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        _AUDIT_SAMPLE_BUCKETS,
+        _AUDIT_SAMPLE_KEEP,
+        _AUDIT_SAMPLE_SALT,
+    )
+
+    h = hashlib.md5((_AUDIT_SAMPLE_SALT + str(doc_id)).encode()).hexdigest()
+    return int(h[:7], 16) % _AUDIT_SAMPLE_BUCKETS < _AUDIT_SAMPLE_KEEP
+
+
 def test_containment_recall_audit_cells(spark, tmp_path):
-    """containment_recall_audit on the planted corpus: truth cell counts
-    must equal the Python set-arithmetic mirror over all ordered pairs,
-    measured recall must meet the 1−(1−J_min)^16 slot bound in EVERY cell
-    (deterministic fixed-hash pins, not statistics), and the near-size
-    high-containment cells must recall fully. The Δ≥4 pooled cell carries
-    bound 0 — the honest statement that the scale path does not cover
-    extreme size skew (the exact path and this audit do)."""
+    """containment_recall_audit (10% HT-sampled truth, VERDICT r7 item 1) on
+    the planted corpus, pinned against the FULL-truth audit
+    (_containment_audit_cells with contained_pred=None):
+
+    - full audit cell counts equal the Python set-arithmetic mirror over
+      all ordered pairs; sampled cell counts equal the mirror restricted to
+      md5-sampled contained docs (deterministic — no statistics);
+    - every sampled cell exists in the full audit, est_n_true = 10×sampled,
+      and the full-truth recall lies inside the sampled Wilson 95% CI;
+    - measured recall meets the 1−(1−J_min)^16 slot bound in EVERY cell on
+      BOTH audits, and the near-size high-containment cells recall fully on
+      both. The Δ≥4 pooled cell carries bound 0 — the honest statement that
+      the scale path does not cover extreme size skew (the exact path and
+      this audit do)."""
     import math
 
     from platform_etl_drug_disease_spark.plans.dedup_text import (
+        _containment_audit_cells,
         _containment_bound_literals,
         containment_recall_audit,
     )
@@ -1142,7 +1164,8 @@ def test_containment_recall_audit_cells(spark, tmp_path):
     ).write.parquet(str(tmp_path / "documents.parquet"))
 
     sh = {i: _py_shingles(t) for i, t in rows}
-    expected: dict[tuple[int, int], int] = {}
+    expected_full: dict[tuple[int, int], int] = {}
+    expected_sampled: dict[tuple[int, int], int] = {}
     for ia, sa in sh.items():
         for ib, sb in sh.items():
             if ia == ib or not sa:
@@ -1153,24 +1176,54 @@ def test_containment_recall_audit_cells(spark, tmp_path):
             dec = int(math.floor(c * 10 + 1e-9))
             delta = (len(sb).bit_length() - 1) - (len(sa).bit_length() - 1)
             delta = max(-1, min(delta, 4))
-            expected[(dec, delta)] = expected.get((dec, delta), 0) + 1
+            expected_full[(dec, delta)] = expected_full.get((dec, delta), 0) + 1
+            if _py_audit_sample(ia):
+                expected_sampled[(dec, delta)] = (
+                    expected_sampled.get((dec, delta), 0) + 1
+                )
+    # the fixture must keep every planted cell populated AFTER sampling,
+    # or the sampled-vs-full pins below assert nothing.
+    assert set(expected_sampled) == set(expected_full)
 
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    full = {
+        (r["containment_decile"], r["size_delta"]): r
+        for r in _containment_audit_cells(docs, None, 1.0).collect()
+    }
     out = {
         (r["containment_decile"], r["size_delta"]): r
         for r in containment_recall_audit(spark, str(tmp_path)).collect()
     }
     bounds = {(d, dl): float(txt) for d, dl, txt in _containment_bound_literals()}
-    assert {k: r["n_true"] for k, r in out.items()} == expected
+    assert {k: r["n_sampled_true"] for k, r in full.items()} == expected_full
+    assert {k: r["n_sampled_true"] for k, r in out.items()} == expected_sampled
+    for cells, inv_p in ((full, 1.0), (out, 10.0)):
+        for cell, r in cells.items():
+            assert 0 <= r["n_recalled"] <= r["n_sampled_true"]
+            assert r["est_n_true"] == r["n_sampled_true"] * inv_p
+            assert r["slot_bound"] == bounds[cell]
+            assert r["recall"] >= r["slot_bound"], (
+                f"cell {cell}: recall {r['recall']} below slot bound "
+                f"{r['slot_bound']}"
+            )
+            assert (
+                r["recall_ci_lo"] - 1e-6
+                <= r["recall"]
+                <= r["recall_ci_hi"] + 1e-6
+            )
+    # the sampled audit's conclusions pin to the full truth: every sampled
+    # cell's Wilson CI covers the full-truth recall.
     for cell, r in out.items():
-        assert 0 <= r["n_recalled"] <= r["n_true"]
-        assert r["slot_bound"] == bounds[cell]
-        assert r["recall"] >= r["slot_bound"], (
-            f"cell {cell}: recall {r['recall']} below slot bound "
-            f"{r['slot_bound']}"
-        )
-    assert (10, 0) in out and out[(10, 0)]["recall"] == 1.0
-    assert (10, 2) in out, "planted Δ=2 wrappers must be in truth"
-    assert (10, 4) in out and out[(10, 4)]["slot_bound"] == 0.0
+        assert cell in full
+        assert (
+            r["recall_ci_lo"] - 1e-6
+            <= full[cell]["recall"]
+            <= r["recall_ci_hi"] + 1e-6
+        ), f"cell {cell}: full recall outside sampled CI"
+    for cells in (full, out):
+        assert (10, 0) in cells and cells[(10, 0)]["recall"] == 1.0
+        assert (10, 2) in cells, "planted Δ=2 wrappers must be in truth"
+        assert (10, 4) in cells and cells[(10, 4)]["slot_bound"] == 0.0
 
 
 def test_containment_bound_literals_shape():
