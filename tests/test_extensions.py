@@ -1470,3 +1470,118 @@ def test_containment_shingles_hook_shares_one_pass(spark):
             assert base == shared, f"{fn.__name__} diverges under shingles="
     finally:
         sh.unpersist()
+
+
+def _py_longest_repeats(
+    docs: list[tuple[int, str]], w: int = 8, cap: int = 512
+) -> dict[tuple[int, int], int]:
+    """Brute-force mirror of longest_repeat_lengths: for every suffix in an
+    anchor group of size 2..cap, the max token-LCP against the group."""
+    toks = {i: t.strip().lower().split() for i, t in docs}
+    anchors: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for i, t in toks.items():
+        for p in range(len(t) - w + 1):
+            anchors.setdefault(tuple(t[p : p + w]), []).append((i, p))
+    out: dict[tuple[int, int], int] = {}
+    for members in anchors.values():
+        if not (2 <= len(members) <= cap):
+            continue
+        for i, p in members:
+            best = 0
+            for j, q in members:
+                if (j, q) == (i, p):
+                    continue
+                lcp = 0
+                ti, tj = toks[i], toks[j]
+                while (
+                    p + lcp < len(ti)
+                    and q + lcp < len(tj)
+                    and ti[p + lcp] == tj[q + lcp]
+                ):
+                    lcp += 1
+                best = max(best, lcp)
+            out[(i, p)] = best
+    return out
+
+
+def test_longest_repeat_lengths_planted_exact(spark):
+    """The suffix-ranking path reports EXACT arbitrary-length repeats where
+    fixed-W marks cannot (VERDICT r7 item 3): a planted 23-token shared
+    passage yields repeat_len 23, 22, …, 8 (one per interior suffix per
+    doc); a 3-doc 12-token passage yields lengths 12..8 over 3 docs; a
+    9-token passage 9 and 8. Every (doc, pos, repeat_len) triple must equal
+    the brute-force all-pairs mirror — the doubling loop resolves multiple
+    rounds here (23 > 2x8)."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        longest_repeat_lengths,
+    )
+
+    passage23 = " ".join(f"p{i}" for i in range(23))
+    passage12 = " ".join(f"q{i}" for i in range(12))
+    passage9 = " ".join(f"s{i}" for i in range(9))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + passage23 + " "
+         + " ".join(f"b{i}" for i in range(10))),
+        (2, " ".join(f"c{i}" for i in range(5)) + " " + passage23 + " "
+         + " ".join(f"d{i}" for i in range(7))),
+        (3, passage12 + " " + " ".join(f"e{i}" for i in range(9))),
+        (4, " ".join(f"f{i}" for i in range(11)) + " " + passage12),
+        (5, " ".join(f"g{i}" for i in range(6)) + " " + passage12 + " "
+         + " ".join(f"h{i}" for i in range(6))),
+        (6, passage9 + " " + " ".join(f"k{i}" for i in range(12))),
+        (7, " ".join(f"m{i}" for i in range(9)) + " " + passage9),
+        (8, " ".join(f"z{i}" for i in range(30))),  # no repeats anywhere
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    per_suffix, capped = longest_repeat_lengths(df, "doc_id", "text", w=8)
+    got = {
+        (r["doc_id"], r["pos"]): r["repeat_len"]
+        for r in per_suffix.collect()
+    }
+    assert got == _py_longest_repeats(docs)
+    assert max(got.values()) == 23
+    # the 23-passage interior suffixes: doc 1 passage starts at token 10
+    for off in range(23 - 8 + 1):
+        assert got[(1, 10 + off)] == 23 - off
+        assert got[(2, 5 + off)] == 23 - off
+    cap_row = capped.collect()[0]
+    assert cap_row["n_capped_anchors"] == 0
+    assert cap_row["n_capped_suffixes"] == 0
+
+
+def test_longest_repeat_identical_suffix_twins_and_cap(spark):
+    """Exact suffix twins (two docs ending in the same 20 tokens) terminate
+    the doubling loop via the remainder-ends rule with repeat_len = the
+    full shared tail; anchors wider than max_anchor_df are excluded from
+    the census and disclosed in the capped frame."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        longest_repeat_lengths,
+    )
+
+    tail = " ".join(f"t{i}" for i in range(20))
+    boiler = " ".join(f"bp{i}" for i in range(8))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(4)) + " " + tail),
+        (2, " ".join(f"b{i}" for i in range(9)) + " " + tail),
+    ] + [
+        (10 + k, boiler + " " + " ".join(f"u{k}x{i}" for i in range(10)))
+        for k in range(5)  # 5 docs share the boiler 8-gram -> anchor df 5
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    per_suffix, capped = longest_repeat_lengths(
+        df, "doc_id", "text", w=8, max_anchor_df=3
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["repeat_len"]
+        for r in per_suffix.collect()
+    }
+    assert got == _py_longest_repeats(docs, cap=3)
+    # twins: doc 1 tail starts at 4, doc 2 at 9; identical to end of doc
+    for off in range(20 - 8 + 1):
+        assert got[(1, 4 + off)] == 20 - off
+        assert got[(2, 9 + off)] == 20 - off
+    # the boiler anchor (df 5 > cap 3) is excluded and disclosed
+    assert all(doc < 10 for doc, _ in got)
+    cap_row = capped.collect()[0]
+    assert cap_row["n_capped_anchors"] == 1
+    assert cap_row["n_capped_suffixes"] == 5
