@@ -26,22 +26,24 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-7 window (current): the 5 pins; the 4 round-7 additions
-(`dedup_containment_minhash_topk` — the containment family's
-sub-quadratic candidate path — `containment_recall_audit`, its
-per-(decile × size-stratum) recall pricing vs the exact truth (VERDICT r6
-item 2), `containment_incremental`, the family's serve-path matcher, and
-`quoted_span_stats`, verbatim quoted-span detection); then all 32
-queries whose latest strict green is round 2 (the oldest cohort after
-the fully-green r6), then 9 round-3-era picks covering the
-dedup/streaming/ANN/BPE/decontamination/SQL-surface families.
+Round-8 window (current): the 5 pins; the 3 round-8 items
+(`longest_repeat_census` — exact arbitrary-length repeated-substring
+dedup via prefix doubling — and `streaming_containment_incremental`, the
+containment family's streaming serve twin, both new; plus
+`containment_recall_audit`, whose semantics changed this round to the
+HT-sampled truth stage with Wilson CIs, so its r7 green row proves the
+retired form and it re-proves); then ALL 33 queries whose latest strict
+green is round 3 (the oldest cohort, enumerated from the committed
+artifacts), then 9 round-4-era family representatives
+(experimentation / bucketed join / csv sink / python datasource /
+windowed funnel / label propagation / personalized pagerank / window
+frames / lateral SQL surface).
 
-Pre-staged round-8 rotation: land any round-8 additions FIRST
-(add-then-freeze), bump WINDOW_ROUND to 8, keep the 5 pins, fill the
+Pre-staged round-9 rotation: land round-9 additions FIRST
+(add-then-freeze), bump WINDOW_ROUND to 9, keep the 5 pins, fill the
 remaining slots oldest-driver-evidence-first — after a green
-CORRECTNESS_r07 the oldest cohort is the ~31 remaining r3-latest queries
-(calibration/graph/streaming/lakehouse-era; enumerate from the committed
-artifacts), then the r4-latest cohort.
+CORRECTNESS_r08 the oldest cohort is the ~36 remaining r4-latest queries,
+then r5-latest.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # artifacts from rounds STRICTLY BEFORE it — otherwise the rotation test goes
 # red the moment the driver deposits the in-flight round's own artifact
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
-WINDOW_ROUND = 7
+WINDOW_ROUND = 8
 
 # RETIRED round 6 (VERDICT r5 item 2): every window entry now carries a full
 # value-hash oracle. The rows-only sketch/greedy originals
@@ -67,10 +69,10 @@ WINDOW_ROUND = 7
 # bpe_roundtrip_audit, hll_rollup_audit) carrying their driver proof.
 WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# The 50 driver-scored queries, in scoring order. Round-7 rotation: 5 pinned
-# gates + the 4 round-7 additions (landed BEFORE this freeze per
-# add-then-freeze) + 41 oldest-evidence re-greens (the entire r2-latest
-# cohort of 32, then 9 r3-era family representatives). Every entry carries
+# The 50 driver-scored queries, in scoring order. Round-8 rotation: 5 pinned
+# gates + the 3 round-8 items (landed BEFORE this freeze per
+# add-then-freeze) + 42 oldest-evidence re-greens (the entire r3-latest
+# cohort of 33, then 9 r4-era family representatives). Every entry carries
 # a full value-hash oracle.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
@@ -80,56 +82,59 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # round-7 additions, first driver rows (containment scale path + audit
-    # + the family's serve-path matcher)
-    "dedup_containment_minhash_topk",
+    # round-8 items, first driver rows: the suffix-ranking census and the
+    # containment streaming serve twin are new; the recall audit's
+    # semantics changed to the HT-sampled truth stage (r7 row proves the
+    # retired full-truth form)
+    "longest_repeat_census",
+    "streaming_containment_incremental",
     "containment_recall_audit",
-    "containment_incremental",
-    "quoted_span_stats",
-    # re-greens: every query whose latest strict green driver row is ROUND 2
-    "asof_latest_click",
-    "bm25_search",
-    "corpus_mix_stats",
-    "customer_order_left",
-    "customers_with_open_orders",
-    "dedup_ngram_jaccard",
-    "doc_chunking",
-    "errors_near_purchase",
-    "hof_acctbal_pipeline",
-    "hybrid_rrf_search",
-    "json_props_rollup",
-    "lang_id_heuristic",
-    "leakage_safe_split",
-    "multimodal_features",
-    "nested_struct_rollup",
-    "part_id_synthesis",
-    "pricing_summary",
-    "priority_set_algebra",
-    "quality_lm_score",
-    "region_descendants",
-    "region_segment_flatten",
-    "returnflag_pivot",
-    "revenue_by_nation",
-    "scd2_history_stats",
-    "segment_acctbal_zscore",
-    "segment_set_algebra",
-    "symmetric_trade_edges",
-    "text_stats",
-    "tfidf_top_terms",
-    "token_bin_packing",
-    "token_fingerprints",
-    "user_sessions",
-    # re-greens: r3-era picks (dedup, streaming, ANN, BPE induction,
-    # decontamination, quality-AUC, and the same-SQL-text surface)
-    "dedup_simhash",
-    "dedup_incremental",
-    "dedup_cluster_components_star",
-    "streaming_session_windows",
-    "streaming_user_totals",
-    "sql_text_revenue",
-    "knn_cosine_ivf_kmeans",
-    "bpe_merge_pair_stats",
-    "decontaminate_stats",
+    # re-greens: every query whose latest strict green driver row is ROUND 3
+    "calibration_stats",
+    "centroid_classifier_eval",
+    "corpus_datacard",
+    "dataset_fingerprints",
+    "embedding_decontaminate",
+    "embedding_drift_stats",
+    "embedding_separability",
+    "event_transition_matrix",
+    "exact_auc_stats",
+    "hard_negative_mining",
+    "incremental_backfill_stats",
+    "knn_eval_metrics",
+    "lang_id_confusion",
+    "lang_mix_divergence",
+    "multimodal_frame_sample",
+    "neyman_allocation",
+    "orders_asof_dimension",
+    "phrase_search_stats",
+    "pmi_collocations",
+    "quality_bigram_lm_score",
+    "quality_psi_stats",
+    "quality_winsor_stats",
+    "snapshot_diff_stats",
+    "source_overlap_jaccard",
+    "streaming_click_purchase_join",
+    "streaming_funnel_conversion",
+    "streaming_incremental_dedup",
+    "streaming_value_anomaly",
+    "supplier_clustering",
+    "supplier_kcore",
+    "supplier_triangles",
+    "variant_props_stats",
+    "vocab_zipf_stats",
+    # re-greens: r4-era family representatives (experimentation, bucketed
+    # co-located join, csv sink, python datasource, windowed funnel, label
+    # propagation, personalized pagerank, window frames, lateral SQL)
+    "ab_cuped_estimates",
+    "bucketed_join_revenue",
+    "csv_sink_roundtrip",
+    "python_datasource_stats",
+    "funnel_conversion_windowed",
+    "label_propagation_communities",
+    "personalized_pagerank_topk",
+    "rolling_range_revenue",
+    "sql_text_lateral_topk",
 ]
 
 
