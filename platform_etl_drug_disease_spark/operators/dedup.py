@@ -754,6 +754,63 @@ def jaccard_pairs(
     )
 
 
+def _containment_prefix_candidates(
+    exploded: DataFrame,
+    freq: DataFrame,
+    cols: list[Column],
+    id_col: str,
+    threshold: float,
+    block_col: str | None,
+    contained_pred: Column | None,
+) -> DataFrame:
+    """The one-sided prefix-filtered candidate stage of
+    :func:`containment_pairs` — factored out so the scale-stress harness
+    can count its fan-out directly (the `_jaccard_prefix_stage` precedent;
+    VERDICT r7 item 7). ``exploded`` = (cols, __sz, shingle-hash) rows,
+    ``freq`` = the df-capped (shingle, __df) table. Returns DISTINCT
+    (id_a, id_b) candidate pairs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
+    prefix_len = _prefix_len(F.col("__sz"), threshold)
+    # contained-side restriction BEFORE the prefix window: df comes from the
+    # full-corpus freq table, so sampled-A prefixes are identical to their
+    # full-run prefixes — only fewer of them.
+    pref_src = exploded if contained_pred is None else exploded.where(contained_pred)
+    pref = (
+        pref_src.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= prefix_len)
+        .select(*cols, "shingle", "__sz")
+    )
+    a, b = pref.alias("a"), exploded.alias("b")
+    # size prune, lossless by arithmetic: c(A,B) ≥ τ needs |A∩B| ≥ τ·|sh_A|,
+    # and |A∩B| ≤ |sh_B| — so a container smaller than τ·|sh_A| can never
+    # qualify. Applied INSIDE the candidate join, it kills the coincidental
+    # shared-rare-shingle pairs with small B before they reach the verify
+    # fan-out (the verify costs O(candidates × |sh_A|); measured 52.3 s →
+    # see the catalog query docstring for the post-prune number at sf≈1 on
+    # the replica-dense corpus). The 1e-6 slack mirrors jaccard_pairs'
+    # inter_floor guard against float round-off at exact boundaries.
+    cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        & (
+            F.col("b.__sz").cast("double")
+            >= F.lit(threshold) * F.col("a.__sz") - F.lit(1e-6)
+        )
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -829,43 +886,8 @@ def containment_pairs(
     freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     if max_shingle_df is not None:
         freq = freq.where(F.col("__df") <= max_shingle_df)
-    w = Window.partitionBy(F.col(id_col)).orderBy("__df", "shingle")
-    prefix_len = _prefix_len(F.col("__sz"), threshold)
-    # contained-side restriction BEFORE the prefix window: df comes from the
-    # full-corpus freq table, so sampled-A prefixes are identical to their
-    # full-run prefixes — only fewer of them.
-    pref_src = exploded if contained_pred is None else exploded.where(contained_pred)
-    pref = (
-        pref_src.join(freq, "shingle")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= prefix_len)
-        .select(*cols, "shingle", "__sz")
-    )
-    a, b = pref.alias("a"), exploded.alias("b")
-    # size prune, lossless by arithmetic: c(A,B) ≥ τ needs |A∩B| ≥ τ·|sh_A|,
-    # and |A∩B| ≤ |sh_B| — so a container smaller than τ·|sh_A| can never
-    # qualify. Applied INSIDE the candidate join, it kills the coincidental
-    # shared-rare-shingle pairs with small B before they reach the verify
-    # fan-out (the verify costs O(candidates × |sh_A|); measured 52.3 s →
-    # see the catalog query docstring for the post-prune number at sf≈1 on
-    # the replica-dense corpus). The 1e-6 slack mirrors jaccard_pairs'
-    # inter_floor guard against float round-off at exact boundaries.
-    cond = (
-        (F.col("a.shingle") == F.col("b.shingle"))
-        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        & (
-            F.col("b.__sz").cast("double")
-            >= F.lit(threshold) * F.col("a.__sz") - F.lit(1e-6)
-        )
-    )
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    cand = (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    cand = _containment_prefix_candidates(
+        exploded, freq, cols, id_col, threshold, block_col, contained_pred
     )
     ex_a = exploded.select(F.col(id_col).alias("id_a"), F.col("shingle"))
     ex_b = exploded.select(F.col(id_col).alias("id_b"), F.col("shingle"))
@@ -1280,6 +1302,53 @@ def incremental_containment_matches(
     )
 
 
+def _quoted_diagonal_hits(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """The positional-gram diagonal stage of :func:`quoted_spans` —
+    (id_a, id_b, i, diag) match rows before the gaps-and-islands merge.
+    Factored out so the scale-stress harness can count its fan-out
+    directly (VERDICT r7 item 7)."""
+    from pyspark.sql import Window
+
+    from platform_etl_drug_disease_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    wl = Window.partitionBy(id_col).orderBy("pos")
+    g = toks
+    for k in range(1, n):
+        g = g.withColumn(f"t{k}", F.lead("tok", k).over(wl))
+    grams = g.where(F.col(f"t{n - 1}").isNotNull()).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(
+            F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)])
+        ).alias("g"),
+    )
+    ga = grams.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("i"), F.col("g")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("j"), F.col("g")
+    )
+    # distinct on the SMALL pair set, not the positional join output: the
+    # joined rows are already unique in (pair, i, diag) — one gram per
+    # (doc, pos) per side and diag determines j — so a distinct there would
+    # shuffle the query's largest intermediate to remove nothing. Duplicate
+    # INPUT pairs would break the islands row_number, hence the cheap guard.
+    return (
+        pairs.select("id_a", "id_b")
+        .distinct()
+        .join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .select("id_a", "id_b", "i", (F.col("j") - F.col("i")).alias("diag"))
+    )
+
+
 def quoted_spans(
     df: DataFrame,
     pairs: DataFrame,
@@ -1308,39 +1377,9 @@ def quoted_spans(
     comes from an already-bounded candidate stage (containment/Jaccard
     top-k), never all-pairs. Spark shuffles 8-byte xxhash64 gram keys; the
     oracle joins raw text (same birthday argument as the dedup verifies)."""
-    from platform_etl_drug_disease_spark.operators.text import tokens
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok"))
-    wl = Window.partitionBy(id_col).orderBy("pos")
-    g = toks
-    for k in range(1, n):
-        g = g.withColumn(f"t{k}", F.lead("tok", k).over(wl))
-    grams = g.where(F.col(f"t{n - 1}").isNotNull()).select(
-        F.col(id_col),
-        F.col("pos"),
-        F.xxhash64(
-            F.concat_ws(" ", "tok", *[f"t{k}" for k in range(1, n)])
-        ).alias("g"),
-    )
-    ga = grams.select(
-        F.col(id_col).alias("id_a"), F.col("pos").alias("i"), F.col("g")
-    )
-    gb = grams.select(
-        F.col(id_col).alias("id_b"), F.col("pos").alias("j"), F.col("g")
-    )
-    # distinct on the SMALL pair set, not the positional join output: the
-    # joined rows are already unique in (pair, i, diag) — one gram per
-    # (doc, pos) per side and diag determines j — so a distinct there would
-    # shuffle the query's largest intermediate to remove nothing. Duplicate
-    # INPUT pairs would break the islands row_number, hence the cheap guard.
-    hits = (
-        pairs.select("id_a", "id_b")
-        .distinct()
-        .join(ga, "id_a")
-        .join(gb, ["id_b", "g"])
-        .select("id_a", "id_b", "i", (F.col("j") - F.col("i")).alias("diag"))
-    )
+    hits = _quoted_diagonal_hits(df, pairs, id_col, text_col, n)
     wr = Window.partitionBy("id_a", "id_b", "diag").orderBy("i")
     runs = hits.withColumn("island", F.col("i") - F.row_number().over(wr))
     return (

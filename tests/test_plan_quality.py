@@ -295,3 +295,64 @@ def test_corpus_text_scans_have_compute_partitions(spark):
     for q in (token_fingerprints, lang_id_heuristic):
         plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
         assert "REPARTITION_BY" in plan, f"{q.__name__} scan not widened before the token fold"
+
+
+def _executed_plan_stats(df) -> dict:
+    """Join-strategy and shuffle counts from the ACTUAL executed (AQE-final)
+    plan — the tools/plan_report.py audit, in-test."""
+    import re
+
+    df.foreach(lambda r: None)  # run, so AQE finalizes the plan
+    plan = (
+        df._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"
+        r"|BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    )
+    return {
+        "exchanges": plan.count("Exchange"),
+        "joins": {j: joins.count(j) for j in set(joins)},
+    }
+
+
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        (
+            "trade_pagerank",
+            {
+                "exchanges": 4,
+                "joins": {"BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 1},
+            },
+        ),
+        (
+            "supplier_triangles",
+            {
+                "exchanges": 6,
+                "joins": {"BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
+            },
+        ),
+        (
+            "supplier_clustering",
+            {"exchanges": 6, "joins": {"BroadcastHashJoin": 2}},
+        ),
+    ],
+)
+def test_graph_family_plan_shape_pinned(spark, name, expected):
+    """Pin the graph family's executed-plan shape (VERDICT r7 item 4): the
+    r6→r7 sf≈1 wall drift in this family was diagnosed as timing noise —
+    re-audited shapes were identical to PERF.md's recorded rows — so any
+    FUTURE shape change (a lost broadcast, an extra shuffle) must fail here
+    instead of surfacing as an unexplained bench delta. The
+    BroadcastNestedLoopJoins are the documented deliberate 1-row/tiny-side
+    broadcasts (damping scalars, probe sets), not quadratic joins."""
+    from platform_etl_drug_disease_spark.plans import graph
+
+    df = getattr(graph, name)(spark, SF_SMOKE)
+    got = _executed_plan_stats(df)
+    assert got == expected, f"{name}: executed-plan shape drifted: {got}"

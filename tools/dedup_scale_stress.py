@@ -15,9 +15,16 @@ with scale while the all-pairs count grows quadratically — and measures:
    the headline `dedup_ngram_jaccard_topk`'s candidate stage);
 4. containment single-slot MinHash candidate count
    (`containment_minhash_candidates` — the round-7 scale path);
-5. wall of the two headline dedup queries run EXACTLY as catalogued
+5. containment EXACT path's one-sided prefix candidate count
+   (`_containment_prefix_candidates` — the truth-side stage of
+   `dedup_containment_topk` and the recall audit);
+6. quoted_spans' positional-trigram diagonal fan-out over the shipped
+   lang-blocked containment top-3 pair set (`_quoted_diagonal_hits` —
+   `quoted_span_stats`' largest intermediate);
+7. wall of the two headline dedup queries run EXACTLY as catalogued
    (`dedup_minhash_lsh`, `dedup_ngram_jaccard_topk` over a parquet
-   documents table), best-of-2 with cache cleared between runs.
+   documents table), best-of-2 with the cache cleared before EVERY run
+   (cold walls — internally persisted tables never carry into run 2).
 
 The verdict line compares each candidate count's 1→N scaling ratio against
 the duplicate-mass ratio (linear, = N) and against corpus² (= N²): the
@@ -134,9 +141,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from platform_etl_drug_disease_spark.operators.dedup import (
+        _containment_prefix_candidates,
         _jaccard_prefix_stage,
+        _quoted_diagonal_hits,
         _shingle_table,
         containment_minhash_candidates,
+        containment_topk,
         minhash_lsh_candidates,
     )
     from platform_etl_drug_disease_spark.plans.dedup_text import (
@@ -175,6 +185,29 @@ def main() -> None:
         cont_c = containment_minhash_candidates(
             sh.select("doc_id", "sh"), "doc_id", threshold=0.8
         ).count()
+        # containment EXACT path's one-sided prefix fan-out, at the shipped
+        # dedup_containment_topk configuration (τ=0.8, df cap 256) — the
+        # family's truth-side candidate stage (VERDICT r7 item 7).
+        exploded = sh.select(
+            F.col("doc_id"), F.col("__sz"), F.explode("sh").alias("__s")
+        ).select("doc_id", "__sz", F.xxhash64("__s").alias("shingle"))
+        freq = (
+            exploded.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= 256)
+        )
+        cpref_c = _containment_prefix_candidates(
+            exploded, freq, [F.col("doc_id")], "doc_id", 0.8, None, None
+        ).count()
+        # quoted_spans' positional-trigram diagonal fan-out over the shipped
+        # quoted_span_stats pair set (lang-blocked exact containment top-3;
+        # lang is constant in this corpus, so blocking is a no-op — the
+        # adversarial direction).
+        pairs = containment_topk(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+            block_col="lang", max_shingle_df=256,
+        )
+        diag_c = _quoted_diagonal_hits(docs, pairs, "doc_id", "text", 3).count()
         sh.unpersist()
 
         w_minhash = _wall(
@@ -190,6 +223,8 @@ def main() -> None:
             "lsh_candidates": lsh_c,
             "prefix_candidates": pref_c,
             "containment_mh_candidates": cont_c,
+            "containment_prefix_candidates": cpref_c,
+            "quoted_diag_hits": diag_c,
             "minhash_lsh_wall_sec": round(w_minhash, 2),
             "jaccard_topk_wall_sec": round(w_topk, 2),
         }
@@ -214,6 +249,14 @@ def main() -> None:
             / max(base_r["containment_mh_candidates"], 1),
             1,
         ),
+        "containment_prefix_ratio": round(
+            top_r["containment_prefix_candidates"]
+            / max(base_r["containment_prefix_candidates"], 1),
+            1,
+        ),
+        "quoted_diag_ratio": round(
+            top_r["quoted_diag_hits"] / max(base_r["quoted_diag_hits"], 1), 1
+        ),
         "minhash_wall_ratio": round(
             top_r["minhash_lsh_wall_sec"] / base_r["minhash_lsh_wall_sec"], 2
         ),
@@ -223,7 +266,13 @@ def main() -> None:
     }
     # the claim: every candidate stage scales like duplicate mass (linear),
     # nowhere near corpus². 2× slack for the linear coincidental tail.
-    for k in ("lsh_cand_ratio", "prefix_cand_ratio", "containment_cand_ratio"):
+    for k in (
+        "lsh_cand_ratio",
+        "prefix_cand_ratio",
+        "containment_cand_ratio",
+        "containment_prefix_ratio",
+        "quoted_diag_ratio",
+    ):
         summary[f"{k}_tracks_dup_mass"] = bool(
             summary[k] <= 2.0 * summary["dup_mass_ratio"]
         )
