@@ -1488,12 +1488,14 @@ def longest_repeat_lengths(
         ).alias("__key"),
     )
     cnt = occ.groupBy("__key").agg(F.count(F.lit(1)).alias("__c"))
+    # 1-row disclosure frame, materialized NOW (localCheckpoint) so base can
+    # be unpersisted when the loop ends without leaving a lazy reader.
     capped = cnt.where(F.col("__c") > max_anchor_df).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_capped_anchors"),
         F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias(
             "n_capped_suffixes"
         ),
-    )
+    ).localCheckpoint()
     keep = cnt.where(
         (F.col("__c") >= 2) & (F.col("__c") <= max_anchor_df)
     ).select("__key")
@@ -1553,6 +1555,10 @@ def longest_repeat_lengths(
         depth *= 2
         if alive.isEmpty():
             break
+    # every consumer (per-round states, resolved parts, the disclosure row)
+    # is an EAGER localCheckpoint, so the token table has no remaining lazy
+    # readers — release its cache blocks before handing back the result.
+    base.unpersist()
     out = resolved[0]
     for part in resolved[1:]:
         out = out.unionByName(part)
