@@ -289,6 +289,9 @@ def incremental_minhash_matches(
     n_hashes: int = 16,
     n_bands: int = 4,
     threshold: float = 0.5,
+    new_shingles: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingestion dedup: match a NEW batch against an EXISTING
     corpus — candidates only where a new doc and a corpus doc share an LSH
@@ -300,14 +303,29 @@ def incremental_minhash_matches(
     exists anywhere in the plan. At 100 TB the corpus side of this join is
     the PERSISTED index snapshot (:func:`banded_signatures` output plus the
     exploded (id, shingle) table, both written once per corpus version);
-    here both sides are computed from text because the fixture has no
-    snapshot store. New-batch-internal duplicates are a separate
-    :func:`minhash_lsh_dedup` over the (small) batch.
+    with no prebuilt index both are computed from text per call.
+    ``corpus_shingles``/``corpus_bands`` accept those prebuilt PERSISTED
+    snapshot pieces so a multi-batch caller (the streaming twin's
+    foreachBatch) pays the corpus-sized work ONCE per snapshot, not per
+    micro-batch; ``new_shingles`` likewise lets the caller own (and
+    unpersist) the batch-side shingle table (round-8 review finding).
+    New-batch-internal duplicates are a separate :func:`minhash_lsh_dedup`
+    over the (small) batch.
     """
-    new_sh = _shingle_table(new_df, id_col, text_col, shingle_n).persist()
-    corpus_sh = _shingle_table(corpus_df, id_col, text_col, shingle_n).persist()
+    if new_shingles is not None:
+        new_sh = new_shingles
+    else:
+        new_sh = _shingle_table(new_df, id_col, text_col, shingle_n).persist()
+    if corpus_shingles is not None:
+        corpus_sh = corpus_shingles
+    else:
+        corpus_sh = _shingle_table(corpus_df, id_col, text_col, shingle_n).persist()
     nb = banded_signatures(new_sh, id_col, n_hashes, n_bands)
-    cb = banded_signatures(corpus_sh, id_col, n_hashes, n_bands)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else banded_signatures(corpus_sh, id_col, n_hashes, n_bands)
+    )
     cands = (
         nb.select(F.col(id_col).alias("new_id"), "band_key")
         .join(
@@ -1204,6 +1222,37 @@ def containment_minhash_topk(
     )
 
 
+def containment_corpus_index(
+    corpus_sh: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    max_slot_df: int | None = 32,
+    hot_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Bucket-capped single-slot corpus index — (id, __sz, slot, val) rows —
+    from a corpus shingle table and its (persisted) hot-shingle list: the
+    slot-row snapshot artifact :func:`incremental_containment_matches`'
+    docstring names. Factored out so multi-batch callers (the streaming
+    serve twin) build it ONCE per corpus snapshot instead of once per
+    micro-batch (round-8 review finding). The residual bucket-width guard
+    (``max_slot_df``) is applied here — a prebuilt index is already
+    capped."""
+    rows = minhash_slot_rows(
+        corpus_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot_shingles
+    )
+    if max_slot_df is not None:
+        # residual bucket-width guard on the index side only; distinct name
+        # from the shingle hot-list — unrelated caps (ADVICE r7).
+        hot_buckets = (
+            rows.groupBy("slot", "val")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_slot_df)
+            .select("slot", "val")
+        )
+        rows = rows.join(F.broadcast(hot_buckets), ["slot", "val"], "left_anti")
+    return rows
+
+
 def incremental_containment_matches(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -1214,6 +1263,10 @@ def incremental_containment_matches(
     n_hashes: int = 16,
     max_shingle_df: int | None = 256,
     max_slot_df: int | None = 32,
+    new_shingles: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
+    corpus_hot: DataFrame | None = None,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingestion CONTAINMENT: is a NEW doc already carried
     (wholly or near-wholly) inside an EXISTING corpus doc? Candidates only
@@ -1239,31 +1292,38 @@ def incremental_containment_matches(
     boilerplate-framed quoted-page class this matcher exists to catch
     (round-7 review finding). The index is still buildable without seeing
     future batches — the batch borrows the index's universe, never the
-    reverse."""
-    new_sh = _shingle_table(new_df, id_col, text_col, shingle_n).persist()
-    corpus_sh = _shingle_table(corpus_df, id_col, text_col, shingle_n).persist()
-    hot_shingles = None
-    if max_shingle_df is not None:
+    reverse.
+
+    ``new_shingles`` / ``corpus_shingles`` / ``corpus_hot`` /
+    ``corpus_index`` accept the prebuilt PERSISTED snapshot pieces (shingle
+    tables, hot-shingle list, bucket-capped slot rows from
+    :func:`containment_corpus_index`) so a multi-batch caller pays the
+    corpus-sized work once per snapshot and owns the handles' lifecycle —
+    without them, everything is computed (and persisted) per call, which a
+    foreachBatch loop must not do (round-8 review finding)."""
+    if new_shingles is not None:
+        new_sh = new_shingles
+    else:
+        new_sh = _shingle_table(new_df, id_col, text_col, shingle_n).persist()
+    if corpus_shingles is not None:
+        corpus_sh = corpus_shingles
+    else:
+        corpus_sh = _shingle_table(corpus_df, id_col, text_col, shingle_n).persist()
+    hot_shingles = corpus_hot
+    if hot_shingles is None and max_shingle_df is not None:
         # consumed by both sides' anti-joins → persist the (tiny) list
         # rather than re-scanning corpus shingles per side.
         hot_shingles = _hot_shingle_hashes(corpus_sh, max_shingle_df).persist()
     nrows = minhash_slot_rows(
         new_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot_shingles
     )
-    crows = minhash_slot_rows(
-        corpus_sh, id_col, n_hashes, max_shingle_df=None, hot_hashes=hot_shingles
-    )
-    if max_slot_df is not None:
-        # residual bucket-width guard on the CORPUS side only (the index);
-        # the batch side is small by contract. Distinct name from the
-        # shingle hot-list above — unrelated caps (ADVICE r7).
-        hot_buckets = (
-            crows.groupBy("slot", "val")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") > max_slot_df)
-            .select("slot", "val")
+    crows = (
+        corpus_index
+        if corpus_index is not None
+        else containment_corpus_index(
+            corpus_sh, id_col, n_hashes, max_slot_df, hot_shingles
         )
-        crows = crows.join(F.broadcast(hot_buckets), ["slot", "val"], "left_anti")
+    )
     cands = (
         nrows.alias("n")
         .join(
@@ -1440,9 +1500,10 @@ def longest_repeat_lengths(
        key to depth 2d, and sort suffixes WITHIN their depth-d group by the
        slice. In suffix order the maximum LCP against the whole group is
        attained at an adjacent row (the suffix-array adjacency property),
-       and the join-with-' ' string order refines token-prefix order
-       (tokens are whitespace-split, so the separator can't occur inside
-       one), so ``repeat_len = d + max(token-LCP with the two neighbours)``
+       and the join-with-``\\x01`` string order refines token-prefix order
+       (tokens are whitespace-split; \\x01 sorts below every in-token byte
+       except the theoretical \\x00), so
+       ``repeat_len = d + max(token-LCP with the two neighbours)``
        is EXACT for every suffix whose extended key is unique or whose
        remainder ends within the window — those resolve and leave the loop;
     3. suffixes whose extended key is still shared AND whose remainder
@@ -1457,7 +1518,8 @@ def longest_repeat_lengths(
     naive sort would ship is O(duplicated mass × doc length). Identical
     full remainders (exact suffix twins) resolve by the remainder-ends
     rule, so the loop terminates in ≤ log2(max doc tokens) rounds
-    (``max_rounds`` is a backstop far above any real corpus).
+    (``max_rounds`` is a backstop far above any real corpus; exhausting it
+    with rows still live RAISES rather than silently dropping them).
 
     Returns ``(per_suffix, capped)``: per_suffix = (id_col, pos,
     repeat_len ≥ w) rows, one per qualifying suffix; capped = the 1-row
@@ -1467,6 +1529,8 @@ def longest_repeat_lengths(
 
     from platform_etl_drug_disease_spark.operators.text import tokens
 
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     base = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .withColumn("__n", F.size("__t"))
@@ -1511,7 +1575,16 @@ def longest_repeat_lengths(
                 "__rest", F.slice("__t", F.col("pos") + depth + 1, depth)
             )
             .drop("__t")
-            .withColumn("__rest_str", F.array_join("__rest", " "))
+            # sort-key separator \x01, NOT space: the adjacency identity
+            # needs string order to refine token-prefix order, i.e. the
+            # separator must sort below any in-token byte. Tokens are
+            # \s+-split so they cannot contain whitespace, but C0 control
+            # chars (\x01-\x08, \x0e-\x1f) survive tokenization and sort
+            # BELOW ' ' — under a space join a token like "x\x01q" would
+            # misorder against "x b" and shave the adjacent-max LCP
+            # (round-8 review finding). \x00-containing tokens remain the
+            # one theoretical breaker; both engines share the convention.
+            .withColumn("__rest_str", F.array_join("__rest", "\x01"))
             .withColumn(
                 "__key2",
                 F.xxhash64(
@@ -1555,6 +1628,18 @@ def longest_repeat_lengths(
         depth *= 2
         if alive.isEmpty():
             break
+    else:
+        # suffixes still live when the backstop exhausts would otherwise be
+        # SILENTLY missing from the output — a disclosure-free cap, which
+        # this operator forbids. A live row needs remainder > depth, and
+        # depth doubled max_rounds times, so this fires only on misuse
+        # (tiny max_rounds) — loudly (round-8 review finding).
+        n_left = alive.count()
+        if n_left:
+            raise RuntimeError(
+                f"longest_repeat_lengths: {n_left} suffixes still live after "
+                f"max_rounds={max_rounds} (depth {depth}); raise max_rounds"
+            )
     # every consumer (per-round states, resolved parts, the disclosure row)
     # is an EAGER localCheckpoint, so the token table has no remaining lazy
     # readers — release its cache blocks before handing back the result.

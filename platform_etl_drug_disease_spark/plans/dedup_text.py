@@ -1063,7 +1063,11 @@ def _containment_audit_cells(
 # doc_id under a dedicated salt (the sample_extrapolation_audit machinery).
 _AUDIT_SAMPLE_SALT = "cra8"
 _AUDIT_SAMPLE_BUCKETS = 10_000
-_AUDIT_SAMPLE_KEEP = 1_000  # p = 0.1 → HT weight 10
+_AUDIT_SAMPLE_KEEP = 1_000
+# Horvitz–Thompson weight 1/p, DERIVED so changing the sample rate can
+# never leave a stale extrapolation constant behind on either engine
+# (both carry this one value, so the oracle could not catch the skew).
+_AUDIT_INV_P = float(_AUDIT_SAMPLE_BUCKETS) / float(_AUDIT_SAMPLE_KEEP)
 
 
 def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,7 +1115,7 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_bucket("doc_id", _AUDIT_SAMPLE_BUCKETS, _AUDIT_SAMPLE_SALT)
         < _AUDIT_SAMPLE_KEEP
     )
-    return _containment_audit_cells(docs, pred, 10.0)
+    return _containment_audit_cells(docs, pred, _AUDIT_INV_P)
 
 
 def _containment_recall_audit_sql() -> str:
@@ -1202,7 +1206,7 @@ agg AS (
     FROM cells GROUP BY containment_decile, size_delta
 )
 SELECT containment_decile, size_delta, n_sampled_true,
-       floor((n_d * 10.0) * 10.0 + 0.5) / 10.0 AS est_n_true,
+       floor((n_d * {_AUDIT_INV_P!r}) * 10.0 + 0.5) / 10.0 AS est_n_true,
        n_recalled, recall,
        floor(({wilson_center} - {wilson_hw}) * 1e6 + 0.5) / 1e6 AS recall_ci_lo,
        floor(({wilson_center} + {wilson_hw}) * 1e6 + 0.5) / 1e6 AS recall_ci_hi,
@@ -2032,7 +2036,11 @@ def longest_repeat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, which is exactly what makes the hash match meaningful.
     ``n_capped_anchors``/``n_capped_suffixes`` disclose the excluded
     boilerplate mass on every row (constant 1-row broadcast — no silent
-    caps)."""
+    caps). A constant ``repeat_len = 0`` sentinel row is always present so
+    the disclosure survives even an ALL-capped corpus, where the census
+    proper is empty and a bare cross join would return zero rows —
+    silently eating the one signal that says why (round-8 review
+    finding)."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     per_suffix, capped = longest_repeat_lengths(
         docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
@@ -2040,9 +2048,14 @@ def longest_repeat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = per_suffix.groupBy("repeat_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_suffixes"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    ).select(F.col("repeat_len").cast("bigint").alias("repeat_len"), "n_suffixes", "n_docs")
+    sentinel = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("repeat_len"),
+        F.lit(0).cast("bigint").alias("n_suffixes"),
+        F.lit(0).cast("bigint").alias("n_docs"),
     )
-    return census.crossJoin(F.broadcast(capped)).select(
-        F.col("repeat_len").cast("bigint").alias("repeat_len"),
+    return census.unionByName(sentinel).crossJoin(F.broadcast(capped)).select(
+        "repeat_len",
         "n_suffixes",
         "n_docs",
         "n_capped_anchors",
@@ -2089,8 +2102,11 @@ lrhot AS (
     FROM lrcnt
 ),
 lrq AS (
+    -- sort-key separator chr(1), not ' ': string order must refine token-
+    -- prefix order, and C0 control chars inside tokens sort below ' '
+    -- (mirrors the Spark operator's \x01 convention).
     SELECT a.doc_id, a.pos, a.anchor, a.suf,
-           list_aggregate(a.suf, 'string_agg', ' ') AS suf_str
+           list_aggregate(a.suf, 'string_agg', chr(1)) AS suf_str
     FROM lranch a JOIN lrcnt USING (anchor)
     WHERE lrcnt.c BETWEEN 2 AND {_LR_CAP}
 ),
@@ -2105,13 +2121,18 @@ lrlen AS (
            CAST(greatest(COALESCE({{lcp_p}}, 0), COALESCE({{lcp_n}}, 0))
                 AS BIGINT) AS repeat_len
     FROM lrnb
+),
+lrcensus AS (
+    SELECT repeat_len,
+           CAST(COUNT(*) AS BIGINT) AS n_suffixes,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM lrlen GROUP BY repeat_len
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 )
-SELECT repeat_len,
-       CAST(COUNT(*) AS BIGINT) AS n_suffixes,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+SELECT c.repeat_len, c.n_suffixes, c.n_docs,
        h.n_capped_anchors, h.n_capped_suffixes
-FROM lrlen, lrhot h
-GROUP BY repeat_len, h.n_capped_anchors, h.n_capped_suffixes
+FROM lrcensus c, lrhot h
 """
 ).format(
     lcp_p=_lr_lcp_sql("suf", "psuf"),

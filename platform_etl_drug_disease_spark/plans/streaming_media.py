@@ -233,6 +233,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from platform_etl_drug_disease_spark.operators.dedup import (
+        _shingle_table,
+        banded_signatures,
         incremental_minhash_matches,
     )
     from platform_etl_drug_disease_spark.streaming.windows import (
@@ -252,7 +254,15 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
 
+    # corpus snapshot artifacts built ONCE, outside the micro-batch loop —
+    # per-batch cost must track the batch, never the corpus (round-8 review
+    # finding: building these inside foreachBatch re-shingled the corpus and
+    # leaked persisted tables once per micro-batch).
+    corpus_sh = _shingle_table(corpus, "doc_id", "text", 3).persist()
+    corpus_bands = banded_signatures(corpus_sh, "doc_id", 16, 4).persist()
+
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sh = _shingle_table(batch_df, "doc_id", "text", 3).persist()
         matches = incremental_minhash_matches(
             batch_df,
             corpus,
@@ -262,8 +272,12 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_hashes=16,
             n_bands=4,
             threshold=0.5,
+            new_shingles=batch_sh,
+            corpus_shingles=corpus_sh,
+            corpus_bands=corpus_bands,
         )
         write_batch_idempotent(matches, out_dir, batch_id)
+        batch_sh.unpersist()
 
     q = (
         feed.writeStream.foreachBatch(match_batch)
@@ -272,6 +286,8 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    for h in (corpus_bands, corpus_sh):
+        h.unpersist()
     return spark.read.parquet(out_dir).select("new_id", "corpus_id", "jaccard")
 
 
@@ -293,6 +309,9 @@ def streaming_containment_incremental(spark: SparkSession, sf_dir: str) -> DataF
     import tempfile
 
     from platform_etl_drug_disease_spark.operators.dedup import (
+        _hot_shingle_hashes,
+        _shingle_table,
+        containment_corpus_index,
         incremental_containment_matches,
     )
     from platform_etl_drug_disease_spark.streaming.windows import (
@@ -312,7 +331,19 @@ def streaming_containment_incremental(spark: SparkSession, sf_dir: str) -> DataF
     )
     out_dir = tempfile.mkdtemp(prefix="stream_inccont_")
 
+    # the three corpus snapshot artifacts the matcher's docstring names —
+    # shingles, hot-shingle list, bucket-capped slot-row index — built ONCE
+    # outside the micro-batch loop (round-8 review finding: building them
+    # inside foreachBatch re-indexed the corpus and leaked persisted tables
+    # once per micro-batch).
+    corpus_sh = _shingle_table(corpus, "doc_id", "text", 3).persist()
+    corpus_hot = _hot_shingle_hashes(corpus_sh, 256).persist()
+    corpus_index = containment_corpus_index(
+        corpus_sh, "doc_id", n_hashes=16, max_slot_df=32, hot_shingles=corpus_hot
+    ).persist()
+
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sh = _shingle_table(batch_df, "doc_id", "text", 3).persist()
         matches = incremental_containment_matches(
             batch_df,
             corpus,
@@ -323,8 +354,13 @@ def streaming_containment_incremental(spark: SparkSession, sf_dir: str) -> DataF
             n_hashes=16,
             max_shingle_df=256,
             max_slot_df=32,
+            new_shingles=batch_sh,
+            corpus_shingles=corpus_sh,
+            corpus_hot=corpus_hot,
+            corpus_index=corpus_index,
         )
         write_batch_idempotent(matches, out_dir, batch_id)
+        batch_sh.unpersist()
 
     q = (
         feed.writeStream.foreachBatch(match_batch)
@@ -333,6 +369,8 @@ def streaming_containment_incremental(spark: SparkSession, sf_dir: str) -> DataF
         .start()
     )
     q.awaitTermination()
+    for h in (corpus_index, corpus_hot, corpus_sh):
+        h.unpersist()
     return spark.read.parquet(out_dir).select("new_id", "corpus_id", "containment")
 
 
