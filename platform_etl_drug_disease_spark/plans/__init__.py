@@ -26,18 +26,19 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-8 window (current): the 5 pins; the 3 round-8 items
+Round-8 window (current): the 5 pins; the 4 round-8 items
 (`longest_repeat_census` — exact arbitrary-length repeated-substring
-dedup via prefix doubling — and `streaming_containment_incremental`, the
-containment family's streaming serve twin, both new; plus
+dedup via prefix doubling — `top_repeated_spans`, its top-20 maximal
+artifacts listing, and `streaming_containment_incremental`, the
+containment family's streaming serve twin, all new; plus
 `containment_recall_audit`, whose semantics changed this round to the
 HT-sampled truth stage with Wilson CIs, so its r7 green row proves the
 retired form and it re-proves); then ALL 33 queries whose latest strict
 green is round 3 (the oldest cohort, enumerated from the committed
-artifacts), then 9 round-4-era family representatives
+artifacts), then 8 round-4-era family representatives
 (experimentation / bucketed join / csv sink / python datasource /
 windowed funnel / label propagation / personalized pagerank / window
-frames / lateral SQL surface).
+frames).
 
 Pre-staged round-9 rotation: land round-9 additions FIRST
 (add-then-freeze), bump WINDOW_ROUND to 9, keep the 5 pins, fill the
@@ -70,9 +71,9 @@ WINDOW_ROUND = 8
 WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
 
 # The 50 driver-scored queries, in scoring order. Round-8 rotation: 5 pinned
-# gates + the 3 round-8 items (landed BEFORE this freeze per
-# add-then-freeze) + 42 oldest-evidence re-greens (the entire r3-latest
-# cohort of 33, then 9 r4-era family representatives). Every entry carries
+# gates + the 4 round-8 items (landed BEFORE this freeze per
+# add-then-freeze) + 41 oldest-evidence re-greens (the entire r3-latest
+# cohort of 33, then 8 r4-era family representatives). Every entry carries
 # a full value-hash oracle.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
@@ -87,6 +88,7 @@ _DRIVER_WINDOW = [
     # semantics changed to the HT-sampled truth stage (r7 row proves the
     # retired full-truth form)
     "longest_repeat_census",
+    "top_repeated_spans",
     "streaming_containment_incremental",
     "containment_recall_audit",
     # re-greens: every query whose latest strict green driver row is ROUND 3
@@ -125,7 +127,7 @@ _DRIVER_WINDOW = [
     "vocab_zipf_stats",
     # re-greens: r4-era family representatives (experimentation, bucketed
     # co-located join, csv sink, python datasource, windowed funnel, label
-    # propagation, personalized pagerank, window frames, lateral SQL)
+    # propagation, personalized pagerank, window frames)
     "ab_cuped_estimates",
     "bucketed_join_revenue",
     "csv_sink_roundtrip",
@@ -134,7 +136,6 @@ _DRIVER_WINDOW = [
     "label_propagation_communities",
     "personalized_pagerank_topk",
     "rolling_range_revenue",
-    "sql_text_lateral_topk",
 ]
 
 

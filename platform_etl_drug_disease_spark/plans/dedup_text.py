@@ -2079,9 +2079,10 @@ def _lr_lcp_sql(a: str, b: str) -> str:
     )
 
 
-_LONGEST_REPEAT_SQL = (
-    _TOKS_CTE
-    + f"""
+# shared core (through per-suffix exact repeat lengths `lrlen`) of the
+# census and top-spans oracles — appended directly after _TOKS_CTE.
+_LR_CORE_SQL = (
+    f"""
 , lrbase AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {_LR_W}),
 lrocc AS (
     SELECT doc_id, unnest(range(0, n - {_LR_W} + 1)) AS pos, t, n FROM lrbase
@@ -2121,8 +2122,18 @@ lrlen AS (
            CAST(greatest(COALESCE({{lcp_p}}, 0), COALESCE({{lcp_n}}, 0))
                 AS BIGINT) AS repeat_len
     FROM lrnb
-),
-lrcensus AS (
+)
+"""
+).format(
+    lcp_p=_lr_lcp_sql("suf", "psuf"),
+    lcp_n=_lr_lcp_sql("suf", "nsuf"),
+)
+
+_LONGEST_REPEAT_SQL = (
+    _TOKS_CTE
+    + _LR_CORE_SQL
+    + """
+, lrcensus AS (
     SELECT repeat_len,
            CAST(COUNT(*) AS BIGINT) AS n_suffixes,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -2134,13 +2145,105 @@ SELECT c.repeat_len, c.n_suffixes, c.n_docs,
        h.n_capped_anchors, h.n_capped_suffixes
 FROM lrcensus c, lrhot h
 """
-).format(
-    lcp_p=_lr_lcp_sql("suf", "psuf"),
-    lcp_n=_lr_lcp_sql("suf", "nsuf"),
 )
 
 QUERIES["longest_repeat_census"] = longest_repeat_census
 ORACLES["longest_repeat_census"] = _LONGEST_REPEAT_SQL
+
+
+def top_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 longest maximal repeated substrings in the corpus, as
+    artifacts: (span_tokens, n_occurrences, n_docs, span_md5, span_head) —
+    the question a curation run asks right after the census says "there is
+    a 2,000-token repeat": WHAT is it, how often, and across how many
+    docs? span_md5 identifies the exact text without shipping it;
+    span_head (first 8 tokens) is the human handle.
+
+    Built on the same per-suffix exact repeat lengths as
+    ``longest_repeat_census`` (operators/dedup.longest_repeat_lengths).
+    A suffix starts a MAXIMAL span iff the suffix one token earlier does
+    not already carry a repeat that covers it (``r(pos−1) ≥ r(pos)+1`` —
+    the left-maximality rule; without it every interior suffix of a long
+    repeat would list as its own span). Span text is fetched by slicing
+    the token array only for the (duplicate-mass-bounded) start set; the
+    global top-20 cut is (span_tokens DESC, span_md5) — a
+    TakeOrderedAndProject, no corpus-wide single-partition sort, and
+    deterministic because md5 is unique per distinct span text."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    per_suffix, _ = longest_repeat_lengths(
+        docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    starts = (
+        per_suffix.withColumn("__ppos", F.lag("pos").over(w))
+        .withColumn("__pr", F.lag("repeat_len").over(w))
+        .where(
+            F.col("__ppos").isNull()
+            | (F.col("__ppos") != F.col("pos") - 1)
+            | (F.col("__pr") < F.col("repeat_len") + 1)
+        )
+    )
+    toks = docs.select("doc_id", tx.tokens("text").alias("__t"))
+    spans = starts.join(toks, "doc_id").select(
+        "doc_id",
+        "repeat_len",
+        F.array_join(
+            F.slice("__t", F.col("pos") + 1, F.col("repeat_len").cast("int")),
+            " ",
+        ).alias("__span"),
+    )
+    grouped = spans.groupBy("__span", "repeat_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    out = grouped.select(
+        F.col("repeat_len").cast("bigint").alias("span_tokens"),
+        "n_occurrences",
+        "n_docs",
+        F.md5(F.col("__span")).alias("span_md5"),
+        F.array_join(
+            F.slice(F.split(F.col("__span"), " "), 1, _LR_W), " "
+        ).alias("span_head"),
+    )
+    return out.orderBy(F.col("span_tokens").desc(), "span_md5").limit(20)
+
+
+_TOP_SPANS_SQL = (
+    _TOKS_CTE
+    + _LR_CORE_SQL
+    + f"""
+, lrstarts AS (
+    SELECT doc_id, pos, repeat_len FROM (
+        SELECT doc_id, pos, repeat_len,
+               lag(pos) OVER sw AS ppos,
+               lag(repeat_len) OVER sw AS pr
+        FROM lrlen WINDOW sw AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE ppos IS NULL OR ppos != pos - 1 OR pr < repeat_len + 1
+),
+lrspans AS (
+    SELECT s.doc_id, s.repeat_len,
+           list_aggregate(t.t[s.pos + 1 : s.pos + CAST(s.repeat_len AS INT)],
+                          'string_agg', ' ') AS span
+    FROM lrstarts s JOIN toks t USING (doc_id)
+),
+lrgrp AS (
+    SELECT span, repeat_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM lrspans GROUP BY span, repeat_len
+)
+SELECT CAST(repeat_len AS BIGINT) AS span_tokens, n_occurrences, n_docs,
+       md5(span) AS span_md5,
+       list_aggregate(string_split(span, ' ')[1:{_LR_W}], 'string_agg', ' ')
+           AS span_head
+FROM lrgrp
+ORDER BY span_tokens DESC, span_md5
+LIMIT 20
+"""
+)
+
+QUERIES["top_repeated_spans"] = top_repeated_spans
+ORACLES["top_repeated_spans"] = _TOP_SPANS_SQL
 
 
 # ---------------------------------------------------------------------------

@@ -1585,3 +1585,48 @@ def test_longest_repeat_identical_suffix_twins_and_cap(spark):
     cap_row = capped.collect()[0]
     assert cap_row["n_capped_anchors"] == 1
     assert cap_row["n_capped_suffixes"] == 5
+
+
+def test_top_repeated_spans_planted(spark, tmp_path):
+    """top_repeated_spans surfaces the planted passages as ARTIFACTS — one
+    maximal span per passage (left-maximality collapses the interior
+    suffixes that the census intentionally counts), with exact occurrence
+    and doc counts and the first-8-token handle."""
+    import hashlib
+
+    from platform_etl_drug_disease_spark.plans.dedup_text import (
+        top_repeated_spans,
+    )
+
+    passage23 = " ".join(f"p{i}" for i in range(23))
+    passage12 = " ".join(f"q{i}" for i in range(12))
+    passage9 = " ".join(f"s{i}" for i in range(9))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(10)) + " " + passage23 + " "
+         + " ".join(f"b{i}" for i in range(10))),
+        (2, " ".join(f"c{i}" for i in range(5)) + " " + passage23 + " "
+         + " ".join(f"d{i}" for i in range(7))),
+        (3, passage12 + " " + " ".join(f"e{i}" for i in range(9))),
+        (4, " ".join(f"f{i}" for i in range(11)) + " " + passage12),
+        (5, " ".join(f"g{i}" for i in range(6)) + " " + passage12 + " "
+         + " ".join(f"h{i}" for i in range(6))),
+        (6, passage9 + " " + " ".join(f"k{i}" for i in range(12))),
+        (7, " ".join(f"m{i}" for i in range(9)) + " " + passage9),
+        (8, " ".join(f"z{i}" for i in range(30))),
+    ]
+    spark.createDataFrame(docs, "doc_id: long, text: string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = top_repeated_spans(spark, str(tmp_path)).collect()
+    got = [
+        (r["span_tokens"], r["n_occurrences"], r["n_docs"], r["span_md5"],
+         r["span_head"])
+        for r in rows
+    ]
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    head8 = lambda s: " ".join(s.split()[:8])  # noqa: E731
+    assert got == [
+        (23, 2, 2, h(passage23), head8(passage23)),
+        (12, 3, 3, h(passage12), head8(passage12)),
+        (9, 2, 2, h(passage9), head8(passage9)),
+    ]
