@@ -1594,11 +1594,21 @@ def longest_repeat_lengths(
                 ),
             )
         )
-        cnt2 = st.groupBy("__key2").agg(F.count(F.lit(1)).alias("__c2"))
+        # extended-key group size via a window PARTITIONED BY (__key,
+        # __key2), not a groupBy+join: every __key2 group is a subset of
+        # its __key group, so hash-partitioning on __key alone satisfies
+        # BOTH this window's clustering and the sort window below —
+        # Catalyst plans ONE exchange per round (plus two in-partition
+        # sorts) where groupBy+join cost two extra shuffles of the full
+        # live set. (Keying the count by the pair also stops a cross-group
+        # 64-bit __key2 collision from merging counts across anchors.)
         ws = Window.partitionBy("__key").orderBy(
             "__rest_str", F.col(id_col), "pos"
         )
-        st = st.join(cnt2, "__key2").withColumn(
+        st = st.withColumn(
+            "__c2",
+            F.count(F.lit(1)).over(Window.partitionBy("__key", "__key2")),
+        ).withColumn(
             "__r",
             F.lit(depth)
             + F.greatest(

@@ -2184,26 +2184,34 @@ def top_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = docs.select("doc_id", tx.tokens("text").alias("__t"))
+    # span text is reduced to (md5, head-8) BEFORE the group shuffle: the
+    # group key is the 32-char digest, never the span text itself — a
+    # 100-TB repeat can be megabytes, and md5-grouping is value-identical
+    # to text-grouping (the repo-wide birthday-bounded hash convention; the
+    # oracle groups the raw text). span_head is span-determined, so min()
+    # is a deterministic carry.
+    span = F.array_join(
+        F.slice("__t", F.col("pos") + 1, F.col("repeat_len").cast("int")), " "
+    )
     spans = starts.join(toks, "doc_id").select(
         "doc_id",
         "repeat_len",
+        F.md5(span).alias("span_md5"),
         F.array_join(
-            F.slice("__t", F.col("pos") + 1, F.col("repeat_len").cast("int")),
-            " ",
-        ).alias("__span"),
+            F.slice("__t", F.col("pos") + 1, _LR_W), " "
+        ).alias("span_head"),
     )
-    grouped = spans.groupBy("__span", "repeat_len").agg(
+    grouped = spans.groupBy("span_md5", "repeat_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.min("span_head").alias("span_head"),
     )
     out = grouped.select(
         F.col("repeat_len").cast("bigint").alias("span_tokens"),
         "n_occurrences",
         "n_docs",
-        F.md5(F.col("__span")).alias("span_md5"),
-        F.array_join(
-            F.slice(F.split(F.col("__span"), " "), 1, _LR_W), " "
-        ).alias("span_head"),
+        "span_md5",
+        "span_head",
     )
     return out.orderBy(F.col("span_tokens").desc(), "span_md5").limit(20)
 
