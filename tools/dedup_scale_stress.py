@@ -21,7 +21,12 @@ with scale while the all-pairs count grows quadratically — and measures:
 6. quoted_spans' positional-trigram diagonal fan-out over the shipped
    lang-blocked containment top-3 pair set (`_quoted_diagonal_hits` —
    `quoted_span_stats`' largest intermediate);
-7. wall of the two headline dedup queries run EXACTLY as catalogued
+7. the suffix-ranking family at the shipped census config (W=8, cap 512):
+   qualifying-suffix count, Σ repeat_len (the doubling loop's
+   shipped-bytes proxy), and capped-suffix disclosure — linearity judged
+   on the last scale step because the planted boilerplate anchor crosses
+   the 512 cap between 1× and 10× (see the inline note);
+8. wall of the two headline dedup queries run EXACTLY as catalogued
    (`dedup_minhash_lsh`, `dedup_ngram_jaccard_topk` over a parquet
    documents table), best-of-2 with the cache cleared before EVERY run
    (cold walls — internally persisted tables never carry into run 2).
@@ -147,6 +152,7 @@ def main() -> None:
         _shingle_table,
         containment_minhash_candidates,
         containment_topk,
+        longest_repeat_lengths,
         minhash_lsh_candidates,
     )
     from platform_etl_drug_disease_spark.plans.dedup_text import (
@@ -209,6 +215,23 @@ def main() -> None:
         )
         diag_c = _quoted_diagonal_hits(docs, pairs, "doc_id", "text", 3).count()
         sh.unpersist()
+        # suffix-ranking (longest_repeat) family at the SHIPPED census
+        # config (W=8, anchor cap 512): qualifying-suffix count and
+        # Σ repeat_len (the doubling loop's shipped-bytes proxy — a suffix
+        # ships ~2·repeat_len tokens over its lifetime). NOTE the planted
+        # boilerplate's anchor df is 0.3·N = 300·s: UNDER the 512 cap at
+        # scale 1 (its suffixes count), OVER it at 10×/100× (capped +
+        # disclosed) — the 10×→100× ratio is the clean linearity signal,
+        # and the capped columns show the cap absorbing the boilerplate
+        # exactly as designed.
+        per_suffix, capped = longest_repeat_lengths(
+            docs, "doc_id", "text", w=8, max_anchor_df=512
+        )
+        rrow = per_suffix.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("repeat_len"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        crow = capped.collect()[0]
 
         w_minhash = _wall(
             spark, lambda: q_minhash(spark, sf_dir).foreach(lambda r: None)
@@ -225,6 +248,9 @@ def main() -> None:
             "containment_mh_candidates": cont_c,
             "containment_prefix_candidates": cpref_c,
             "quoted_diag_hits": diag_c,
+            "repeat_suffixes": int(rrow["n"]),
+            "repeat_len_sum": int(rrow["s"]),
+            "repeat_capped_suffixes": int(crow["n_capped_suffixes"]),
             "minhash_lsh_wall_sec": round(w_minhash, 2),
             "jaccard_topk_wall_sec": round(w_topk, 2),
         }
@@ -257,6 +283,24 @@ def main() -> None:
         "quoted_diag_ratio": round(
             top_r["quoted_diag_hits"] / max(base_r["quoted_diag_hits"], 1), 1
         ),
+        # suffix family linearity is judged on the LAST scale step (10→100
+        # by default): at scale 1 the boilerplate anchor (df 300) is under
+        # the 512 cap and its suffixes count, from 10× it is capped +
+        # disclosed — so the base→top ratio mixes regimes by construction.
+        "repeat_sfx_step_ratio": round(
+            results[-1]["repeat_suffixes"]
+            / max(results[-2]["repeat_suffixes"], 1),
+            1,
+        )
+        if len(results) >= 2
+        else None,
+        "repeat_len_sum_step_ratio": round(
+            results[-1]["repeat_len_sum"]
+            / max(results[-2]["repeat_len_sum"], 1),
+            1,
+        )
+        if len(results) >= 2
+        else None,
         "minhash_wall_ratio": round(
             top_r["minhash_lsh_wall_sec"] / base_r["minhash_lsh_wall_sec"], 2
         ),
@@ -276,6 +320,10 @@ def main() -> None:
         summary[f"{k}_tracks_dup_mass"] = bool(
             summary[k] <= 2.0 * summary["dup_mass_ratio"]
         )
+    if summary["repeat_sfx_step_ratio"] is not None:
+        step = results[-1]["scale"] / results[-2]["scale"]
+        for k in ("repeat_sfx_step_ratio", "repeat_len_sum_step_ratio"):
+            summary[f"{k}_tracks_dup_mass"] = bool(summary[k] <= 2.0 * step)
     print(json.dumps(summary), flush=True)
     spark.stop()
 
