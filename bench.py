@@ -101,6 +101,13 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
+    if subset_run and "SPARK_GRAFT_BENCH_OUT" not in os.environ:
+        # a subset probe must NEVER clobber the committed full-headline
+        # detail artifact (round-8 review finding: a 1-query solo probe
+        # overwrote the 219-query sf0.1 detail right before a commit).
+        detail_path = detail_path.replace(
+            "BENCH_DETAIL.json", "BENCH_DETAIL_SUBSET.json"
+        )
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
         best = float("inf")

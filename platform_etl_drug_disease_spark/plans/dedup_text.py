@@ -2164,13 +2164,24 @@ def top_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     A suffix starts a MAXIMAL span iff the suffix one token earlier does
     not already carry a repeat that covers it (``r(pos−1) ≥ r(pos)+1`` —
     the left-maximality rule; without it every interior suffix of a long
-    repeat would list as its own span). Span text is fetched by slicing
-    the token array only for the (duplicate-mass-bounded) start set; the
-    global top-20 cut is (span_tokens DESC, span_md5) — a
-    TakeOrderedAndProject, no corpus-wide single-partition sort, and
-    deterministic because md5 is unique per distinct span text."""
+    repeat would list as its own span). PRECISE COUNT SEMANTICS:
+    ``n_occurrences``/``n_docs`` count LEFT-MAXIMAL starts of the span —
+    an occurrence embedded one token inside a longer repeat (span S
+    preceded by the same token x at two of its three sites, making "x S"
+    itself a repeat) is attributed to the LONGER span's row ("x S": 2)
+    and not double-counted under S (S: 1); the rows partition the
+    repeated-start mass rather than overlapping (round-8 review
+    clarification). ``n_capped_anchors``/``n_capped_suffixes`` carry the
+    operator's boilerplate-cap disclosure on every row — a span whose
+    start suffix sits in a > cap anchor group is absent from the listing,
+    and these columns are the signal saying so (no silent caps; the same
+    convention as the census). Span text is fetched by slicing the token
+    array only for the (duplicate-mass-bounded) start set; the global
+    top-20 cut is (span_tokens DESC, span_md5) — a TakeOrderedAndProject,
+    no corpus-wide single-partition sort, and deterministic because md5
+    is unique per distinct span text."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    per_suffix, _ = longest_repeat_lengths(
+    per_suffix, capped = longest_repeat_lengths(
         docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -2213,7 +2224,22 @@ def top_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_md5",
         "span_head",
     )
-    return out.orderBy(F.col("span_tokens").desc(), "span_md5").limit(20)
+    # constant sentinel row (span_tokens = 0) exactly as in the census: on
+    # an ALL-capped corpus the top-20 proper is empty and a bare cross join
+    # would return zero rows, eating the n_capped_* disclosure.
+    sentinel = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("span_tokens"),
+        F.lit(0).cast("bigint").alias("n_occurrences"),
+        F.lit(0).cast("bigint").alias("n_docs"),
+        F.lit("").alias("span_md5"),
+        F.lit("").alias("span_head"),
+    )
+    return (
+        out.orderBy(F.col("span_tokens").desc(), "span_md5")
+        .limit(20)
+        .unionByName(sentinel)
+        .crossJoin(F.broadcast(capped))
+    )
 
 
 _TOP_SPANS_SQL = (
@@ -2239,14 +2265,24 @@ lrgrp AS (
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
     FROM lrspans GROUP BY span, repeat_len
+),
+lrtop AS (
+    SELECT CAST(repeat_len AS BIGINT) AS span_tokens, n_occurrences, n_docs,
+           md5(span) AS span_md5,
+           list_aggregate(string_split(span, ' ')[1:{_LR_W}], 'string_agg', ' ')
+               AS span_head
+    FROM lrgrp
+    ORDER BY span_tokens DESC, span_md5
+    LIMIT 20
+),
+lrout AS (
+    SELECT * FROM lrtop
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), '', ''
 )
-SELECT CAST(repeat_len AS BIGINT) AS span_tokens, n_occurrences, n_docs,
-       md5(span) AS span_md5,
-       list_aggregate(string_split(span, ' ')[1:{_LR_W}], 'string_agg', ' ')
-           AS span_head
-FROM lrgrp
-ORDER BY span_tokens DESC, span_md5
-LIMIT 20
+SELECT o.span_tokens, o.n_occurrences, o.n_docs, o.span_md5, o.span_head,
+       h.n_capped_anchors, h.n_capped_suffixes
+FROM lrout o, lrhot h
 """
 )
 

@@ -1629,4 +1629,12 @@ def test_top_repeated_spans_planted(spark, tmp_path):
         (23, 2, 2, h(passage23), head8(passage23)),
         (12, 3, 3, h(passage12), head8(passage12)),
         (9, 2, 2, h(passage9), head8(passage9)),
+        (0, 0, 0, "", ""),  # the always-present cap-disclosure sentinel
     ]
+    # nothing in this fixture is boilerplate-capped; the disclosure columns
+    # ride every row (including the sentinel that carries them when the
+    # listing proper is empty).
+    assert all(
+        r["n_capped_anchors"] == 0 and r["n_capped_suffixes"] == 0
+        for r in rows
+    )

@@ -224,8 +224,16 @@ def main() -> None:
         # disclosed) — the 10×→100× ratio is the clean linearity signal,
         # and the capped columns show the cap absorbing the boilerplate
         # exactly as designed.
+        # config IMPORTED from the shipped census, never hardcoded — a
+        # retune of _LR_W/_LR_CAP must keep this measurement honest
+        # (the round-7 config-fidelity finding, again).
+        from platform_etl_drug_disease_spark.plans.dedup_text import (
+            _LR_CAP,
+            _LR_W,
+        )
+
         per_suffix, capped = longest_repeat_lengths(
-            docs, "doc_id", "text", w=8, max_anchor_df=512
+            docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
         )
         rrow = per_suffix.agg(
             F.count(F.lit(1)).alias("n"),
