@@ -1579,11 +1579,20 @@ def longest_repeat_lengths(
             # needs string order to refine token-prefix order, i.e. the
             # separator must sort below any in-token byte. Tokens are
             # \s+-split so they cannot contain whitespace, but C0 control
-            # chars (\x01-\x08, \x0e-\x1f) survive tokenization and sort
-            # BELOW ' ' — under a space join a token like "x\x01q" would
+            # chars (\x02-\x08, \x0e-\x1f) survive tokenization and sort
+            # BELOW ' ' — under a space join a token like "x\x02q" would
             # misorder against "x b" and shave the adjacent-max LCP
-            # (round-8 review finding). \x00-containing tokens remain the
-            # one theoretical breaker; both engines share the convention.
+            # (round-8 review finding). Tokens containing \x00 OR \x01
+            # itself remain the theoretical breakers (ADVICE r8): a \x01
+            # inside a token makes the joined key ambiguous ("x\x01q"
+            # joins identically to the pair "x","q"), so such a tie can
+            # displace the true max-LCP neighbour exactly like \x00 can
+            # defeat the below-every-byte ordering claim. Both engines
+            # share the convention verbatim, so oracle parity holds
+            # regardless; the EXACT-semantics claim assumes tokens are
+            # \x00/\x01-free (true of any whitespace-tokenized text
+            # corpus; binary-bearing columns belong to the multimodal
+            # family, not this one).
             .withColumn("__rest_str", F.array_join("__rest", "\x01"))
             .withColumn(
                 "__key2",
@@ -1623,17 +1632,22 @@ def longest_repeat_lengths(
             ).cast("bigint"),
         )
         live_cond = (F.col("__c2") > 1) & (F.col("__rem") > 2 * depth)
+        # ONE eager materialization per round (ADVICE r8): checkpointing the
+        # resolved part and the alive part separately made each recompute
+        # the token-slice join and both window sorts — the round's entire
+        # cost, paid twice. Checkpoint the round frame ONCE (pruned to the
+        # five columns both splits need — __rest/__rest_str, the per-round
+        # payload, are dropped before materialization) and derive the
+        # splits as lazy filters over the checkpointed blocks.
+        stc = st.select(
+            F.col(id_col), "pos", "__rem", "__c2", "__key2", "__r"
+        ).localCheckpoint()
         resolved.append(
-            st.where(~live_cond)
+            stc.where(~live_cond)
             .select(F.col(id_col), "pos", F.col("__r").alias("repeat_len"))
-            .localCheckpoint()
         )
-        alive = (
-            st.where(live_cond)
-            .select(
-                F.col(id_col), "pos", "__rem", F.col("__key2").alias("__key")
-            )
-            .localCheckpoint()
+        alive = stc.where(live_cond).select(
+            F.col(id_col), "pos", "__rem", F.col("__key2").alias("__key")
         )
         depth *= 2
         if alive.isEmpty():
@@ -1650,9 +1664,10 @@ def longest_repeat_lengths(
                 f"longest_repeat_lengths: {n_left} suffixes still live after "
                 f"max_rounds={max_rounds} (depth {depth}); raise max_rounds"
             )
-    # every consumer (per-round states, resolved parts, the disclosure row)
-    # is an EAGER localCheckpoint, so the token table has no remaining lazy
-    # readers — release its cache blocks before handing back the result.
+    # every consumer (the per-round frames and the disclosure row) is an
+    # EAGER localCheckpoint — the resolved/alive splits are filters OVER
+    # those checkpoints — so the token table has no remaining lazy
+    # readers; release its cache blocks before handing back the result.
     base.unpersist()
     out = resolved[0]
     for part in resolved[1:]:

@@ -2016,6 +2016,50 @@ ORACLES["substring_dedup_stats"] = _SUBSTR_SQL
 _LR_W = 8
 _LR_CAP = 512
 
+# Session-scoped memo for the suffix-ranking corpus artifact (VERDICT r8
+# item 1): `longest_repeat_census`, `top_repeated_spans`, and
+# `repeat_mass_by_source` all consume the SAME per-suffix exact repeat
+# lengths, and the prefix-doubling loop that computes them is the family's
+# single heaviest stage (~25 s at sf≈1). A real curation run asks all three
+# questions of one corpus snapshot, so the loop runs ONCE per
+# (session, corpus, knobs) and later queries reuse its eagerly-checkpointed
+# per-round frames — the `containment_corpus_index` build-once idiom, memoized
+# here because the catalog entry point is (spark, sf_dir) rather than a
+# caller-held frame. The cache holds ONE snapshot (cleared on corpus change,
+# so stale checkpoint blocks are released to the ContextCleaner) and is keyed
+# by applicationId so a frame never leaks across Spark sessions.
+# tests/test_dedup_text.py::test_suffix_artifact_reuse pins hook == standalone.
+_SUFFIX_ARTIFACT_CACHE: dict[
+    tuple[str, str, int, int], tuple[DataFrame, DataFrame]
+] = {}
+
+
+def _suffix_ranking(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Memoized ``(per_suffix, capped)`` from
+    operators/dedup.longest_repeat_lengths over the snapshot's ``documents``
+    table — see the cache comment above. Reuse is value-identical to a fresh
+    standalone run: the returned frames are filters over eager
+    ``localCheckpoint`` blocks, so a second consumer re-reads cached blocks
+    instead of re-running the doubling loop."""
+    import os
+
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        _LR_W,
+        _LR_CAP,
+    )
+    hit = _SUFFIX_ARTIFACT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    per_suffix, capped = longest_repeat_lengths(
+        docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
+    )
+    _SUFFIX_ARTIFACT_CACHE.clear()
+    _SUFFIX_ARTIFACT_CACHE[key] = (per_suffix, capped)
+    return per_suffix, capped
+
 
 def longest_repeat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT arbitrary-length repeated-substring census (VERDICT r7 item 3):
@@ -2040,11 +2084,11 @@ def longest_repeat_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     the disclosure survives even an ALL-capped corpus, where the census
     proper is empty and a bare cross join would return zero rows —
     silently eating the one signal that says why (round-8 review
-    finding)."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    per_suffix, capped = longest_repeat_lengths(
-        docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
-    )
+    finding). The per-suffix frame comes from the session-memoized
+    ``_suffix_ranking`` artifact shared with ``top_repeated_spans`` and
+    ``repeat_mass_by_source`` (VERDICT r8 item 1) — the doubling loop runs
+    once per corpus snapshot, whichever of the three runs first."""
+    per_suffix, capped = _suffix_ranking(spark, sf_dir)
     census = per_suffix.groupBy("repeat_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_suffixes"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
@@ -2105,7 +2149,11 @@ lrhot AS (
 lrq AS (
     -- sort-key separator chr(1), not ' ': string order must refine token-
     -- prefix order, and C0 control chars inside tokens sort below ' '
-    -- (mirrors the Spark operator's \x01 convention).
+    -- (mirrors the Spark operator's \x01 convention — including its
+    -- disclosed limits: tokens containing chr(0) OR chr(1) itself make
+    -- the joined key ambiguous, so the EXACT claim assumes tokens are
+    -- free of both; both engines share the convention, so parity holds
+    -- regardless).
     SELECT a.doc_id, a.pos, a.anchor, a.suf,
            list_aggregate(a.suf, 'string_agg', chr(1)) AS suf_str
     FROM lranch a JOIN lrcnt USING (anchor)
@@ -2179,11 +2227,13 @@ def top_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     array only for the (duplicate-mass-bounded) start set; the global
     top-20 cut is (span_tokens DESC, span_md5) — a TakeOrderedAndProject,
     no corpus-wide single-partition sort, and deterministic because md5
-    is unique per distinct span text."""
+    is unique per distinct span text. The per-suffix frame comes from the
+    session-memoized ``_suffix_ranking`` artifact shared with the census
+    (VERDICT r8 item 1): after the census has run, this query costs only
+    the left-maximal start scan + span fetch, not a second ~25 s doubling
+    loop."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    per_suffix, capped = longest_repeat_lengths(
-        docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
-    )
+    per_suffix, capped = _suffix_ranking(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy("pos")
     starts = (
         per_suffix.withColumn("__ppos", F.lag("pos").over(w))
@@ -2288,6 +2338,104 @@ FROM lrout o, lrhot h
 
 QUERIES["top_repeated_spans"] = top_repeated_spans
 ORACLES["top_repeated_spans"] = _TOP_SPANS_SQL
+
+
+def repeat_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact repeated-substring mass — the attribution question a
+    curation run asks right after the census: WHICH ingest source carries
+    the duplicated tokens? One row per ``documents.source``: total docs,
+    docs carrying at least one ≥ ``_LR_W``-token exact repeat, qualifying
+    suffix count, Σ repeat_len (the duplicated-token-mass proxy the suffix
+    family's scaling contract is stated in), and the longest repeat seen.
+    Third consumer of the session-memoized ``_suffix_ranking`` artifact
+    (VERDICT r8 item 1) — after the census has run this costs one per-doc
+    aggregate + one doc-keyed join, not a doubling loop.
+
+    Scale shape: the per-suffix frame is pre-aggregated to AT MOST one row
+    per document BEFORE meeting the corpus-sized ``documents`` side, so the
+    join ships dup-doc-bounded rows; the final groupBy is on the
+    low-cardinality ``source`` with map-side partial aggregation. The usual
+    family conventions: ``n_capped_*`` disclosure on every row, and a
+    constant ``source = ''`` sentinel so the disclosure survives even an
+    empty-corpus edge where the per-source rows vanish."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source"])
+    per_suffix, capped = _suffix_ranking(spark, sf_dir)
+    per_doc = per_suffix.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_suf"),
+        F.sum("repeat_len").cast("bigint").alias("__mass"),
+        F.max("repeat_len").cast("bigint").alias("__maxlen"),
+    )
+    agg = (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("__n_suf").cast("bigint").alias("n_docs_with_repeat"),
+            F.coalesce(F.sum("__n_suf"), F.lit(0)).cast("bigint").alias(
+                "n_repeat_suffixes"
+            ),
+            F.coalesce(F.sum("__mass"), F.lit(0)).cast("bigint").alias(
+                "repeat_token_mass"
+            ),
+            F.coalesce(F.max("__maxlen"), F.lit(0)).cast("bigint").alias(
+                "max_repeat_len"
+            ),
+        )
+    )
+    sentinel = spark.range(1).select(
+        F.lit("").alias("source"),
+        F.lit(0).cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_docs_with_repeat"),
+        F.lit(0).cast("bigint").alias("n_repeat_suffixes"),
+        F.lit(0).cast("bigint").alias("repeat_token_mass"),
+        F.lit(0).cast("bigint").alias("max_repeat_len"),
+    )
+    return agg.unionByName(sentinel).crossJoin(F.broadcast(capped)).select(
+        "source",
+        "n_docs",
+        "n_docs_with_repeat",
+        "n_repeat_suffixes",
+        "repeat_token_mass",
+        "max_repeat_len",
+        "n_capped_anchors",
+        "n_capped_suffixes",
+    )
+
+
+_REPEAT_MASS_SQL = (
+    _TOKS_CTE
+    + _LR_CORE_SQL
+    + """
+, lrperdoc AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_suf,
+           CAST(SUM(repeat_len) AS BIGINT) AS mass,
+           CAST(MAX(repeat_len) AS BIGINT) AS maxlen
+    FROM lrlen GROUP BY doc_id
+),
+lrsrc AS (
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.n_suf IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_repeat,
+           CAST(COALESCE(SUM(p.n_suf), 0) AS BIGINT) AS n_repeat_suffixes,
+           CAST(COALESCE(SUM(p.mass), 0) AS BIGINT) AS repeat_token_mass,
+           CAST(COALESCE(MAX(p.maxlen), 0) AS BIGINT) AS max_repeat_len
+    FROM documents d LEFT JOIN lrperdoc p USING (doc_id)
+    GROUP BY d.source
+    UNION ALL
+    SELECT '', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+)
+SELECT s.source, s.n_docs, s.n_docs_with_repeat, s.n_repeat_suffixes,
+       s.repeat_token_mass, s.max_repeat_len,
+       h.n_capped_anchors, h.n_capped_suffixes
+FROM lrsrc s, lrhot h
+"""
+)
+
+QUERIES["repeat_mass_by_source"] = repeat_mass_by_source
+ORACLES["repeat_mass_by_source"] = _REPEAT_MASS_SQL
 
 
 # ---------------------------------------------------------------------------

@@ -1638,3 +1638,49 @@ def test_top_repeated_spans_planted(spark, tmp_path):
         r["n_capped_anchors"] == 0 and r["n_capped_suffixes"] == 0
         for r in rows
     )
+
+
+def test_suffix_artifact_reuse(spark, tmp_path):
+    """VERDICT r8 item 1: the session-memoized ``_suffix_ranking`` artifact
+    that `longest_repeat_census`, `top_repeated_spans`, and
+    `repeat_mass_by_source` share is (a) value-identical to a fresh
+    standalone ``longest_repeat_lengths`` run over the same corpus — the
+    hook path equals the standalone path — and (b) an actual memo: a second
+    consumer gets the SAME checkpoint-backed frames back instead of
+    re-running the doubling loop."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        longest_repeat_lengths,
+    )
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    passage = " ".join(f"p{i}" for i in range(17))
+    docs = [
+        (1, " ".join(f"a{i}" for i in range(6)) + " " + passage),
+        (2, passage + " " + " ".join(f"b{i}" for i in range(9))),
+        (3, " ".join(f"c{i}" for i in range(4)) + " " + passage + " end"),
+        (4, " ".join(f"z{i}" for i in range(25))),
+    ]
+    spark.createDataFrame(docs, "doc_id: long, text: string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
+    ps1, cap1 = dt._suffix_ranking(spark, str(tmp_path))
+    ps2, cap2 = dt._suffix_ranking(spark, str(tmp_path))
+    # memo hit: the same frames, not a second doubling loop
+    assert ps1 is ps2 and cap1 is cap2
+    assert len(dt._SUFFIX_ARTIFACT_CACHE) == 1
+
+    loaded = load_table(spark, str(tmp_path), "documents", ["doc_id", "text"])
+    fresh_ps, fresh_cap = longest_repeat_lengths(
+        loaded, "doc_id", "text", w=dt._LR_W, max_anchor_df=dt._LR_CAP
+    )
+    key = lambda r: (r["doc_id"], r["pos"], r["repeat_len"])  # noqa: E731
+    assert sorted(map(key, ps1.collect())) == sorted(
+        map(key, fresh_ps.collect())
+    )
+    assert cap1.collect() == fresh_cap.collect()
+    # the hook feeds real repeats here (passage is 17 >= _LR_W tokens)
+    assert ps1.count() > 0
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
