@@ -1468,6 +1468,88 @@ def _word_lcp(a: Column, b: Column) -> Column:
     return F.when(p == 0, F.least(F.size(a), F.size(b))).otherwise(p - 1)
 
 
+def _suffix_round_frame(
+    alive: DataFrame, toks_by_id: DataFrame, id_col: str, depth: int
+) -> DataFrame:
+    """ONE prefix-doubling round of ``longest_repeat_lengths``, as a lazy
+    frame: fetch each live suffix's next ``depth`` tokens from the
+    id-partitioned token table, extend the group key to depth ``2*depth``,
+    and compute the extended-group size (``__c2``) and the
+    adjacent-neighbour repeat length (``__r``) with TWO windows over ONE
+    ``__key`` exchange — the round's whole shuffle budget. Factored out of
+    the loop so tests/test_plan_quality.py can pin this plan shape (VERDICT
+    r8 item 4: the r8 shuffle-hygiene rewrite was worth ~6 s at sf≈1 and is
+    exactly the silent-drift class plan pins exist to catch). Returns the
+    frame pruned to the six columns the resolved/alive splits need —
+    ``__rest``/``__rest_str``, the per-round payload, never reach the
+    checkpoint."""
+    from pyspark.sql import Window
+
+    st = (
+        alive.join(toks_by_id, id_col)
+        .withColumn(
+            "__rest", F.slice("__t", F.col("pos") + depth + 1, depth)
+        )
+        .drop("__t")
+        # sort-key separator \x01, NOT space: the adjacency identity
+        # needs string order to refine token-prefix order, i.e. the
+        # separator must sort below any in-token byte. Tokens are
+        # \s+-split so they cannot contain whitespace, but C0 control
+        # chars (\x02-\x08, \x0e-\x1f) survive tokenization and sort
+        # BELOW ' ' — under a space join a token like "x\x02q" would
+        # misorder against "x b" and shave the adjacent-max LCP
+        # (round-8 review finding). Tokens containing \x00 OR \x01
+        # itself remain the theoretical breakers (ADVICE r8): a \x01
+        # inside a token makes the joined key ambiguous ("x\x01q"
+        # joins identically to the pair "x","q"), so such a tie can
+        # displace the true max-LCP neighbour exactly like \x00 can
+        # defeat the below-every-byte ordering claim. Both engines
+        # share the convention verbatim, so oracle parity holds
+        # regardless; the EXACT-semantics claim assumes tokens are
+        # \x00/\x01-free (true of any whitespace-tokenized text
+        # corpus; binary-bearing columns belong to the multimodal
+        # family, not this one).
+        .withColumn("__rest_str", F.array_join("__rest", "\x01"))
+        .withColumn(
+            "__key2",
+            F.xxhash64(
+                F.concat_ws(
+                    "|", F.col("__key").cast("string"), F.col("__rest_str")
+                )
+            ),
+        )
+    )
+    # extended-key group size via a window PARTITIONED BY (__key,
+    # __key2), not a groupBy+join: every __key2 group is a subset of
+    # its __key group, so hash-partitioning on __key alone satisfies
+    # BOTH this window's clustering and the sort window below —
+    # Catalyst plans ONE exchange per round (plus two in-partition
+    # sorts) where groupBy+join cost two extra shuffles of the full
+    # live set. (Keying the count by the pair also stops a cross-group
+    # 64-bit __key2 collision from merging counts across anchors.)
+    ws = Window.partitionBy("__key").orderBy(
+        "__rest_str", F.col(id_col), "pos"
+    )
+    st = st.withColumn(
+        "__c2",
+        F.count(F.lit(1)).over(Window.partitionBy("__key", "__key2")),
+    ).withColumn(
+        "__r",
+        F.lit(depth)
+        + F.greatest(
+            F.coalesce(
+                _word_lcp(F.col("__rest"), F.lag("__rest").over(ws)),
+                F.lit(0),
+            ),
+            F.coalesce(
+                _word_lcp(F.col("__rest"), F.lead("__rest").over(ws)),
+                F.lit(0),
+            ),
+        ).cast("bigint"),
+    )
+    return st.select(F.col(id_col), "pos", "__rem", "__c2", "__key2", "__r")
+
+
 def longest_repeat_lengths(
     df: DataFrame,
     id_col: str,
@@ -1525,8 +1607,6 @@ def longest_repeat_lengths(
     repeat_len ≥ w) rows, one per qualifying suffix; capped = the 1-row
     disclosure frame. Deterministic; the catalog oracle recomputes the same
     ``repeat_len`` single-node via a true full-suffix sort."""
-    from pyspark.sql import Window
-
     from platform_etl_drug_disease_spark.operators.text import tokens
 
     if max_rounds < 1:
@@ -1569,78 +1649,15 @@ def longest_repeat_lengths(
     depth = w
     resolved: list[DataFrame] = []
     for _ in range(max_rounds):
-        st = (
-            alive.join(toks_by_id, id_col)
-            .withColumn(
-                "__rest", F.slice("__t", F.col("pos") + depth + 1, depth)
-            )
-            .drop("__t")
-            # sort-key separator \x01, NOT space: the adjacency identity
-            # needs string order to refine token-prefix order, i.e. the
-            # separator must sort below any in-token byte. Tokens are
-            # \s+-split so they cannot contain whitespace, but C0 control
-            # chars (\x02-\x08, \x0e-\x1f) survive tokenization and sort
-            # BELOW ' ' — under a space join a token like "x\x02q" would
-            # misorder against "x b" and shave the adjacent-max LCP
-            # (round-8 review finding). Tokens containing \x00 OR \x01
-            # itself remain the theoretical breakers (ADVICE r8): a \x01
-            # inside a token makes the joined key ambiguous ("x\x01q"
-            # joins identically to the pair "x","q"), so such a tie can
-            # displace the true max-LCP neighbour exactly like \x00 can
-            # defeat the below-every-byte ordering claim. Both engines
-            # share the convention verbatim, so oracle parity holds
-            # regardless; the EXACT-semantics claim assumes tokens are
-            # \x00/\x01-free (true of any whitespace-tokenized text
-            # corpus; binary-bearing columns belong to the multimodal
-            # family, not this one).
-            .withColumn("__rest_str", F.array_join("__rest", "\x01"))
-            .withColumn(
-                "__key2",
-                F.xxhash64(
-                    F.concat_ws(
-                        "|", F.col("__key").cast("string"), F.col("__rest_str")
-                    )
-                ),
-            )
-        )
-        # extended-key group size via a window PARTITIONED BY (__key,
-        # __key2), not a groupBy+join: every __key2 group is a subset of
-        # its __key group, so hash-partitioning on __key alone satisfies
-        # BOTH this window's clustering and the sort window below —
-        # Catalyst plans ONE exchange per round (plus two in-partition
-        # sorts) where groupBy+join cost two extra shuffles of the full
-        # live set. (Keying the count by the pair also stops a cross-group
-        # 64-bit __key2 collision from merging counts across anchors.)
-        ws = Window.partitionBy("__key").orderBy(
-            "__rest_str", F.col(id_col), "pos"
-        )
-        st = st.withColumn(
-            "__c2",
-            F.count(F.lit(1)).over(Window.partitionBy("__key", "__key2")),
-        ).withColumn(
-            "__r",
-            F.lit(depth)
-            + F.greatest(
-                F.coalesce(
-                    _word_lcp(F.col("__rest"), F.lag("__rest").over(ws)),
-                    F.lit(0),
-                ),
-                F.coalesce(
-                    _word_lcp(F.col("__rest"), F.lead("__rest").over(ws)),
-                    F.lit(0),
-                ),
-            ).cast("bigint"),
-        )
         live_cond = (F.col("__c2") > 1) & (F.col("__rem") > 2 * depth)
         # ONE eager materialization per round (ADVICE r8): checkpointing the
         # resolved part and the alive part separately made each recompute
         # the token-slice join and both window sorts — the round's entire
-        # cost, paid twice. Checkpoint the round frame ONCE (pruned to the
-        # five columns both splits need — __rest/__rest_str, the per-round
-        # payload, are dropped before materialization) and derive the
-        # splits as lazy filters over the checkpointed blocks.
-        stc = st.select(
-            F.col(id_col), "pos", "__rem", "__c2", "__key2", "__r"
+        # cost, paid twice. Checkpoint the round frame ONCE (pruned by
+        # _suffix_round_frame to the five columns both splits need) and
+        # derive the splits as lazy filters over the checkpointed blocks.
+        stc = _suffix_round_frame(
+            alive, toks_by_id, id_col, depth
         ).localCheckpoint()
         resolved.append(
             stc.where(~live_cond)

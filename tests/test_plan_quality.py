@@ -350,9 +350,133 @@ def test_graph_family_plan_shape_pinned(spark, name, expected):
     FUTURE shape change (a lost broadcast, an extra shuffle) must fail here
     instead of surfacing as an unexplained bench delta. The
     BroadcastNestedLoopJoins are the documented deliberate 1-row/tiny-side
-    broadcasts (damping scalars, probe sets), not quadratic joins."""
+    broadcasts (damping scalars, probe sets), not quadratic joins.
+
+    Pinned as CEILINGS, not exact equality (ADVICE r8): a regression —
+    more exchanges, a broadcast degrading to a sort-merge join, a new
+    cartesian product — still fails, but a Spark/AQE upgrade that plans
+    the same query BETTER (fewer exchanges, a join folded away) passes
+    instead of demanding a test edit."""
     from platform_etl_drug_disease_spark.plans import graph
 
     df = getattr(graph, name)(spark, SF_SMOKE)
     got = _executed_plan_stats(df)
-    assert got == expected, f"{name}: executed-plan shape drifted: {got}"
+    assert got["exchanges"] <= expected["exchanges"], (
+        f"{name}: exchange count regressed: {got}"
+    )
+    for join_type, n in got["joins"].items():
+        assert join_type in expected["joins"], (
+            f"{name}: unexpected join operator {join_type} (a lost "
+            f"broadcast or a new cartesian product): {got}"
+        )
+        assert n <= expected["joins"][join_type], (
+            f"{name}: {join_type} count regressed: {got}"
+        )
+
+
+def test_suffix_round_plan_shape_pinned(spark):
+    """Pin the prefix-doubling round's plan shape (VERDICT r8 item 4): the
+    round-8 shuffle-hygiene rewrite — extended-group size via a window
+    partitioned by (__key, __key2) instead of a groupBy+join — was worth
+    ~6 s at sf≈1 precisely because hash-partitioning on __key alone
+    satisfies BOTH windows, so Catalyst plans ONE exchange per doubling
+    round for the whole live set. Assert exactly that, on one round built
+    from the operator's own inputs: one hashpartitioning(__key) exchange,
+    no hashpartitioning(__key2) (a second window exchange), two Window
+    operators, zero HashAggregates (the groupBy+join resurrection this pin
+    exists to catch), no cartesian/sort-merge fallback, and a bounded
+    total exchange count (ceilings per ADVICE r8)."""
+    import re
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        _suffix_round_frame,
+    )
+    from platform_etl_drug_disease_spark.operators.text import tokens
+
+    passage = " ".join(f"p{i}" for i in range(40))
+    docs = [
+        (1, "x1 x2 x3 " + passage),
+        (2, passage + " y1 y2"),
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    w = 8
+    base = (
+        df.select(F.col("doc_id"), tokens("text").alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .where(F.col("__n") >= w)
+        .repartition(F.col("doc_id"))
+        .persist()
+    )
+    occ = base.select(
+        "doc_id",
+        "__t",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - w)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        (F.col("__n") - F.col("pos")).alias("__rem"),
+        F.xxhash64(
+            F.array_join(F.slice("__t", F.col("pos") + 1, w), " ")
+        ).alias("__key"),
+    )
+    cnt = occ.groupBy("__key").agg(F.count(F.lit(1)).alias("__c"))
+    keep = cnt.where((F.col("__c") >= 2) & (F.col("__c") <= 512)).select(
+        "__key"
+    )
+    alive = occ.join(keep, "__key").localCheckpoint()
+    st = _suffix_round_frame(alive, base.select("doc_id", "__t"), "doc_id", w)
+    st.foreach(lambda r: None)
+    plan = (
+        st._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    base.unpersist()
+    # the single window exchange: both windows ride ONE __key shuffle
+    assert len(re.findall(r"Exchange hashpartitioning\(__key#", plan)) == 1
+    assert not re.findall(r"Exchange hashpartitioning\(__key2#", plan)
+    assert plan.count("Window") == 2
+    assert "HashAggregate" not in plan  # no groupBy+join resurrection
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 4  # windows + token-slice join, bounded
+
+
+def test_top_spans_md5_group_key_pinned(spark, tmp_path):
+    """Pin top_repeated_spans' shuffle hygiene (VERDICT r8 item 4): the
+    span-artifact groupBy must key on the 32-char md5 digest — never the
+    span text itself, which at 100 TB can be megabytes per row — and the
+    global top-20 cut must never plan a corpus-wide single-partition /
+    range-partitioned sort (at real scale Spark plans the sort+limit as a
+    TakeOrderedAndProject; on this tiny fixture AQE proves the aggregate
+    side is already <= 20 rows and elides the limit entirely, so the pin
+    asserts the absence of the bad exchanges rather than the presence of
+    one specific physical operator)."""
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    passage = " ".join(f"p{i}" for i in range(23))
+    docs = [
+        (1, "a1 a2 a3 " + passage),
+        (2, passage + " b1 b2"),
+        (3, " ".join(f"z{i}" for i in range(30))),
+    ]
+    spark.createDataFrame(docs, "doc_id: long, text: string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
+    out = dt.top_repeated_spans(spark, str(tmp_path))
+    out.foreach(lambda r: None)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
+    assert "hashpartitioning(span_md5#" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
