@@ -26,25 +26,24 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-8 window (current): the 5 pins; the 4 round-8 items
-(`longest_repeat_census` — exact arbitrary-length repeated-substring
-dedup via prefix doubling — `top_repeated_spans`, its top-20 maximal
-artifacts listing, and `streaming_containment_incremental`, the
-containment family's streaming serve twin, all new; plus
-`containment_recall_audit`, whose semantics changed this round to the
-HT-sampled truth stage with Wilson CIs, so its r7 green row proves the
-retired form and it re-proves); then ALL 33 queries whose latest strict
-green is round 3 (the oldest cohort, enumerated from the committed
-artifacts), then 8 round-4-era family representatives
-(experimentation / bucketed join / csv sink / python datasource /
-windowed funnel / label propagation / personalized pagerank / window
-frames).
+Round-9 window (current): the 5 pins; the 3 round-9 items
+(`repeat_mass_by_source` — per-source repeated-token-mass attribution,
+the third consumer of the shared suffix-ranking artifact — and
+`streaming_dedup_multibatch` / `streaming_containment_multibatch`, the
+serve twins under a real >= 3-micro-batch feed, all new); then ALL 37
+queries whose latest strict green is round 4 (the oldest cohort after a
+fully-green r8 re-proved the r3 cohort), then the 5 alphabetically-first
+of the r5-latest cohort. Note `longest_repeat_census` and
+`top_repeated_spans` now consume the memoized `_suffix_ranking`
+artifact — value-identical by construction and by
+tests/test_extensions.py::test_suffix_artifact_reuse, so their r8 rows
+remain their driver proof.
 
-Pre-staged round-9 rotation: land round-9 additions FIRST
-(add-then-freeze), bump WINDOW_ROUND to 9, keep the 5 pins, fill the
+Pre-staged round-10 rotation: land round-10 additions FIRST
+(add-then-freeze), bump WINDOW_ROUND to 10, keep the 5 pins, fill the
 remaining slots oldest-driver-evidence-first — after a green
-CORRECTNESS_r08 the oldest cohort is the ~36 remaining r4-latest queries,
-then r5-latest.
+CORRECTNESS_r09 the oldest cohort is the ~36 remaining r5-latest
+queries, then r6-latest.
 """
 
 from __future__ import annotations
@@ -60,7 +59,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # artifacts from rounds STRICTLY BEFORE it — otherwise the rotation test goes
 # red the moment the driver deposits the in-flight round's own artifact
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
-WINDOW_ROUND = 8
+WINDOW_ROUND = 9
 
 # RETIRED round 6 (VERDICT r5 item 2): every window entry now carries a full
 # value-hash oracle. The rows-only sketch/greedy originals
@@ -83,59 +82,58 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # round-8 items, first driver rows: the suffix-ranking census and the
-    # containment streaming serve twin are new; the recall audit's
-    # semantics changed to the HT-sampled truth stage (r7 row proves the
-    # retired full-truth form)
-    "longest_repeat_census",
-    "top_repeated_spans",
-    "streaming_containment_incremental",
-    "containment_recall_audit",
-    # re-greens: every query whose latest strict green driver row is ROUND 3
-    "calibration_stats",
-    "centroid_classifier_eval",
-    "corpus_datacard",
-    "dataset_fingerprints",
-    "embedding_decontaminate",
-    "embedding_drift_stats",
-    "embedding_separability",
-    "event_transition_matrix",
-    "exact_auc_stats",
-    "hard_negative_mining",
-    "incremental_backfill_stats",
-    "knn_eval_metrics",
-    "lang_id_confusion",
-    "lang_mix_divergence",
-    "multimodal_frame_sample",
-    "neyman_allocation",
-    "orders_asof_dimension",
-    "phrase_search_stats",
-    "pmi_collocations",
-    "quality_bigram_lm_score",
-    "quality_psi_stats",
-    "quality_winsor_stats",
-    "snapshot_diff_stats",
-    "source_overlap_jaccard",
-    "streaming_click_purchase_join",
-    "streaming_funnel_conversion",
-    "streaming_incremental_dedup",
-    "streaming_value_anomaly",
-    "supplier_clustering",
-    "supplier_kcore",
-    "supplier_triangles",
-    "variant_props_stats",
-    "vocab_zipf_stats",
-    # re-greens: r4-era family representatives (experimentation, bucketed
-    # co-located join, csv sink, python datasource, windowed funnel, label
-    # propagation, personalized pagerank, window frames)
-    "ab_cuped_estimates",
-    "bucketed_join_revenue",
-    "csv_sink_roundtrip",
-    "python_datasource_stats",
-    "funnel_conversion_windowed",
-    "label_propagation_communities",
-    "personalized_pagerank_topk",
-    "rolling_range_revenue",
+    # round-9 items, first driver rows (add-then-freeze): per-source
+    # repeated-mass attribution over the shared suffix artifact, and the
+    # two multi-micro-batch streaming serve twins
+    "repeat_mass_by_source",
+    "streaming_dedup_multibatch",
+    "streaming_containment_multibatch",
+    # re-greens: every query whose latest strict green driver row is
+    # ROUND 4 (the oldest remaining cohort after a green r8 — the r3
+    # cohort was fully re-proven in round 8), all 37
+    "ab_conversion_lift",
+    "bloom_prune_revenue",
+    "click_attribution_stats",
+    "cumulative_users_by_day",
+    "event_props_map_stats",
+    "explode_reassemble",
+    "funnel_conversion",
+    "funnel_latency_stats",
+    "growth_accounting",
+    "hourly_autocorr",
+    "hourly_gap_audit",
+    "interval_dim_revenue",
+    "large_volume_customers",
+    "monthly_revenue_momentum",
+    "next_event_examples",
+    "order_cohort_retention",
+    "partitioned_prune_revenue",
+    "price_quantity_regression",
+    "python_sink_roundtrip",
+    "quality_feature_matrix",
+    "regional_revenue_share",
+    "revenue_gini_per_nation",
+    "seasonal_hour_profile",
+    "segments_per_nation",
+    "ship_leadtime_histogram",
+    "shipping_priority_topk",
+    "sql_text_correlated_outliers",
+    "sql_text_lateral_topk",
+    "time_weighted_value",
+    "top_prices_per_flag",
+    "top_session_paths",
+    "type_dow_chi2",
+    "value_anomaly_stats",
+    "value_drift_stats",
+    "value_ks_by_type",
+    "value_moments_stats",
+    "volume_shipping_matrix",
+    # re-greens: the 5 alphabetically-first of the r5-latest cohort
+    "boilerplate_span_stats",
+    "bootstrap_revenue_ci",
+    "clean_corpus_stats",
+    "corpus_epoch_stats",
+    "corpus_sample_stats",
 ]
 
 

@@ -2025,9 +2025,11 @@ _LR_CAP = 512
 # (session, corpus, knobs) and later queries reuse its eagerly-checkpointed
 # per-round frames — the `containment_corpus_index` build-once idiom, memoized
 # here because the catalog entry point is (spark, sf_dir) rather than a
-# caller-held frame. The cache holds ONE snapshot (cleared on corpus change,
-# so stale checkpoint blocks are released to the ContextCleaner) and is keyed
-# by applicationId so a frame never leaks across Spark sessions.
+# caller-held frame. The cache holds at most TWO snapshots — enough for the
+# tools that interleave two scale dirs per session (plan_report audits each
+# query at sf0.01 then sf0.1) — evicting oldest-first so stale checkpoint
+# blocks are released to the ContextCleaner; keys carry the applicationId so
+# a frame never leaks across Spark sessions.
 # tests/test_dedup_text.py::test_suffix_artifact_reuse pins hook == standalone.
 _SUFFIX_ARTIFACT_CACHE: dict[
     tuple[str, str, int, int], tuple[DataFrame, DataFrame]
@@ -2056,7 +2058,8 @@ def _suffix_ranking(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     per_suffix, capped = longest_repeat_lengths(
         docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
     )
-    _SUFFIX_ARTIFACT_CACHE.clear()
+    while len(_SUFFIX_ARTIFACT_CACHE) >= 2:  # evict oldest snapshot
+        _SUFFIX_ARTIFACT_CACHE.pop(next(iter(_SUFFIX_ARTIFACT_CACHE)))
     _SUFFIX_ARTIFACT_CACHE[key] = (per_suffix, capped)
     return per_suffix, capped
 
