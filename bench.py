@@ -69,6 +69,51 @@ def headline_names() -> list[str]:
     return [n for n in q if n not in EXCLUDED]
 
 
+def calibration_wall(spark) -> float:
+    """Fixed, DATA-INDEPENDENT reference workload (hash + shuffle + agg over
+    a generated range — no parquet, no catalog code), timed like a headline
+    query. Its wall rides the artifact as ``calibration_sec`` so cross-round
+    comparisons can separate engine changes from uniform VM drift (VERDICT
+    r8 residual #3: three same-protocol sf≈1 passes spread 645→680 s on VM
+    noise alone, and every such delta had to be re-litigated with solo
+    medians). Ratio of headline totals ÷ ratio of calibrations ≈ the real
+    engine delta. Best-of-3, like-for-like with the per-query best-of-2."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr(
+                "id", "xxhash64(cast(id as string)) h", "sin(id) * cos(id) t"
+            )
+            # pmod keeps the sum far from long overflow under ANSI mode
+            .selectExpr("pmod(h, 1024) b", "pmod(h, 1000003) hm", "t")
+            .groupBy("b")
+            .agg({"hm": "sum", "t": "sum", "b": "count"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _pre_run_reset(name: str) -> None:
+    """The suffix-ranking family memoizes its corpus artifact per session
+    (plans/dedup_text._suffix_ranking). ``longest_repeat_census`` is the
+    DESIGNATED owner of the doubling loop's headline cost: reset the memo
+    before each of ITS executions so best-of-2 can never report a memo hit
+    as the loop's cost. The other family members (``top_repeated_spans``,
+    ``repeat_mass_by_source`` — whichever runs first still warms the memo
+    on its first execution, best-of-2 then reports its reuse cost)
+    deliberately ride the warm artifact: that reuse IS the in-suite design
+    being measured (VERDICT r8 item 1)."""
+    if name == "longest_repeat_census":
+        from platform_etl_drug_disease_spark.plans import dedup_text
+
+        dedup_text._SUFFIX_ARTIFACT_CACHE.clear()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -91,6 +136,8 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
         "overwrite"
     ).save()
+    calibration_sec = calibration_wall(spark)
+    print(f"calibration: {calibration_sec}s", file=sys.stderr)
 
     # best-of-2 per query: single-shot timings on this box swing up to 10×
     # under VM CPU contention (measured: the same query 5.9 s vs 66 s across
@@ -112,6 +159,7 @@ def main() -> None:
     for i, name in enumerate(names):
         best = float("inf")
         for _ in range(2):
+            _pre_run_reset(name)
             t0 = time.perf_counter()
             df = catalog[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # full execution, no collect cost
@@ -151,6 +199,7 @@ def main() -> None:
         "n_excluded": len(excluded_applicable),
         "excluded": excluded_applicable,
         "subset": subset_run,
+        "calibration_sec": calibration_sec,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -166,6 +215,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_excluded": len(excluded_applicable),
         "subset": subset_run,
+        "calibration_sec": calibration_sec,
         "queries_detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)
