@@ -1654,7 +1654,8 @@ def longest_repeat_lengths(
         # resolved part and the alive part separately made each recompute
         # the token-slice join and both window sorts — the round's entire
         # cost, paid twice. Checkpoint the round frame ONCE (pruned by
-        # _suffix_round_frame to the five columns both splits need) and
+        # _suffix_round_frame to the six columns both splits need — the
+        # live/resolved conditions read __c2 and __rem post-checkpoint) and
         # derive the splits as lazy filters over the checkpointed blocks.
         stc = _suffix_round_frame(
             alive, toks_by_id, id_col, depth
@@ -1689,6 +1690,15 @@ def longest_repeat_lengths(
     out = resolved[0]
     for part in resolved[1:]:
         out = out.unionByName(part)
+    # COMPACT the result into one 3-column checkpoint before returning
+    # (round-9 review finding): the union above references every round's
+    # 6-column frame — including alive-intermediate rows later rounds
+    # superseded — and a caller that holds the result (the session memo in
+    # plans/dedup_text does, for the whole session) would pin all of those
+    # blocks. One cheap pass over the resolved rows re-materializes just
+    # (id, pos, repeat_len); dropping the per-round references afterwards
+    # lets the ContextCleaner reclaim the loop's blocks.
+    out = out.localCheckpoint()
     return out, capped
 
 

@@ -2029,11 +2029,29 @@ _LR_CAP = 512
 # tools that interleave two scale dirs per session (plan_report audits each
 # query at sf0.01 then sf0.1) — evicting oldest-first so stale checkpoint
 # blocks are released to the ContextCleaner; keys carry the applicationId so
-# a frame never leaks across Spark sessions.
-# tests/test_dedup_text.py::test_suffix_artifact_reuse pins hook == standalone.
-_SUFFIX_ARTIFACT_CACHE: dict[
-    tuple[str, str, int, int], tuple[DataFrame, DataFrame]
-] = {}
+# a frame never leaks across Spark sessions, plus a (size, mtime) content
+# fingerprint of the documents table so rewriting the SAME path within one
+# session (a regenerated fixture dir) misses instead of silently serving the
+# previous corpus's artifact.
+# tests/test_extensions.py::test_suffix_artifact_reuse pins hook == standalone.
+_SUFFIX_ARTIFACT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def _table_fingerprint(path: str) -> tuple:
+    """(name, size, mtime_ns) of a parquet file, or of every entry of a
+    parquet directory — cheap (one listdir) and changes whenever the table
+    is rewritten in place."""
+    import os
+
+    if os.path.isdir(path):
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+            )
+        )
+    st = os.stat(path)
+    return (os.path.basename(path), st.st_size, st.st_mtime_ns)
 
 
 def _suffix_ranking(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -2045,9 +2063,11 @@ def _suffix_ranking(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     instead of re-running the doubling loop."""
     import os
 
+    table_path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     key = (
         spark.sparkContext.applicationId,
-        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        table_path,
+        _table_fingerprint(table_path),
         _LR_W,
         _LR_CAP,
     )

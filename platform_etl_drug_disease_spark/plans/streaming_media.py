@@ -222,6 +222,10 @@ _DOCS_SCHEMA = (
 
 _FEED_SCHEMA = "doc_id bigint, text string"
 
+# staged-feed landing dirs, one per (session, corpus dir, n_files) — see
+# _stage_feed's docstring.
+_STAGED_FEED_CACHE: dict[tuple[str, str, int], str] = {}
+
 
 def _stage_feed(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     """Write the incoming-feed subset (``doc_id % 10 == 0``, the same docs
@@ -232,10 +236,31 @@ def _stage_feed(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     be a measurement, not an argument). Round-robin ``repartition`` spreads
     docs across files; WHICH docs share a batch never affects the final
     union, because every match is computed per new doc against the static
-    corpus index."""
+    corpus index.
+
+    The landing dir is DETERMINISTIC per (corpus dir, n_files) and written
+    with overwrite mode, so repeated invocations — bench best-of-2,
+    plan_report's audit+timed runs, stream_batch_walls repeats — reuse one
+    directory instead of accumulating corpus-sized mkdtemp copies for the
+    life of the box (round-9 review finding). A per-(session, args) memo
+    skips even the overwrite rewrite within one session. (The runners'
+    match OUTPUT dirs stay mkdtemp-fresh on purpose: reusing a streaming
+    checkpoint dir would make a new run think the feed was already
+    processed.)"""
+    import hashlib
+    import os
     import tempfile
 
-    feed_dir = tempfile.mkdtemp(prefix="stream_feed_")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), n_files)
+    hit = _STAGED_FEED_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{n_files}".encode()
+    ).hexdigest()[:12]
+    feed_dir = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_feed_{tag}_{n_files}"
+    )
     (
         load_table(spark, sf_dir, "documents", ["doc_id", "text"])
         .where(F.col("doc_id") % 10 == 0)
@@ -243,6 +268,7 @@ def _stage_feed(spark: SparkSession, sf_dir: str, n_files: int) -> str:
         .write.mode("overwrite")
         .parquet(feed_dir)
     )
+    _STAGED_FEED_CACHE[key] = feed_dir
     return feed_dir
 
 
@@ -334,11 +360,16 @@ def _minhash_stream_run(
         finally:
             batch_sh.unpersist()
         if batch_log is not None:
+            # capture the wall BEFORE the n_docs count: the count is a
+            # separate Spark job over the batch's landing file, run only
+            # for the log — inside the timed window it would inflate every
+            # reported per-batch wall by one scan (round-9 review finding).
+            wall_s = time.monotonic() - t0
             batch_log.append(
                 {
                     "batch_id": batch_id,
                     "n_docs": batch_df.count(),
-                    "wall_s": time.monotonic() - t0,
+                    "wall_s": wall_s,
                 }
             )
 
@@ -420,11 +451,16 @@ def _containment_stream_run(
         finally:
             batch_sh.unpersist()
         if batch_log is not None:
+            # capture the wall BEFORE the n_docs count: the count is a
+            # separate Spark job over the batch's landing file, run only
+            # for the log — inside the timed window it would inflate every
+            # reported per-batch wall by one scan (round-9 review finding).
+            wall_s = time.monotonic() - t0
             batch_log.append(
                 {
                     "batch_id": batch_id,
                     "n_docs": batch_df.count(),
-                    "wall_s": time.monotonic() - t0,
+                    "wall_s": wall_s,
                 }
             )
 

@@ -54,8 +54,12 @@ def run_family(spark, sf_dir: str, family: str, n_files: int) -> dict:
         max_files_per_trigger=1,
         batch_log=batch_log,
     )
-    n_matches = df.count()
+    # total_s is "stream start -> awaitTermination return" per the module
+    # docstring: capture it BEFORE the read-back count, which is a separate
+    # batch job run only for the report (round-9 review finding — inside
+    # the window it contaminated lead_s).
     total_s = time.monotonic() - t1
+    n_matches = df.count()
     return {
         "family": family,
         "stage_s": round(stage_s, 2),
