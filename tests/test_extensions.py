@@ -1684,3 +1684,34 @@ def test_suffix_artifact_reuse(spark, tmp_path):
     # the hook feeds real repeats here (passage is 17 >= _LR_W tokens)
     assert ps1.count() > 0
     dt._SUFFIX_ARTIFACT_CACHE.clear()
+
+
+def test_suffix_artifact_fingerprint_miss(spark, tmp_path):
+    """Rewriting the documents table at the SAME path within one session
+    must MISS the suffix-artifact memo (the key carries a size/mtime
+    fingerprint — round-9 review finding): serving the previous corpus's
+    checkpoint-backed frames would be a silent wrong answer."""
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    p1 = " ".join(f"p{i}" for i in range(12))
+    docs_v1 = [(1, p1 + " a1"), (2, "b1 " + p1)]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(docs_v1, "doc_id: long, text: string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
+    n1 = dt._suffix_ranking(spark, str(tmp_path))[0].count()
+    assert n1 > 0
+
+    q1 = " ".join(f"q{i}" for i in range(20))
+    docs_v2 = [(1, q1 + " a1"), (2, "b1 " + q1), (3, q1 + " c9")]
+    spark.createDataFrame(docs_v2, "doc_id: long, text: string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+    ps2, _ = dt._suffix_ranking(spark, str(tmp_path))
+    # three docs now carry the 20-token passage: more qualifying suffixes,
+    # and doc 3 (absent from v1) must appear — both impossible on a stale
+    # memo hit.
+    assert ps2.count() > n1
+    assert ps2.where("doc_id = 3").count() > 0
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
