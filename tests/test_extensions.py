@@ -1715,3 +1715,47 @@ def test_suffix_artifact_fingerprint_miss(spark, tmp_path):
     assert ps2.count() > n1
     assert ps2.where("doc_id = 3").count() > 0
     dt._SUFFIX_ARTIFACT_CACHE.clear()
+
+
+def test_containment_topk_artifact_reuse(spark, tmp_path):
+    """Round 9: the memoized lang-blocked containment top-3 artifact shared
+    by `dedup_containment_topk` and `quoted_span_stats` is value-identical
+    to a fresh standalone ``containment_topk`` run, and the second consumer
+    gets the SAME checkpoint-backed frame (no second prefix/verify
+    pipeline)."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        containment_topk,
+    )
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    core = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (1, core, "en"),
+        (2, "intro text here " + core + " outro text there", "en"),
+        (3, core, "fr"),  # same text, other lang block: must NOT pair with 1
+        (4, " ".join(f"z{i}" for i in range(25)), "en"),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id: long, text: string, lang: string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dt._CONTAINMENT_TOPK_CACHE.clear()
+    t1 = dt._containment_topk_artifact(spark, str(tmp_path))
+    t2 = dt._containment_topk_artifact(spark, str(tmp_path))
+    assert t1 is t2  # memo hit
+    loaded = load_table(
+        spark, str(tmp_path), "documents", ["doc_id", "text", "lang"]
+    )
+    fresh = containment_topk(
+        loaded, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+        block_col="lang", max_shingle_df=256,
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["containment"])  # noqa: E731
+    got = sorted(map(key, t1.collect()))
+    assert got == sorted(map(key, fresh.collect()))
+    # the plant produced real pairs (1 contained in 2), lang-blocked (no
+    # 1<->3 pair despite identical text)
+    assert any(a == 1 and b == 2 for a, b, _ in got)
+    assert not any({a, b} == {1, 3} for a, b, _ in got)
+    dt._CONTAINMENT_TOPK_CACHE.clear()

@@ -445,6 +445,38 @@ def test_suffix_round_plan_shape_pinned(spark):
     assert plan.count("Exchange") <= 4  # windows + token-slice join, bounded
 
 
+def test_containment_topk_pipeline_shape_pinned(spark):
+    """Pin the exact containment top-k pipeline's plan shape (round 9): the
+    `_containment_topk_artifact` memo hides this pipeline behind an eager
+    localCheckpoint, so PERF.md's generated row for `dedup_containment_topk`
+    now audits only the post-artifact rank window — this test keeps the
+    pipeline itself asserted (the r8 PERF row's visibility, as a ceiling
+    per ADVICE r8): hash joins only (the prefix/verify joins broadcast at
+    this scale; a cartesian or nested-loop would mean the df-capped prefix
+    join degenerated), bounded exchanges."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        containment_topk,
+    )
+
+    core = " ".join(f"w{i}" for i in range(30))
+    docs = [
+        (1, core, "en"),
+        (2, "intro " + core + " outro", "en"),
+        (3, core, "fr"),
+        (4, " ".join(f"z{i}" for i in range(25)), "en"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string, lang: string")
+    top = containment_topk(
+        df, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+        block_col="lang", max_shingle_df=256,
+    )
+    got = _executed_plan_stats(top)
+    assert got["exchanges"] <= 8, got
+    assert "CartesianProduct" not in got["joins"], got
+    assert "BroadcastNestedLoopJoin" not in got["joins"], got
+    assert got["joins"].get("BroadcastHashJoin", 0) >= 1, got
+
+
 def test_top_spans_md5_group_key_pinned(spark, tmp_path):
     """Pin top_repeated_spans' shuffle hygiene (VERDICT r8 item 4): the
     span-artifact groupBy must key on the 32-char md5 digest — never the
