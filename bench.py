@@ -111,14 +111,19 @@ def _pre_run_reset(name: str) -> None:
     containment top-3 artifact: ``dedup_containment_topk`` owns the
     prefix/verify pipeline's cost; ``quoted_span_stats`` measures the
     spans-over-warm-pairs reuse path."""
-    if name == "longest_repeat_census":
-        from platform_etl_drug_disease_spark.plans import dedup_text
+    from platform_etl_drug_disease_spark.plans import dedup_text
 
+    if name == "longest_repeat_census":
         dedup_text._SUFFIX_ARTIFACT_CACHE.clear()
     elif name == "dedup_containment_topk":
-        from platform_etl_drug_disease_spark.plans import dedup_text
-
         dedup_text._CONTAINMENT_TOPK_CACHE.clear()
+    elif name == "dedup_minhash_lsh":
+        # the pair-pipeline owner; clearing components too keeps the CC
+        # owner's cost honest when only a subset runs
+        dedup_text._LSH_PAIRS_CACHE.clear()
+        dedup_text._LSH_COMPONENTS_CACHE.clear()
+    elif name == "dedup_cluster_components":
+        dedup_text._LSH_COMPONENTS_CACHE.clear()
 
 
 def main() -> None:

@@ -471,14 +471,85 @@ FROM (
 """
 
 
+# Session-scoped memos for the repo's most-reused dedup relations (round 9,
+# the `_suffix_ranking` idiom): FIVE catalog queries ran the identical
+# MinHash(16)+LSH(4×4)+verify(J≥0.5) pipeline — `dedup_minhash_lsh`,
+# `dedup_cluster_components`, its star twin, `leakage_safe_split`,
+# `dedup_quality_keeper` — and three of those also the identical hash-min
+# connected components over its pairs. Both relations are dup-mass-bounded
+# (pairs ≤ verified near-dups; components ≤ clustered docs), so an eager
+# checkpoint is cheap to hold; keyed by session + corpus fingerprint, two
+# snapshots max, exactly like `_SUFFIX_ARTIFACT_CACHE`. Bench cost owners
+# (memo reset before each of their runs, bench._pre_run_reset):
+# `dedup_minhash_lsh` owns the pair pipeline, `dedup_cluster_components`
+# owns the hash-min CC; the star twin recomputes its OWN components (the
+# two CC algorithms cross-validating is that query's point) over the shared
+# pairs. tests/test_extensions.py::test_lsh_artifacts_reuse pins
+# hook == standalone for both.
+_LSH_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+_LSH_COMPONENTS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _lsh_key(spark: SparkSession, sf_dir: str) -> tuple:
+    import os
+
+    table_path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        spark.sparkContext.applicationId,
+        table_path,
+        _table_fingerprint(table_path),
+        3,
+        16,
+        4,
+        0.5,
+    )
+
+
+def _lsh_pairs_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized verified near-dup pair set (id_a, id_b, jaccard ≥ 0.5) over
+    the snapshot's ``documents`` — see the cache comment above. The eager
+    checkpoint also serves what the call sites' per-query
+    ``localCheckpoint`` did before: the symmetrizing union inside
+    ``connected_components`` consumes the pairs twice."""
+    key = _lsh_key(spark, sf_dir)
+    hit = _LSH_PAIRS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_dedup(
+        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4,
+        threshold=0.5,
+    ).localCheckpoint()
+    while len(_LSH_PAIRS_CACHE) >= 2:  # evict oldest snapshot
+        _LSH_PAIRS_CACHE.pop(next(iter(_LSH_PAIRS_CACHE)))
+    _LSH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def _lsh_components_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized hash-min connected components (node, component) over the
+    pairs artifact. No extra checkpoint wrap: ``connected_components``
+    already returns a projection of its final per-round checkpoint."""
+    key = _lsh_key(spark, sf_dir)
+    hit = _LSH_COMPONENTS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    comp = connected_components(
+        _lsh_pairs_artifact(spark, sf_dir), "id_a", "id_b"
+    )
+    while len(_LSH_COMPONENTS_CACHE) >= 2:  # evict oldest snapshot
+        _LSH_COMPONENTS_CACHE.pop(next(iter(_LSH_COMPONENTS_CACHE)))
+    _LSH_COMPONENTS_CACHE[key] = comp
+    return comp
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands × 4 rows) candidates verified with exact
     Jaccard ≥ 0.5 (per-candidate array intersection — O(candidates) verify
-    cost, the property that makes LSH the scale path)."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    return minhash_lsh_dedup(
-        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
-    )
+    cost, the property that makes LSH the scale path). Serves (and owns the
+    bench cost of) the session-memoized `_lsh_pairs_artifact` shared with
+    the cluster/split/keeper family."""
+    return _lsh_pairs_artifact(spark, sf_dir)
 
 
 # Mirror of operators/dedup.py:banded_signatures' hash family: one md5 per
@@ -1268,15 +1339,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is labeled by its min doc_id; members sorted for stable hashing. The
     oracle computes the same components with a recursive transitive-closure
     CTE — feasible only because the pair graph is small; the Spark side is
-    the 100-TB path (per-round equi-join + min-agg, lineage checkpointed)."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    # eager-checkpoint the (small) pair table: the symmetrizing union inside
-    # connected_components consumes it twice, and without materialization the
-    # whole MinHash pipeline would be evaluated once per branch.
-    pairs = minhash_lsh_dedup(
-        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
-    ).localCheckpoint()
-    comp = connected_components(pairs, "id_a", "id_b")
+    the 100-TB path (per-round equi-join + min-agg, lineage checkpointed).
+    Pairs and components come from the session-memoized LSH artifacts
+    (round 9); this query is the designated bench owner of the hash-min
+    CC cost."""
+    comp = _lsh_components_artifact(spark, sf_dir)
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         arr_join(F.sort_array(F.collect_list("node")), "string").alias("members"),
@@ -1741,11 +1808,11 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     """Same clusters as ``dedup_cluster_components`` computed by the
     alternating large-star/small-star construction (O(log n) rounds on any
     graph shape, incl. long transitive near-dup chains where hash-min needs
-    diameter rounds) — same output, same oracle."""
-    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_dedup(
-        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
-    ).localCheckpoint()
+    diameter rounds) — same output, same oracle. Consumes the shared pairs
+    artifact but runs its OWN star construction: the two CC algorithms
+    agreeing on the same pair set is this query's cross-validation value,
+    so the components memo is deliberately not shared here."""
+    pairs = _lsh_pairs_artifact(spark, sf_dir)
     comp = connected_components_star(pairs, "id_a", "id_b")
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1805,12 +1872,11 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     global count of straddling clusters — provably 0, and the oracle checks
     that 0, not just the counts. Composes the two scale paths already proven
     separately (banded LSH candidates, per-round equi-join components); the
-    extra cost over a naive doc-id split is one small join on doc_id."""
+    extra cost over a naive doc-id split is one small join on doc_id —
+    and with the session-memoized LSH artifacts (round 9) the pairs/CC
+    machinery itself is warm after the cluster queries have run."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    pairs = minhash_lsh_dedup(
-        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
-    ).localCheckpoint()
-    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+    comp = _lsh_components_artifact(spark, sf_dir).withColumnRenamed(
         "node", "doc_id"
     )
     membership = (
@@ -3849,14 +3915,10 @@ def dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     components are the proven dedup machinery; quality is column
     arithmetic; the keeper pick is one row_number window partitioned by
     component over the (small) cluster-member table — never over the
-    corpus."""
+    corpus. Pairs and components come from the session-memoized LSH
+    artifacts (round 9)."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
-    # eager-checkpoint, as in dedup_cluster_components: the symmetrizing
-    # union inside connected_components consumes the pairs twice.
-    pairs = minhash_lsh_dedup(
-        docs, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4, threshold=0.5
-    ).localCheckpoint()
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = _lsh_components_artifact(spark, sf_dir)
     t = F.col("__t")
     q = docs.withColumn("__t", tx.tokens("text")).select(
         F.col("doc_id").alias("node"),

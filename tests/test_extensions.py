@@ -1759,3 +1759,55 @@ def test_containment_topk_artifact_reuse(spark, tmp_path):
     assert any(a == 1 and b == 2 for a, b, _ in got)
     assert not any({a, b} == {1, 3} for a, b, _ in got)
     dt._CONTAINMENT_TOPK_CACHE.clear()
+
+
+def test_lsh_artifacts_reuse(spark, tmp_path):
+    """Round 9: the memoized MinHash+LSH pair set and its hash-min
+    connected components — shared by dedup_minhash_lsh, the two cluster
+    queries, leakage_safe_split, and dedup_quality_keeper — are
+    value-identical to fresh standalone runs, and repeat consumers get the
+    SAME frames back (no second pipeline / CC)."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_dedup,
+    )
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = [
+        (1, base),
+        (2, base + " tail1"),          # near-dup of 1
+        (3, "head0 " + base),          # near-dup of 1/2 -> one cluster
+        (4, " ".join(f"z{i}" for i in range(35))),
+        (5, " ".join(f"z{i}" for i in range(35)) + " extra"),  # 2nd cluster
+        (6, " ".join(f"u{i}" for i in range(30))),             # singleton
+    ]
+    spark.createDataFrame(docs, "doc_id: long, text: string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dt._LSH_PAIRS_CACHE.clear()
+    dt._LSH_COMPONENTS_CACHE.clear()
+    p1 = dt._lsh_pairs_artifact(spark, str(tmp_path))
+    c1 = dt._lsh_components_artifact(spark, str(tmp_path))
+    assert p1 is dt._lsh_pairs_artifact(spark, str(tmp_path))
+    assert c1 is dt._lsh_components_artifact(spark, str(tmp_path))
+
+    loaded = load_table(spark, str(tmp_path), "documents", ["doc_id", "text"])
+    fresh_p = minhash_lsh_dedup(
+        loaded, "doc_id", "text", shingle_n=3, n_hashes=16, n_bands=4,
+        threshold=0.5,
+    ).localCheckpoint()
+    pkey = lambda r: (r["id_a"], r["id_b"], r["jaccard"])  # noqa: E731
+    got_p = sorted(map(pkey, p1.collect()))
+    assert got_p == sorted(map(pkey, fresh_p.collect()))
+    assert len(got_p) > 0  # the plant produced real near-dup pairs
+
+    fresh_c = connected_components(fresh_p, "id_a", "id_b")
+    ckey = lambda r: (r["node"], r["component"])  # noqa: E731
+    assert sorted(map(ckey, c1.collect())) == sorted(
+        map(ckey, fresh_c.collect())
+    )
+    dt._LSH_PAIRS_CACHE.clear()
+    dt._LSH_COMPONENTS_CACHE.clear()
