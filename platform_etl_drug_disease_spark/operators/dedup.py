@@ -1646,6 +1646,30 @@ def longest_repeat_lengths(
     alive = occ.join(keep, "__key").localCheckpoint()
     toks_by_id = base.select(F.col(id_col), "__t")
 
+    out = _doubling_loop(alive, toks_by_id, id_col, w, max_rounds)
+    # every consumer (the per-round frames and the disclosure row) is an
+    # EAGER localCheckpoint — the loop's resolved/alive splits are filters
+    # OVER those checkpoints — so the token table has no remaining lazy
+    # readers; release its cache blocks before handing back the result.
+    base.unpersist()
+    return out, capped
+
+
+def _doubling_loop(
+    alive: DataFrame, toks_by_id: DataFrame, id_col: str, w: int,
+    max_rounds: int,
+) -> DataFrame:
+    """The prefix-doubling resolution loop shared by
+    :func:`longest_repeat_lengths` (exact, anchors 2..cap) and
+    :func:`sampled_repeat_lengths` (sampled interior of beyond-cap anchors
+    — VERDICT r8 item 6). ``alive`` = (id_col, pos, __rem, __key) suffix
+    rows, eagerly materialized by the caller; ``toks_by_id`` = the
+    id-partitioned token table the per-round slice joins read. Returns one
+    compact (id_col, pos, repeat_len) checkpoint. The loop is agnostic to
+    HOW the alive set was chosen: repeat_len is the longest shared prefix
+    with any OTHER alive suffix of the same ``__key`` group, which is the
+    exact corpus-wide value when the group is an anchor's full suffix set
+    and a within-sample lower bound when it is a sample."""
     depth = w
     resolved: list[DataFrame] = []
     for _ in range(max_rounds):
@@ -1679,14 +1703,9 @@ def longest_repeat_lengths(
         n_left = alive.count()
         if n_left:
             raise RuntimeError(
-                f"longest_repeat_lengths: {n_left} suffixes still live after "
+                f"_doubling_loop: {n_left} suffixes still live after "
                 f"max_rounds={max_rounds} (depth {depth}); raise max_rounds"
             )
-    # every consumer (the per-round frames and the disclosure row) is an
-    # EAGER localCheckpoint — the resolved/alive splits are filters OVER
-    # those checkpoints — so the token table has no remaining lazy
-    # readers; release its cache blocks before handing back the result.
-    base.unpersist()
     out = resolved[0]
     for part in resolved[1:]:
         out = out.unionByName(part)
@@ -1698,8 +1717,135 @@ def longest_repeat_lengths(
     # blocks. One cheap pass over the resolved rows re-materializes just
     # (id, pos, repeat_len); dropping the per-round references afterwards
     # lets the ContextCleaner reclaim the loop's blocks.
-    out = out.localCheckpoint()
-    return out, capped
+    return out.localCheckpoint()
+
+
+def sampled_repeat_lengths(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    min_anchor_df: int = 512,
+    max_anchor_df: int | None = None,
+    sample_per_anchor: int = 64,
+    max_rounds: int = 24,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """SAMPLED interior estimate of repeat lengths for anchors BEYOND the
+    exact census' df cap (VERDICT r8 item 6). ``longest_repeat_lengths``
+    excludes anchors shared by more than its cap and discloses the mass —
+    correct, but on a boilerplate-saturated corpus the most interesting
+    repeats live exactly there. This operator runs the SAME prefix-doubling
+    loop (:func:`_doubling_loop`) over a deterministic ≤``sample_per_anchor``
+    sample of each selected anchor's suffixes, yielding per-suffix
+    WITHIN-SAMPLE repeat lengths (a lower bound of the corpus-wide value:
+    the true max-LCP neighbour may be unsampled) plus the Horvitz-Thompson
+    weight each sampled suffix carries (anchor_df / n_sampled — the audit
+    family's own machinery, plans/dedup_text.containment_recall_audit).
+
+    Selection: anchors with df > ``min_anchor_df`` (and, when
+    ``max_anchor_df`` is given, df ≤ it — the audit-band form, where exact
+    truth is still affordable for comparison). Sampling is deterministic
+    and engine-portable: rank suffixes within their anchor by
+    ``md5(id:pos)`` (ties broken by (id, pos)) and keep rank ≤
+    ``sample_per_anchor`` — a DuckDB oracle reproduces the identical sample
+    with ``row_number() OVER (PARTITION BY anchor ORDER BY md5(...))``, so
+    the estimate is fully value-hashable, not merely rows-only.
+
+    Cost shape: the loop's bytes-linear-in-repeat-mass contract applies to
+    the SAMPLED mass — ≤ ``sample_per_anchor`` suffixes per anchor no
+    matter how hot the anchor is, so a pathological million-occurrence
+    boilerplate block costs the same as a 513-occurrence one. That is the
+    whole point: the exact census' cost is unbounded above the cap, the
+    estimator's is bounded by (n_selected_anchors × sample_per_anchor).
+
+    Returns ``(sampled, selected, disclosure)``:
+
+    - ``sampled``: (id_col, pos, repeat_len, anchor_df) — one row per
+      sampled suffix; HT estimate of the anchor-mass at a given length is
+      Σ anchor_df / sample_per_anchor over its sampled rows;
+    - ``selected``: (id_col, pos) of EVERY suffix of a selected anchor
+      (eagerly checkpointed — an audit joins it to exact truth);
+    - ``disclosure``: 1 row (n_selected_anchors, n_selected_suffixes).
+    """
+    from pyspark.sql import Window
+    from platform_etl_drug_disease_spark.operators.text import tokens
+
+    if sample_per_anchor < 2:
+        raise ValueError(
+            "sample_per_anchor must be >= 2: a 1-suffix sample has no "
+            f"within-sample neighbour to share a prefix with, got "
+            f"{sample_per_anchor}"
+        )
+    base = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .where(F.col("__n") >= w)
+        .repartition(F.col(id_col))  # per-round slice joins reuse this layout
+        .persist()
+    )
+    occ = base.select(
+        F.col(id_col),
+        "__t",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - w)).alias("pos"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        (F.col("__n") - F.col("pos")).alias("__rem"),
+        F.xxhash64(
+            F.array_join(F.slice("__t", F.col("pos") + 1, w), " ")
+        ).alias("__key"),
+    )
+    cnt = occ.groupBy("__key").agg(F.count(F.lit(1)).alias("__df"))
+    sel_cond = F.col("__df") > min_anchor_df
+    if max_anchor_df is not None:
+        sel_cond = sel_cond & (F.col("__df") <= max_anchor_df)
+    sel = cnt.where(sel_cond)
+    disclosure = sel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected_anchors"),
+        F.coalesce(F.sum("__df"), F.lit(0)).cast("bigint").alias(
+            "n_selected_suffixes"
+        ),
+    ).localCheckpoint()
+    cand = occ.join(sel, "__key")
+    # every suffix of a selected anchor, materialized BEFORE base is
+    # released (an audit consumer joins this against exact truth; at the
+    # production beyond-cap knobs it is the disclosed boilerplate mass —
+    # two bigints per suffix, the same order as the exact loop's own alive
+    # checkpoint).
+    selected = cand.select(F.col(id_col), "pos").localCheckpoint()
+    rk_w = Window.partitionBy("__key").orderBy(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col(id_col).cast("string"),
+                F.col("pos").cast("string"),
+            )
+        ),
+        F.col(id_col),
+        "pos",
+    )
+    samp = (
+        cand.withColumn("__rk", F.row_number().over(rk_w))
+        .where(F.col("__rk") <= sample_per_anchor)
+        .select(F.col(id_col), "pos", "__rem", "__key", "__df")
+        .localCheckpoint()
+    )
+    weights = samp.select(F.col(id_col), "pos", F.col("__df"))
+    alive = samp.select(F.col(id_col), "pos", "__rem", "__key")
+    resolved = _doubling_loop(
+        alive, base.select(F.col(id_col), "__t"), id_col, w, max_rounds
+    )
+    base.unpersist()
+    # a (doc, pos) suffix belongs to exactly one anchor (its own leading
+    # w tokens), so the weight join-back is 1:1 on the sampled keys.
+    sampled = resolved.join(weights, [id_col, "pos"]).select(
+        F.col(id_col),
+        "pos",
+        "repeat_len",
+        F.col("__df").cast("bigint").alias("anchor_df"),
+    )
+    return sampled, selected, disclosure
 
 
 def simhash64(text_tokens: Column, prefix_hex: int = 15) -> Column:

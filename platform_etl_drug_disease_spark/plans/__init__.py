@@ -26,14 +26,16 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-9 window (current): the 5 pins; the 3 round-9 items
+Round-9 window (current): the 5 pins; the 4 round-9 items
 (`repeat_mass_by_source` — per-source repeated-token-mass attribution,
-the third consumer of the shared suffix-ranking artifact — and
+the third consumer of the shared suffix-ranking artifact —
 `streaming_dedup_multibatch` / `streaming_containment_multibatch`, the
-serve twins under a real >= 3-micro-batch feed, all new); then ALL 37
-queries whose latest strict green is round 4 (the oldest cohort after a
-fully-green r8 re-proved the r3 cohort), then the 5 alphabetically-first
-of the r5-latest cohort. Note `longest_repeat_census` and
+serve twins under a real >= 3-micro-batch feed, and
+`capped_repeat_estimate` — the sampled-interior estimator for
+beyond-cap anchors, audited against exact truth on the affordable df
+band, all new); then ALL 37 queries whose latest strict green is round 4
+(the oldest cohort after a fully-green r8 re-proved the r3 cohort), then
+the 4 alphabetically-first of the r5-latest cohort. Note `longest_repeat_census` and
 `top_repeated_spans` now consume the memoized `_suffix_ranking`
 artifact — value-identical by construction and by
 tests/test_extensions.py::test_suffix_artifact_reuse, so their r8 rows
@@ -83,11 +85,13 @@ _DRIVER_WINDOW = [
     "corpus_release_pipeline",
     "sink_roundtrip",
     # round-9 items, first driver rows (add-then-freeze): per-source
-    # repeated-mass attribution over the shared suffix artifact, and the
-    # two multi-micro-batch streaming serve twins
+    # repeated-mass attribution over the shared suffix artifact, the
+    # two multi-micro-batch streaming serve twins, and the sampled
+    # capped-anchor estimator audit
     "repeat_mass_by_source",
     "streaming_dedup_multibatch",
     "streaming_containment_multibatch",
+    "capped_repeat_estimate",
     # re-greens: every query whose latest strict green driver row is
     # ROUND 4 (the oldest remaining cohort after a green r8 — the r3
     # cohort was fully re-proven in round 8), all 37
@@ -128,12 +132,11 @@ _DRIVER_WINDOW = [
     "value_ks_by_type",
     "value_moments_stats",
     "volume_shipping_matrix",
-    # re-greens: the 5 alphabetically-first of the r5-latest cohort
+    # re-greens: the 4 alphabetically-first of the r5-latest cohort
     "boilerplate_span_stats",
     "bootstrap_revenue_ci",
     "clean_corpus_stats",
     "corpus_epoch_stats",
-    "corpus_sample_stats",
 ]
 
 

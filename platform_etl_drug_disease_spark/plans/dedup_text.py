@@ -31,6 +31,7 @@ from platform_etl_drug_disease_spark.operators.dedup import (
     containment_topk,
     incremental_containment_matches,
     longest_repeat_lengths,
+    sampled_repeat_lengths,
     quoted_spans,
     incremental_minhash_matches,
     minhash_lsh_dedup,
@@ -2573,6 +2574,177 @@ QUERIES["repeat_mass_by_source"] = repeat_mass_by_source
 ORACLES["repeat_mass_by_source"] = _REPEAT_MASS_SQL
 
 
+# sampled-estimator knobs: the estimator exists for anchors BEYOND the
+# census' _LR_CAP (where exact truth is unaffordable), but an audit must run
+# where truth IS affordable — the df ∈ (_CRE_MIN_DF, _LR_CAP] band — so the
+# catalog row compares estimate vs truth on real data at every scale.
+# Production use is the same operator at (min_anchor_df=_LR_CAP,
+# max_anchor_df=None, sample_per_anchor=64), pinned by
+# tests/test_extensions.py::test_sampled_repeat_lengths_planted_giant_anchor
+# on a planted >cap anchor.
+_CRE_MIN_DF = 2
+_CRE_S = 2
+
+
+def capped_repeat_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-interior repeat-length ESTIMATE vs exact truth (VERDICT r8
+    item 6). The exact census excludes anchors hotter than ``_LR_CAP`` and
+    discloses the mass; ``operators/dedup.sampled_repeat_lengths`` covers
+    that excluded interior by running the same prefix-doubling loop over a
+    deterministic ≤``sample_per_anchor`` md5-ranked sample per anchor, with
+    Horvitz-Thompson weights (anchor_df / n_sampled) extrapolating sampled
+    counts back to the anchor mass — the machinery
+    ``containment_recall_audit`` already uses for its truth stage.
+
+    This catalog row is the estimator's AUDIT: it runs the estimator on the
+    df ∈ (2, cap] band — where the memoized exact ``_suffix_ranking``
+    artifact still carries the truth — and reports, per repeat_len, the
+    sampled count, the HT-extrapolated estimate, and the exact count
+    side-by-side. Estimated lengths are within-sample values (lower bounds
+    of the corpus-wide truth: a 2-suffix sample may miss the true max-LCP
+    neighbour), so the estimated distribution sits left of the true one —
+    visibly, honestly, and identically in both engines: the sample is
+    md5-deterministic, so the whole row set value-hashes against the DuckDB
+    oracle (no rows-only weakening).
+
+    Scale shape: estimator cost is bounded by n_band_anchors ×
+    sample_per_anchor regardless of anchor heat (the reason the operator
+    exists); the truth side reuses the shared suffix artifact (no second
+    doubling loop); the est/truth join is on the tiny repeat_len key. A
+    constant repeat_len=0 sentinel keeps the disclosure visible on an
+    empty band."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sampled, selected, disc = sampled_repeat_lengths(
+        docs,
+        "doc_id",
+        "text",
+        w=_LR_W,
+        min_anchor_df=_CRE_MIN_DF,
+        max_anchor_df=_LR_CAP,
+        sample_per_anchor=_CRE_S,
+    )
+    est = sampled.groupBy("repeat_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_suffixes"),
+        F.floor(F.sum("anchor_df") / F.lit(_CRE_S))
+        .cast("bigint")
+        .alias("est_n_suffixes"),
+    )
+    per_suffix, _capped = _suffix_ranking(spark, sf_dir)
+    truth = (
+        per_suffix.join(selected, ["doc_id", "pos"])
+        .groupBy("repeat_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n_suffixes"))
+    )
+    joined = est.join(truth, "repeat_len", "full_outer").select(
+        F.col("repeat_len").cast("bigint").alias("repeat_len"),
+        F.coalesce(F.col("n_sampled_suffixes"), F.lit(0))
+        .cast("bigint")
+        .alias("n_sampled_suffixes"),
+        F.coalesce(F.col("est_n_suffixes"), F.lit(0))
+        .cast("bigint")
+        .alias("est_n_suffixes"),
+        F.coalesce(F.col("true_n_suffixes"), F.lit(0))
+        .cast("bigint")
+        .alias("true_n_suffixes"),
+    )
+    sentinel = spark.range(1).select(
+        F.lit(0).cast("bigint").alias("repeat_len"),
+        F.lit(0).cast("bigint").alias("n_sampled_suffixes"),
+        F.lit(0).cast("bigint").alias("est_n_suffixes"),
+        F.lit(0).cast("bigint").alias("true_n_suffixes"),
+    )
+    band = disc.select(
+        F.col("n_selected_anchors").alias("n_band_anchors"),
+        F.col("n_selected_suffixes").alias("n_band_suffixes"),
+    )
+    return (
+        joined.unionByName(sentinel)
+        .crossJoin(F.broadcast(band))
+        .withColumn(
+            "sample_per_anchor", F.lit(_CRE_S).cast("bigint")
+        )
+    )
+
+
+_CRE_SQL = (
+    _TOKS_CTE
+    + _LR_CORE_SQL
+    + f"""
+, creband AS (
+    SELECT anchor, c FROM lrcnt WHERE c > {_CRE_MIN_DF} AND c <= {_LR_CAP}
+),
+crecand AS (
+    SELECT a.doc_id, a.pos, a.anchor, a.suf, b.c
+    FROM lranch a JOIN creband b USING (anchor)
+),
+creranked AS (
+    SELECT doc_id, pos, anchor, suf, c,
+           row_number() OVER (PARTITION BY anchor
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'
+                            || CAST(pos AS VARCHAR)),
+                        doc_id, pos) AS rk
+    FROM crecand
+),
+cresamp AS (
+    -- chr(1) separator: same order-refinement convention (and disclosed
+    -- limits) as the exact family's lrq above.
+    SELECT doc_id, pos, anchor, suf, c,
+           list_aggregate(suf, 'string_agg', chr(1)) AS suf_str
+    FROM creranked WHERE rk <= {_CRE_S}
+),
+crenb AS (
+    SELECT doc_id, pos, c, suf,
+           lag(suf) OVER cw AS psuf,
+           lead(suf) OVER cw AS nsuf
+    FROM cresamp WINDOW cw AS (PARTITION BY anchor ORDER BY suf_str, doc_id, pos)
+),
+crelen AS (
+    SELECT c,
+           CAST(greatest(COALESCE({{lcp_p}}, 0), COALESCE({{lcp_n}}, 0))
+                AS BIGINT) AS repeat_len
+    FROM crenb
+),
+creest AS (
+    SELECT repeat_len,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled_suffixes,
+           CAST(SUM(c) // {_CRE_S} AS BIGINT) AS est_n_suffixes
+    FROM crelen GROUP BY repeat_len
+),
+cretruth AS (
+    SELECT l.repeat_len, CAST(COUNT(*) AS BIGINT) AS true_n_suffixes
+    FROM lrlen l JOIN (SELECT doc_id, pos FROM crecand) b USING (doc_id, pos)
+    GROUP BY l.repeat_len
+),
+crejoin AS (
+    SELECT COALESCE(e.repeat_len, t.repeat_len) AS repeat_len,
+           CAST(COALESCE(e.n_sampled_suffixes, 0) AS BIGINT)
+               AS n_sampled_suffixes,
+           CAST(COALESCE(e.est_n_suffixes, 0) AS BIGINT) AS est_n_suffixes,
+           CAST(COALESCE(t.true_n_suffixes, 0) AS BIGINT) AS true_n_suffixes
+    FROM creest e FULL OUTER JOIN cretruth t ON e.repeat_len = t.repeat_len
+    UNION ALL
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT)
+),
+creh AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_band_anchors,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_band_suffixes
+    FROM creband
+)
+SELECT j.repeat_len, j.n_sampled_suffixes, j.est_n_suffixes,
+       j.true_n_suffixes, h.n_band_anchors, h.n_band_suffixes,
+       CAST({_CRE_S} AS BIGINT) AS sample_per_anchor
+FROM crejoin j, creh h
+"""
+).format(
+    lcp_p=_lr_lcp_sql("suf", "psuf"),
+    lcp_n=_lr_lcp_sql("suf", "nsuf"),
+)
+
+QUERIES["capped_repeat_estimate"] = capped_repeat_estimate
+ORACLES["capped_repeat_estimate"] = _CRE_SQL
+
+
 # ---------------------------------------------------------------------------
 # BPE vocabulary induction: the merge-pair counting step
 # ---------------------------------------------------------------------------
@@ -3386,19 +3558,45 @@ ORACLES["source_coverage_greedy"] = _GREEDY_SQL
 # ---------------------------------------------------------------------------
 
 
+# boilerplate-strip knobs (VERDICT r8 item 7): token positions covered by
+# an exact repeat of >= _STRIP_LEN tokens (Lee et al. 2022's ~50-BPE-token
+# ExactSubstr threshold, in whitespace tokens) are stripped from the packing
+# token counts; a doc whose post-strip effective length falls below
+# _STRIP_MIN_EFF is a boilerplate husk and is dropped (and counted).
+_STRIP_LEN = 24
+_STRIP_MIN_EFF = 16
+
+
 def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-corpus release: exact-dedup keepers (min doc_id
     per content hash) filtered to quality ≥ 0.5, deterministically split
-    80/10/10, then sequence-packed into ~4096-token bins per (split, lang);
-    the release manifest reports, per split: documents, tokens, bins, and
-    mean bin fill. This is the LLM-side counterpart of the reference-parity
-    ``drug_disease_pipeline`` — one DAG, every stage an operator this
-    catalog already proves in isolation.
+    80/10/10, BOILERPLATE-STRIPPED (token positions covered by an exact
+    repeat ≥ ``_STRIP_LEN`` tokens — the suffix-ranking family consumed by
+    the flagship DAG, VERDICT r8 item 7 — are removed from the packing
+    mass, and docs left with < ``_STRIP_MIN_EFF`` effective tokens are
+    dropped as husks), then sequence-packed into ~4096-token bins per
+    (split, lang); the release manifest reports, per split: documents,
+    packed tokens, bins, mean bin fill, stripped token mass, and husk
+    drops — the attrition waterfall. This is the LLM-side counterpart of
+    the reference-parity ``drug_disease_pipeline`` — one DAG, every stage
+    an operator this catalog already proves in isolation.
+
+    Strip semantics: coverage is the INTERVAL UNION of [pos, pos+len) over
+    the doc's qualifying per-suffix repeats (one window + one rollup, both
+    keyed by the high-cardinality doc_id), so overlapping repeat starts are
+    never double-counted. All occurrences of a long repeat are stripped —
+    the remove-all variant of Lee et al.'s ExactSubstr — and a husk's own
+    covered mass is accounted as its whole-doc drop, not in
+    stripped_tokens. The census cap's excluded boilerplate mass
+    (n_capped_*) is disclosed by the census queries, not re-counted here.
 
     Scale shape: ONE tokenize pass feeds hash, quality, and token counts
-    (persisted at the fan-out — three consumers); dedup is a window, never
-    a self-join; split membership is a pure hash function (no shuffle); the
-    packing window runs per (split, lang) partition; the manifest is a
+    (persisted at the fan-out — three consumers); coverage reuses the
+    session-memoized ``_suffix_ranking`` artifact (no extra doubling loop
+    when any census query ran first) and joins on doc_id pre-aggregated to
+    one row per dup-carrying doc; dedup is a window, never a self-join;
+    split membership is a pure hash function (no shuffle); the packing
+    window runs per (split, lang) partition; the manifest is a
     |splits|-row rollup."""
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "lang", "text"])
     t = F.col("__toks")
@@ -3420,32 +3618,104 @@ def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = clean.withColumn(
         "split", split_assign("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     )
+    # boilerplate coverage: interval union of the doc's >= _STRIP_LEN
+    # repeats. prev_end = running max of earlier interval ends (exclusive of
+    # the current row), so each interval contributes only its uncovered tail.
+    per_suffix, _cap = _suffix_ranking(spark, sf_dir)
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        per_suffix.where(F.col("repeat_len") >= _STRIP_LEN)
+        .withColumn(
+            "__prev", F.max(F.col("pos") + F.col("repeat_len")).over(wcov)
+        )
+        .withColumn(
+            "__contrib",
+            F.greatest(
+                F.col("pos")
+                + F.col("repeat_len")
+                - F.greatest(
+                    F.coalesce(F.col("__prev"), F.lit(0)), F.col("pos")
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__contrib").cast("bigint").alias("__covered"))
+    )
+    stripped = (
+        split.join(cov, "doc_id", "left")
+        .withColumn(
+            "__covered", F.coalesce(F.col("__covered"), F.lit(0)).cast("bigint")
+        )
+        .withColumn(
+            "n_eff", (F.col("n_tokens") - F.col("__covered")).cast("bigint")
+        )
+    )
+    kept = stripped.where(F.col("n_eff") >= _STRIP_MIN_EFF)
+    husks = (
+        stripped.where(F.col("n_eff") < _STRIP_MIN_EFF)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dropped_boilerplate"))
+    )
     # packing prefix sum via two-phase scan (VERDICT r2 #3): the naive
     # window partitions by (split, lang) — ~30 keys — which would funnel
     # every clean doc through ~30 reducers at scale. keyed_running_sum
     # buckets on doc_id ranges instead; `scored` upstream is persisted, so
     # the second pass re-reads cached narrow rows.
     packed = keyed_running_sum(
-        split, ["split", "lang"], "doc_id", "n_tokens", "__cum", n_buckets=64
+        kept, ["split", "lang"], "doc_id", "n_eff", "__cum", n_buckets=64
     ).withColumn(
-        "bin", F.floor((F.col("__cum") - F.col("n_tokens")) / F.lit(4096))
+        "bin", F.floor((F.col("__cum") - F.col("n_eff")) / F.lit(4096))
     )
     bins = packed.groupBy("split", "lang", "bin").agg(
         F.count(F.lit(1)).alias("docs_in_bin"),
-        F.sum("n_tokens").alias("bin_tokens"),
+        F.sum("n_eff").alias("bin_tokens"),
+        F.sum("__covered").alias("bin_stripped"),
     )
-    return bins.groupBy("split").agg(
+    manifest = bins.groupBy("split").agg(
         F.sum("docs_in_bin").cast("bigint").alias("n_docs"),
         F.sum("bin_tokens").cast("bigint").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_bins"),
         dround(
             F.sum("bin_tokens").cast("double") / F.count(F.lit(1)) / 4096.0, 6
         ).alias("mean_bin_fill"),
+        F.sum("bin_stripped").cast("bigint").alias("stripped_tokens"),
+    )
+    # full outer: a split whose every doc was a husk still reports its drops
+    return manifest.join(husks, "split", "full_outer").select(
+        "split",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.coalesce(F.col("n_bins"), F.lit(0)).cast("bigint").alias("n_bins"),
+        F.coalesce(F.col("mean_bin_fill"), F.lit(0.0)).alias("mean_bin_fill"),
+        F.coalesce(F.col("stripped_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("stripped_tokens"),
+        F.coalesce(F.col("n_dropped_boilerplate"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped_boilerplate"),
     )
 
 
-_RELEASE_SQL = _TOKS_CTE + """
-, scored AS (
+_RELEASE_SQL = _TOKS_CTE + _LR_CORE_SQL + f"""
+, relcov0 AS (
+    SELECT doc_id, pos, repeat_len,
+           MAX(pos + repeat_len) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM lrlen WHERE repeat_len >= {_STRIP_LEN}
+), relcov AS (
+    SELECT doc_id,
+           CAST(SUM(GREATEST(pos + repeat_len
+                - GREATEST(COALESCE(prev_end, 0), pos), 0)) AS BIGINT)
+               AS covered
+    FROM relcov0 GROUP BY doc_id
+), scored AS (
     SELECT d.doc_id, d.lang, md5(d.text) AS h,
            round(0.4 * least(len(t) / 64.0, 1.0)
                + 0.4 * coalesce(len(list_distinct(t)) * 1.0 / nullif(len(t), 0), 0.0)
@@ -3467,25 +3737,43 @@ _RELEASE_SQL = _TOKS_CTE + """
                           AS BIGINT) % 10000 < 9000 THEN 'val'
                 ELSE 'test' END AS split
     FROM clean
+), strippedrel AS (
+    SELECT s.*, CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+           CAST(s.n_tokens - COALESCE(c.covered, 0) AS BIGINT) AS n_eff
+    FROM split s LEFT JOIN relcov c USING (doc_id)
+), huskrel AS (
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_dropped_boilerplate
+    FROM strippedrel WHERE n_eff < {_STRIP_MIN_EFF} GROUP BY split
 ), packed AS (
     SELECT *,
-           CAST(floor((SUM(n_tokens) OVER (PARTITION BY split, lang
+           CAST(floor((SUM(n_eff) OVER (PARTITION BY split, lang
                         ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       - n_tokens) / 4096.0) AS BIGINT) AS bin
-    FROM split
+                       - n_eff) / 4096.0) AS BIGINT) AS bin
+    FROM strippedrel WHERE n_eff >= {_STRIP_MIN_EFF}
 ), bins AS (
     SELECT split, lang, bin, count(*) AS docs_in_bin,
-           SUM(n_tokens) AS bin_tokens
+           SUM(n_eff) AS bin_tokens, SUM(covered) AS bin_stripped
     FROM packed GROUP BY 1, 2, 3
+), manifest AS (
+    SELECT split,
+           CAST(SUM(docs_in_bin) AS BIGINT) AS n_docs,
+           CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           floor(CAST(SUM(bin_tokens) AS DOUBLE) / count(*) / 4096.0 * 1e6 + 0.5)
+               / 1e6 AS mean_bin_fill,
+           CAST(SUM(bin_stripped) AS BIGINT) AS stripped_tokens
+    FROM bins GROUP BY split
 )
-SELECT split,
-       CAST(SUM(docs_in_bin) AS BIGINT) AS n_docs,
-       CAST(SUM(bin_tokens) AS BIGINT) AS n_tokens,
-       CAST(count(*) AS BIGINT) AS n_bins,
-       floor(CAST(SUM(bin_tokens) AS DOUBLE) / count(*) / 4096.0 * 1e6 + 0.5)
-           / 1e6 AS mean_bin_fill
-FROM bins GROUP BY split
+SELECT COALESCE(m.split, h.split) AS split,
+       CAST(COALESCE(m.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(m.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(m.n_bins, 0) AS BIGINT) AS n_bins,
+       COALESCE(m.mean_bin_fill, 0.0) AS mean_bin_fill,
+       CAST(COALESCE(m.stripped_tokens, 0) AS BIGINT) AS stripped_tokens,
+       CAST(COALESCE(h.n_dropped_boilerplate, 0) AS BIGINT)
+           AS n_dropped_boilerplate
+FROM manifest m FULL OUTER JOIN huskrel h ON m.split = h.split
 """
 
 QUERIES["corpus_release_pipeline"] = corpus_release_pipeline

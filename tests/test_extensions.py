@@ -1587,6 +1587,90 @@ def test_longest_repeat_identical_suffix_twins_and_cap(spark):
     assert cap_row["n_capped_suffixes"] == 5
 
 
+def test_sampled_repeat_lengths_planted_giant_anchor(spark):
+    """VERDICT r8 item 6, at PRODUCTION knobs: a 40-token block planted in
+    600 docs makes every interior anchor's df (600) exceed the census cap
+    (512) — the exact family excludes the whole block and only discloses
+    the mass. ``sampled_repeat_lengths(min_anchor_df=512,
+    sample_per_anchor=64)`` must (a) select exactly the 33 block anchors,
+    (b) draw the md5-deterministic 64-suffix sample an independent Python
+    ranking predicts, (c) report the TRUE interior lengths 40−q for every
+    sampled suffix (all block occurrences share the full remainder, so the
+    within-sample lower bound is tight here), and (d) HT-extrapolate each
+    length's sampled count back to the full 600-suffix anchor mass."""
+    import hashlib
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        sampled_repeat_lengths,
+    )
+
+    n_docs, blk = 600, [f"blk{j}" for j in range(40)]
+    docs = [
+        (
+            i,
+            " ".join(
+                [f"x{i}n{j}" for j in range(5)]
+                + blk
+                + [f"y{i}n{j}" for j in range(5)]
+            ),
+        )
+        for i in range(1, n_docs + 1)
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    sampled, selected, disc = sampled_repeat_lengths(
+        df, "doc_id", "text", w=8, min_anchor_df=512, sample_per_anchor=64
+    )
+    d = disc.collect()[0]
+    assert d["n_selected_anchors"] == 40 - 8 + 1  # block offsets 0..32
+    assert d["n_selected_suffixes"] == 33 * n_docs
+    assert selected.count() == 33 * n_docs
+    rows = sampled.collect()
+    # (b) the sample is exactly the 64 md5-smallest (doc_id:pos) per anchor
+    # — recomputed independently in Python (block offset q sits at doc
+    # position 5 + q in every doc)
+    got_sample = {(r["doc_id"], r["pos"]) for r in rows}
+    want_sample = set()
+    for q in range(33):
+        pos = 5 + q
+        ranked = sorted(
+            range(1, n_docs + 1),
+            key=lambda i: (
+                hashlib.md5(f"{i}:{pos}".encode()).hexdigest(),
+                i,
+            ),
+        )
+        want_sample.update((i, pos) for i in ranked[:64])
+    assert got_sample == want_sample
+    # (c) tight within-sample lengths and (d) exact HT mass recovery
+    assert all(r["anchor_df"] == n_docs for r in rows)
+    by_len: dict[int, int] = {}
+    for r in rows:
+        assert r["repeat_len"] == 40 - (r["pos"] - 5)
+        by_len[r["repeat_len"]] = by_len.get(r["repeat_len"], 0) + 1
+    assert by_len == {40 - q: 64 for q in range(33)}
+    # (d) HT estimate per length: sum(anchor_df)/sample = 64*600/64 = the
+    # true 600 suffixes the exact census had to exclude
+    est = {
+        ln: sum(r["anchor_df"] for r in rows if r["repeat_len"] == ln) // 64
+        for ln in by_len
+    }
+    assert est == {40 - q: n_docs for q in range(33)}
+
+
+def test_sampled_repeat_lengths_rejects_degenerate_sample(spark):
+    """A 1-suffix sample has no within-sample neighbour — the operator must
+    refuse loudly instead of returning repeat_len = w noise."""
+    import pytest as _pytest
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        sampled_repeat_lengths,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="sample_per_anchor"):
+        sampled_repeat_lengths(df, "doc_id", "text", sample_per_anchor=1)
+
+
 def test_top_repeated_spans_planted(spark, tmp_path):
     """top_repeated_spans surfaces the planted passages as ARTIFACTS — one
     maximal span per passage (left-maximality collapses the interior
@@ -1638,6 +1722,42 @@ def test_top_repeated_spans_planted(spark, tmp_path):
         r["n_capped_anchors"] == 0 and r["n_capped_suffixes"] == 0
         for r in rows
     )
+
+
+def test_release_pipeline_boilerplate_strip_planted(spark, tmp_path):
+    """VERDICT r8 item 7: the release pipeline consumes the suffix-ranking
+    census as a boilerplate-strip stage. A 30-token header planted in 15
+    otherwise-unique docs exercises BOTH attrition paths on one fixture:
+    12 long docs keep their unique 80 tokens but lose the header's 30 from
+    the packing mass (stripped_tokens), 3 header-plus-2-token husks fall
+    below the effective-length floor and are dropped (counted, not
+    silently vanished). The synthetic driver corpus only ever exhibits the
+    husk path — its long repeats are whole-doc near-dups — so the partial
+    strip is pinned here."""
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    header = " ".join(f"hdr{j}" for j in range(30))
+    docs = [
+        (i, "en", header + " " + " ".join(f"u{i}w{j}" for j in range(80)))
+        for i in range(1, 13)
+    ] + [
+        (i, "en", header + " " + f"u{i}x0 u{i}x1")
+        for i in range(13, 16)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id: long, lang: string, text: string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
+    rows = dt.corpus_release_pipeline(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in rows) == 12
+    assert sum(r["n_tokens"] for r in rows) == 12 * 80
+    assert sum(r["stripped_tokens"] for r in rows) == 12 * 30
+    assert sum(r["n_dropped_boilerplate"] for r in rows) == 3
+    # every populated split packs into whole bins of post-strip tokens only
+    for r in rows:
+        if r["n_docs"]:
+            assert r["n_tokens"] == 80 * r["n_docs"]
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
 
 
 def test_suffix_artifact_reuse(spark, tmp_path):
