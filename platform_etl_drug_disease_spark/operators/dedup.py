@@ -1729,7 +1729,8 @@ def sampled_repeat_lengths(
     max_anchor_df: int | None = None,
     sample_per_anchor: int = 64,
     max_rounds: int = 24,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    return_selected: bool = False,
+) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """SAMPLED interior estimate of repeat lengths for anchors BEYOND the
     exact census' df cap (VERDICT r8 item 6). ``longest_repeat_lengths``
     excludes anchors shared by more than its cap and discloses the mass —
@@ -1763,8 +1764,11 @@ def sampled_repeat_lengths(
     - ``sampled``: (id_col, pos, repeat_len, anchor_df) — one row per
       sampled suffix; HT estimate of the anchor-mass at a given length is
       Σ anchor_df / sample_per_anchor over its sampled rows;
-    - ``selected``: (id_col, pos) of EVERY suffix of a selected anchor
-      (eagerly checkpointed — an audit joins it to exact truth);
+    - ``selected``: (id_col, pos) of EVERY suffix of a selected anchor —
+      ``None`` unless ``return_selected=True`` (round-9 review finding:
+      materializing it is O(selected anchor MASS), which at beyond-cap
+      knobs is exactly the unbounded quantity this operator exists to
+      avoid; only an audit that joins against exact truth should pay it);
     - ``disclosure``: 1 row (n_selected_anchors, n_selected_suffixes).
     """
     from pyspark.sql import Window
@@ -1776,6 +1780,14 @@ def sampled_repeat_lengths(
             f"within-sample neighbour to share a prefix with, got "
             f"{sample_per_anchor}"
         )
+    if min_anchor_df < 1:
+        raise ValueError(
+            "min_anchor_df must be >= 1: selecting df-1 anchors yields "
+            "singleton groups whose suffixes repeat nowhere yet would "
+            f"resolve to repeat_len = w noise, got {min_anchor_df}"
+        )
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     base = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .withColumn("__n", F.size("__t"))
@@ -1800,7 +1812,12 @@ def sampled_repeat_lengths(
     sel_cond = F.col("__df") > min_anchor_df
     if max_anchor_df is not None:
         sel_cond = sel_cond & (F.col("__df") <= max_anchor_df)
-    sel = cnt.where(sel_cond)
+    # checkpoint the anchor-selection frame ONCE (one row per selected
+    # anchor): disclosure, the selected-suffix listing, and the sample all
+    # derive from it, and without the checkpoint each would re-run the
+    # full-corpus anchor-count shuffle as its own job (round-9 review
+    # finding — three corpus shuffles where one suffices).
+    sel = cnt.where(sel_cond).localCheckpoint()
     disclosure = sel.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_selected_anchors"),
         F.coalesce(F.sum("__df"), F.lit(0)).cast("bigint").alias(
@@ -1808,12 +1825,15 @@ def sampled_repeat_lengths(
         ),
     ).localCheckpoint()
     cand = occ.join(sel, "__key")
-    # every suffix of a selected anchor, materialized BEFORE base is
-    # released (an audit consumer joins this against exact truth; at the
-    # production beyond-cap knobs it is the disclosed boilerplate mass —
-    # two bigints per suffix, the same order as the exact loop's own alive
-    # checkpoint).
-    selected = cand.select(F.col(id_col), "pos").localCheckpoint()
+    # every suffix of a selected anchor — materialized only on request
+    # BEFORE base is released (an audit consumer joins this against exact
+    # truth; it is the disclosed anchor mass — two bigints per suffix —
+    # i.e. O(heat), which non-audit callers must not pay).
+    selected = (
+        cand.select(F.col(id_col), "pos").localCheckpoint()
+        if return_selected
+        else None
+    )
     rk_w = Window.partitionBy("__key").orderBy(
         F.md5(
             F.concat_ws(

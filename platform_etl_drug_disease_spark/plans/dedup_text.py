@@ -2622,6 +2622,7 @@ def capped_repeat_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_anchor_df=_CRE_MIN_DF,
         max_anchor_df=_LR_CAP,
         sample_per_anchor=_CRE_S,
+        return_selected=True,  # the audit joins it against exact truth
     )
     est = sampled.groupBy("repeat_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled_suffixes"),

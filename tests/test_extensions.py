@@ -1618,7 +1618,8 @@ def test_sampled_repeat_lengths_planted_giant_anchor(spark):
     ]
     df = spark.createDataFrame(docs, "doc_id: long, text: string")
     sampled, selected, disc = sampled_repeat_lengths(
-        df, "doc_id", "text", w=8, min_anchor_df=512, sample_per_anchor=64
+        df, "doc_id", "text", w=8, min_anchor_df=512, sample_per_anchor=64,
+        return_selected=True,
     )
     d = disc.collect()[0]
     assert d["n_selected_anchors"] == 40 - 8 + 1  # block offsets 0..32
@@ -1669,6 +1670,12 @@ def test_sampled_repeat_lengths_rejects_degenerate_sample(spark):
     df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id: long, text: string")
     with _pytest.raises(ValueError, match="sample_per_anchor"):
         sampled_repeat_lengths(df, "doc_id", "text", sample_per_anchor=1)
+    # min_anchor_df=0 would select df-1 anchors: singleton groups whose
+    # suffixes repeat nowhere, resolving to repeat_len = w noise
+    with _pytest.raises(ValueError, match="min_anchor_df"):
+        sampled_repeat_lengths(df, "doc_id", "text", min_anchor_df=0)
+    with _pytest.raises(ValueError, match="max_rounds"):
+        sampled_repeat_lengths(df, "doc_id", "text", max_rounds=0)
 
 
 def test_top_repeated_spans_planted(spark, tmp_path):
@@ -1738,14 +1745,15 @@ def test_release_pipeline_boilerplate_strip_planted(spark, tmp_path):
 
     header = " ".join(f"hdr{j}" for j in range(30))
     docs = [
-        (i, "en", header + " " + " ".join(f"u{i}w{j}" for j in range(80)))
+        (i, "en", "web",
+         header + " " + " ".join(f"u{i}w{j}" for j in range(80)))
         for i in range(1, 13)
     ] + [
-        (i, "en", header + " " + f"u{i}x0 u{i}x1")
+        (i, "en", "web", header + " " + f"u{i}x0 u{i}x1")
         for i in range(13, 16)
     ]
     spark.createDataFrame(
-        docs, "doc_id: long, lang: string, text: string"
+        docs, "doc_id: long, lang: string, source: string, text: string"
     ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
     dt._SUFFIX_ARTIFACT_CACHE.clear()
     rows = dt.corpus_release_pipeline(spark, str(tmp_path)).collect()
@@ -1757,6 +1765,33 @@ def test_release_pipeline_boilerplate_strip_planted(spark, tmp_path):
     for r in rows:
         if r["n_docs"]:
             assert r["n_tokens"] == 80 * r["n_docs"]
+    # cross-engine: the driver's oracle gate only ever sees corpora where
+    # the partial-strip path is inert (stripped_tokens = 0 — the synthetic
+    # repeats are whole-doc), so pin Spark == DuckDB on THIS fixture, where
+    # it is live (round-9 review finding).
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(dt._RELEASE_SQL).fetchall()
+    }
+    got = {
+        r["split"]: (
+            r["n_docs"], r["n_tokens"], r["n_bins"],
+            round(r["mean_bin_fill"], 6), r["stripped_tokens"],
+            r["n_dropped_boilerplate"],
+        )
+        for r in rows
+    }
+    assert got == {
+        s: (v[0], v[1], v[2], round(v[3], 6), v[4], v[5])
+        for s, v in oracle.items()
+    }
     dt._SUFFIX_ARTIFACT_CACHE.clear()
 
 
