@@ -26,16 +26,18 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-9 window (current): the 5 pins; the 4 round-9 items
+Round-9 window (current): the 5 pins; the 5 round-9 items
 (`repeat_mass_by_source` — per-source repeated-token-mass attribution,
 the third consumer of the shared suffix-ranking artifact —
 `streaming_dedup_multibatch` / `streaming_containment_multibatch`, the
-serve twins under a real >= 3-micro-batch feed, and
-`capped_repeat_estimate` — the sampled-interior estimator for
-beyond-cap anchors, audited against exact truth on the affordable df
-band, all new); then ALL 37 queries whose latest strict green is round 4
-(the oldest cohort after a fully-green r8 re-proved the r3 cohort), then
-the 4 alphabetically-first of the r5-latest cohort. Note `longest_repeat_census` and
+serve twins under a real >= 3-micro-batch feed, `capped_repeat_estimate`
+— the sampled-interior estimator for beyond-cap anchors, audited
+against exact truth on the affordable df band — and
+`repeat_keep_one_retention`, the keep-one ExactSubstr accounting twin
+of the release pipeline's remove-all strip, all new); then ALL 37
+queries whose latest strict green is round 4 (the oldest cohort after a
+fully-green r8 re-proved the r3 cohort), then the 3 alphabetically-first
+of the r5-latest cohort. Note `longest_repeat_census` and
 `top_repeated_spans` now consume the memoized `_suffix_ranking`
 artifact — value-identical by construction and by
 tests/test_extensions.py::test_suffix_artifact_reuse, so their r8 rows
@@ -92,6 +94,7 @@ _DRIVER_WINDOW = [
     "streaming_dedup_multibatch",
     "streaming_containment_multibatch",
     "capped_repeat_estimate",
+    "repeat_keep_one_retention",
     # re-greens: every query whose latest strict green driver row is
     # ROUND 4 (the oldest remaining cohort after a green r8 — the r3
     # cohort was fully re-proven in round 8), all 37
@@ -132,11 +135,10 @@ _DRIVER_WINDOW = [
     "value_ks_by_type",
     "value_moments_stats",
     "volume_shipping_matrix",
-    # re-greens: the 4 alphabetically-first of the r5-latest cohort
+    # re-greens: the 3 alphabetically-first of the r5-latest cohort
     "boilerplate_span_stats",
     "bootstrap_revenue_ci",
     "clean_corpus_stats",
-    "corpus_epoch_stats",
 ]
 
 

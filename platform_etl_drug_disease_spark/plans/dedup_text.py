@@ -2574,6 +2574,196 @@ QUERIES["repeat_mass_by_source"] = repeat_mass_by_source
 ORACLES["repeat_mass_by_source"] = _REPEAT_MASS_SQL
 
 
+# boilerplate-strip knobs shared by `repeat_keep_one_retention` and the
+# release pipeline's strip stage (VERDICT r8 item 7): token positions
+# covered by an exact repeat of >= _STRIP_LEN tokens (Lee et al. 2022's
+# ~50-BPE-token ExactSubstr threshold, in whitespace tokens) are
+# strip-eligible; a doc whose post-strip effective length falls below
+# _STRIP_MIN_EFF is a boilerplate husk and is dropped (and counted).
+_STRIP_LEN = 24
+_STRIP_MIN_EFF = 16
+
+
+def repeat_keep_one_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-ONE ExactSubstr retention accounting (Lee et al. 2022's
+    keep-one-copy variant — the counterpart of the release pipeline's
+    remove-all strip stage, at the SAME ≥ ``_STRIP_LEN``-token threshold):
+    for every maximal repeated span, the lexicographically-first
+    (doc_id, pos) occurrence is the canonical copy and is RETAINED; every
+    other occurrence's token interval is removed. Per source: docs, docs
+    losing tokens, total/removed/retained token mass — i.e. "what would
+    the corpus keep if dedup kept one copy of each long repeat instead of
+    stripping them all". Fourth consumer of the session-memoized
+    ``_suffix_ranking`` artifact.
+
+    Semantics: spans are LEFT-MAXIMAL starts (``top_repeated_spans``' rule)
+    with repeat_len ≥ the strip threshold; span identity is the md5 of the
+    span text (slice-join against the doc-partitioned token table — the
+    digest shuffles, the text never does); removals are interval-unioned
+    per doc, so overlapping removals are never double-counted. Retention
+    is a per-TOKEN accounting: a kept canonical copy can still lose tokens
+    to a DIFFERENT overlapping span's removal — the guarantee is one
+    retained occurrence per span identity, not an untouched document.
+
+    Scale shape: everything after the shared doubling loop is bounded by
+    the left-maximal start set (duplicate mass), never the corpus: the
+    keeper rank window shuffles 32-char digests + two bigints, the
+    interval union is doc-keyed, and the rollup is per-source with
+    map-side partials. Sentinel + n_capped_* disclosure as everywhere in
+    the family."""
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "source", "text"])
+    per_suffix, capped = _suffix_ranking(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    starts = (
+        per_suffix.withColumn("__ppos", F.lag("pos").over(w))
+        .withColumn("__pr", F.lag("repeat_len").over(w))
+        .where(
+            F.col("__ppos").isNull()
+            | (F.col("__ppos") != F.col("pos") - 1)
+            | (F.col("__pr") < F.col("repeat_len") + 1)
+        )
+        .where(F.col("repeat_len") >= _STRIP_LEN)
+    )
+    toks = docs.select(
+        "doc_id", "source", tx.tokens("text").alias("__t")
+    )
+    span = F.array_join(
+        F.slice("__t", F.col("pos") + 1, F.col("repeat_len").cast("int")), " "
+    )
+    occs = starts.join(toks.select("doc_id", "__t"), "doc_id").select(
+        "doc_id", "pos", "repeat_len", F.md5(span).alias("span_md5")
+    )
+    kw = Window.partitionBy("span_md5").orderBy("doc_id", "pos")
+    removals = occs.withColumn("__rk", F.row_number().over(kw)).where(
+        F.col("__rk") > 1
+    )
+    wcov = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        removals.withColumn(
+            "__prev", F.max(F.col("pos") + F.col("repeat_len")).over(wcov)
+        )
+        .withColumn(
+            "__contrib",
+            F.greatest(
+                F.col("pos")
+                + F.col("repeat_len")
+                - F.greatest(
+                    F.coalesce(F.col("__prev"), F.lit(0)), F.col("pos")
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__contrib").cast("bigint").alias("__removed"))
+    )
+    agg = (
+        toks.select(
+            "doc_id", "source", tx.token_count_of(F.col("__t")).alias("__n")
+        )
+        .join(cov, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("__removed").cast("bigint").alias("n_docs_affected"),
+            F.sum("__n").cast("bigint").alias("tokens_total"),
+            F.coalesce(F.sum("__removed"), F.lit(0)).cast("bigint").alias(
+                "tokens_removed"
+            ),
+            (
+                F.sum("__n") - F.coalesce(F.sum("__removed"), F.lit(0))
+            ).cast("bigint").alias("tokens_retained"),
+        )
+    )
+    sentinel = spark.range(1).select(
+        F.lit("").alias("source"),
+        F.lit(0).cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_docs_affected"),
+        F.lit(0).cast("bigint").alias("tokens_total"),
+        F.lit(0).cast("bigint").alias("tokens_removed"),
+        F.lit(0).cast("bigint").alias("tokens_retained"),
+    )
+    return agg.unionByName(sentinel).crossJoin(F.broadcast(capped)).select(
+        "source",
+        "n_docs",
+        "n_docs_affected",
+        "tokens_total",
+        "tokens_removed",
+        "tokens_retained",
+        "n_capped_anchors",
+        "n_capped_suffixes",
+    )
+
+
+_KEEP_ONE_SQL = (
+    _TOKS_CTE
+    + _LR_CORE_SQL
+    + f"""
+, k1starts AS (
+    SELECT doc_id, pos, repeat_len FROM (
+        SELECT doc_id, pos, repeat_len,
+               lag(pos) OVER sw AS ppos,
+               lag(repeat_len) OVER sw AS pr
+        FROM lrlen WINDOW sw AS (PARTITION BY doc_id ORDER BY pos)
+    ) WHERE (ppos IS NULL OR ppos != pos - 1 OR pr < repeat_len + 1)
+          AND repeat_len >= {_STRIP_LEN}
+),
+k1occ AS (
+    SELECT s.doc_id, s.pos, s.repeat_len,
+           md5(list_aggregate(
+               t.t[s.pos + 1 : s.pos + CAST(s.repeat_len AS INT)],
+               'string_agg', ' ')) AS span_md5
+    FROM k1starts s JOIN toks t USING (doc_id)
+),
+k1rem AS (
+    SELECT doc_id, pos, repeat_len FROM (
+        SELECT *, row_number() OVER (PARTITION BY span_md5
+                      ORDER BY doc_id, pos) AS rk
+        FROM k1occ
+    ) WHERE rk > 1
+),
+k1cov0 AS (
+    SELECT doc_id, pos, repeat_len,
+           MAX(pos + repeat_len) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM k1rem
+),
+k1cov AS (
+    SELECT doc_id,
+           CAST(SUM(GREATEST(pos + repeat_len
+                - GREATEST(COALESCE(prev_end, 0), pos), 0)) AS BIGINT)
+               AS removed
+    FROM k1cov0 GROUP BY doc_id
+),
+k1src AS (
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.removed IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_affected,
+           CAST(SUM(len(t.t)) AS BIGINT) AS tokens_total,
+           CAST(COALESCE(SUM(c.removed), 0) AS BIGINT) AS tokens_removed,
+           CAST(SUM(len(t.t)) - COALESCE(SUM(c.removed), 0) AS BIGINT)
+               AS tokens_retained
+    FROM toks t LEFT JOIN k1cov c USING (doc_id)
+    GROUP BY t.source
+    UNION ALL
+    SELECT '', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+)
+SELECT s.source, s.n_docs, s.n_docs_affected, s.tokens_total,
+       s.tokens_removed, s.tokens_retained,
+       h.n_capped_anchors, h.n_capped_suffixes
+FROM k1src s, lrhot h
+"""
+)
+
+QUERIES["repeat_keep_one_retention"] = repeat_keep_one_retention
+ORACLES["repeat_keep_one_retention"] = _KEEP_ONE_SQL
+
+
 # sampled-estimator knobs: the estimator exists for anchors BEYOND the
 # census' _LR_CAP (where exact truth is unaffordable), but an audit must run
 # where truth IS affordable — the df ∈ (_CRE_MIN_DF, _LR_CAP] band — so the
@@ -3557,15 +3747,6 @@ ORACLES["source_coverage_greedy"] = _GREEDY_SQL
 # ---------------------------------------------------------------------------
 # corpus release pipeline: the LLM-side flagship DAG (clean → split → pack)
 # ---------------------------------------------------------------------------
-
-
-# boilerplate-strip knobs (VERDICT r8 item 7): token positions covered by
-# an exact repeat of >= _STRIP_LEN tokens (Lee et al. 2022's ~50-BPE-token
-# ExactSubstr threshold, in whitespace tokens) are stripped from the packing
-# token counts; a doc whose post-strip effective length falls below
-# _STRIP_MIN_EFF is a boilerplate husk and is dropped (and counted).
-_STRIP_LEN = 24
-_STRIP_MIN_EFF = 16
 
 
 def corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1795,6 +1795,60 @@ def test_release_pipeline_boilerplate_strip_planted(spark, tmp_path):
     dt._SUFFIX_ARTIFACT_CACHE.clear()
 
 
+def test_repeat_keep_one_retention_planted(spark, tmp_path):
+    """Keep-one ExactSubstr accounting on the strip fixture: the 30-token
+    header planted in 15 docs keeps its lexicographically-first occurrence
+    (doc 1, pos 0) and removes the other 14 — versus the remove-all strip
+    stage, which strips all 15. Both engines must agree (the planted
+    fixture is the only corpus where this path is non-degenerate)."""
+    import duckdb
+
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    header = " ".join(f"hdr{j}" for j in range(30))
+    docs = [
+        (i, "en", "web",
+         header + " " + " ".join(f"u{i}w{j}" for j in range(80)))
+        for i in range(1, 13)
+    ] + [
+        (i, "en", "web", header + " " + f"u{i}x0 u{i}x1")
+        for i in range(13, 16)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id: long, lang: string, source: string, text: string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
+    rows = {
+        r["source"]: r
+        for r in dt.repeat_keep_one_retention(spark, str(tmp_path)).collect()
+    }
+    web = rows["web"]
+    assert web["n_docs"] == 15
+    assert web["n_docs_affected"] == 14  # doc 1 keeps the canonical copy
+    assert web["tokens_total"] == 12 * 110 + 3 * 32
+    assert web["tokens_removed"] == 14 * 30
+    assert web["tokens_retained"] == web["tokens_total"] - 14 * 30
+    assert rows[""]["n_docs"] == 0  # sentinel carries the disclosure
+    # cross-engine pin on the live path (driver corpora only exercise the
+    # trivial whole-doc case)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {r[0]: r[1:] for r in con.execute(dt._KEEP_ONE_SQL).fetchall()}
+    got = {
+        s: (
+            r["n_docs"], r["n_docs_affected"], r["tokens_total"],
+            r["tokens_removed"], r["tokens_retained"],
+            r["n_capped_anchors"], r["n_capped_suffixes"],
+        )
+        for s, r in rows.items()
+    }
+    assert got == oracle
+    dt._SUFFIX_ARTIFACT_CACHE.clear()
+
+
 def test_suffix_artifact_reuse(spark, tmp_path):
     """VERDICT r8 item 1: the session-memoized ``_suffix_ranking`` artifact
     that `longest_repeat_census`, `top_repeated_spans`, and
