@@ -57,6 +57,10 @@ out = {
     # field exists to prevent.
     "n_excluded": detail["n_excluded"],
     "excluded": detail["excluded"],
+    # drift-normalization constant (VERDICT r8 residual 3) must travel with
+    # the artifact, not just the detail file, or cross-round sf~1 ratios
+    # cannot be calibration-corrected.
+    "calibration_sec": detail["calibration_sec"],
     "queries": dict(sorted(detail["queries"].items())),
 }
 with open("/root/repo/BENCH_sf1.json", "w") as fh:
