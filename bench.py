@@ -98,6 +98,39 @@ def calibration_wall(spark) -> float:
     return round(best, 3)
 
 
+def calibration_shuffle_wall(spark) -> float:
+    """Fixed SHUFFLE-BOUND reference workload (VERDICT r9 item 1): the
+    CPU probe above demonstrably cannot normalize the graph/streaming
+    families' sf≈1 drift — their walls moved 1.3–1.6× with byte-identical
+    plans while ``calibration_sec`` moved the OTHER way, because those
+    families are bound by the disk/loopback shuffle resource the CPU probe
+    deliberately avoids. This probe times that resource directly: an 8M×8M
+    sort-merge join on high-cardinality keys (pmod-of-xxhash64 — ~1 row
+    per key, so map-side combine can't collapse the exchange) with trivial
+    per-row CPU. Two full 8M-row exchanges + two sorts ≈ 250 MB through
+    the local shuffle path. Cross-round PERF tables normalize
+    shuffle-heavy families by the ratio of THIS number and CPU-heavy
+    families by ``calibration_sec``. Best-of-3, like the CPU probe."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        left = spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "pmod(xxhash64(id), 8000000) k", "id v"
+        )
+        right = spark.range(0, 8_000_000, 1, 32).selectExpr(
+            "pmod(xxhash64(id + 7), 8000000) k", "id w"
+        )
+        (
+            left.join(right, "k")
+            .selectExpr("pmod(sum(v + w), 1000003) t")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def _pre_run_reset(name: str) -> None:
     """The suffix-ranking family memoizes its corpus artifact per session
     (plans/dedup_text._suffix_ranking). ``longest_repeat_census`` is the
@@ -124,6 +157,14 @@ def _pre_run_reset(name: str) -> None:
         dedup_text._LSH_COMPONENTS_CACHE.clear()
     elif name == "dedup_cluster_components":
         dedup_text._LSH_COMPONENTS_CACHE.clear()
+    elif name == "top_repeated_spans":
+        # owner of the left-maximal-start lag-window pass (VERDICT r9
+        # item 6); the strip/retention consumers ride it warm
+        dedup_text._LM_STARTS_CACHE.clear()
+    elif name == "repeat_keep_one_retention":
+        # owner of the keep-one span-identity/removal derivation shared
+        # with the release DAG's keep_one mode (VERDICT r9 item 4)
+        dedup_text._K1_REMOVALS_CACHE.clear()
 
 
 def main() -> None:
@@ -149,7 +190,12 @@ def main() -> None:
         "overwrite"
     ).save()
     calibration_sec = calibration_wall(spark)
-    print(f"calibration: {calibration_sec}s", file=sys.stderr)
+    calibration_shuffle_sec = calibration_shuffle_wall(spark)
+    print(
+        f"calibration: cpu {calibration_sec}s / "
+        f"shuffle {calibration_shuffle_sec}s",
+        file=sys.stderr,
+    )
 
     # best-of-2 per query: single-shot timings on this box swing up to 10×
     # under VM CPU contention (measured: the same query 5.9 s vs 66 s across
@@ -212,6 +258,7 @@ def main() -> None:
         "excluded": excluded_applicable,
         "subset": subset_run,
         "calibration_sec": calibration_sec,
+        "calibration_shuffle_sec": calibration_shuffle_sec,
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -228,6 +275,7 @@ def main() -> None:
         "n_excluded": len(excluded_applicable),
         "subset": subset_run,
         "calibration_sec": calibration_sec,
+        "calibration_shuffle_sec": calibration_shuffle_sec,
         "queries_detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(summary)

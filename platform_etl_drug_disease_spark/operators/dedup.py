@@ -1468,6 +1468,27 @@ def _word_lcp(a: Column, b: Column) -> Column:
     return F.when(p == 0, F.least(F.size(a), F.size(b))).otherwise(p - 1)
 
 
+def lr_tokens(text_col: Column | str) -> Column:
+    """Suffix-family tokenization: ``operators.text.tokens`` over text with
+    the family's sort-separator bytes ``\\x00``/``\\x01`` STRIPPED first
+    (VERDICT r9 item 5). The prefix-doubling adjacency identity joins token
+    slices with ``\\x01`` so that string order refines token-prefix order —
+    a convention that is exact only when tokens are free of ``\\x00`` (sorts
+    below the separator) and ``\\x01`` itself (makes the joined key
+    ambiguous: "x\\x01q" joins identically to the pair "x","q"). Rather than
+    disclosing that hole, the family now closes it: both engines strip the
+    two bytes from the TEXT before whitespace-splitting (stripping per
+    token after the split would differ — a token that IS one of the bytes
+    would become an empty token instead of vanishing into whitespace).
+    Whitespace-tokenized text corpora never contain them, so on normal data
+    this is byte-for-byte the plain tokenization; the DuckDB mirror is
+    ``_LR_TOKS_CTE`` in plans/dedup_text.py."""
+    from platform_etl_drug_disease_spark.operators.text import tokens
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return tokens(F.regexp_replace(c, "[\\x00\\x01]", ""))
+
+
 def _suffix_round_frame(
     alive: DataFrame, toks_by_id: DataFrame, id_col: str, depth: int
 ) -> DataFrame:
@@ -1498,17 +1519,13 @@ def _suffix_round_frame(
         # chars (\x02-\x08, \x0e-\x1f) survive tokenization and sort
         # BELOW ' ' — under a space join a token like "x\x02q" would
         # misorder against "x b" and shave the adjacent-max LCP
-        # (round-8 review finding). Tokens containing \x00 OR \x01
-        # itself remain the theoretical breakers (ADVICE r8): a \x01
-        # inside a token makes the joined key ambiguous ("x\x01q"
-        # joins identically to the pair "x","q"), so such a tie can
-        # displace the true max-LCP neighbour exactly like \x00 can
-        # defeat the below-every-byte ordering claim. Both engines
-        # share the convention verbatim, so oracle parity holds
-        # regardless; the EXACT-semantics claim assumes tokens are
-        # \x00/\x01-free (true of any whitespace-tokenized text
-        # corpus; binary-bearing columns belong to the multimodal
-        # family, not this one).
+        # (round-8 review finding). The two bytes that would break the
+        # convention itself — \x00 (sorts below the separator) and
+        # \x01 (makes the joined key ambiguous) — CANNOT occur here:
+        # both family entry points tokenize via lr_tokens(), which
+        # strips them from the text before splitting (VERDICT r9
+        # item 5; previously a disclosed theoretical hole, now closed
+        # on both engines).
         .withColumn("__rest_str", F.array_join("__rest", "\x01"))
         .withColumn(
             "__key2",
@@ -1583,8 +1600,8 @@ def longest_repeat_lengths(
        slice. In suffix order the maximum LCP against the whole group is
        attained at an adjacent row (the suffix-array adjacency property),
        and the join-with-``\\x01`` string order refines token-prefix order
-       (tokens are whitespace-split; \\x01 sorts below every in-token byte
-       except the theoretical \\x00), so
+       (tokens come from :func:`lr_tokens`, which strips ``\\x00``/``\\x01``
+       so the separator sorts below every in-token byte unambiguously), so
        ``repeat_len = d + max(token-LCP with the two neighbours)``
        is EXACT for every suffix whose extended key is unique or whose
        remainder ends within the window — those resolve and leave the loop;
@@ -1607,12 +1624,10 @@ def longest_repeat_lengths(
     repeat_len ≥ w) rows, one per qualifying suffix; capped = the 1-row
     disclosure frame. Deterministic; the catalog oracle recomputes the same
     ``repeat_len`` single-node via a true full-suffix sort."""
-    from platform_etl_drug_disease_spark.operators.text import tokens
-
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     base = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        df.select(F.col(id_col), lr_tokens(text_col).alias("__t"))
         .withColumn("__n", F.size("__t"))
         .where(F.col("__n") >= w)
         .repartition(F.col(id_col))  # per-round slice joins reuse this layout
@@ -1730,6 +1745,7 @@ def sampled_repeat_lengths(
     sample_per_anchor: int = 64,
     max_rounds: int = 24,
     return_selected: bool = False,
+    salt_buckets: int = 64,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """SAMPLED interior estimate of repeat lengths for anchors BEYOND the
     exact census' df cap (VERDICT r8 item 6). ``longest_repeat_lengths``
@@ -1740,24 +1756,49 @@ def sampled_repeat_lengths(
     sample of each selected anchor's suffixes, yielding per-suffix
     WITHIN-SAMPLE repeat lengths (a lower bound of the corpus-wide value:
     the true max-LCP neighbour may be unsampled) plus the Horvitz-Thompson
-    weight each sampled suffix carries (anchor_df / n_sampled — the audit
-    family's own machinery, plans/dedup_text.containment_recall_audit).
+    weight each sampled suffix carries (anchor_df / sample_per_anchor —
+    exact, because the knob validation below guarantees every selected
+    anchor samples exactly sample_per_anchor suffixes; the audit family's
+    own machinery, plans/dedup_text.containment_recall_audit).
 
     Selection: anchors with df > ``min_anchor_df`` (and, when
     ``max_anchor_df`` is given, df ≤ it — the audit-band form, where exact
-    truth is still affordable for comparison). Sampling is deterministic
-    and engine-portable: rank suffixes within their anchor by
-    ``md5(id:pos)`` (ties broken by (id, pos)) and keep rank ≤
-    ``sample_per_anchor`` — a DuckDB oracle reproduces the identical sample
-    with ``row_number() OVER (PARTITION BY anchor ORDER BY md5(...))``, so
-    the estimate is fully value-hashable, not merely rows-only.
+    truth is still affordable for comparison). ``min_anchor_df`` must be
+    ≥ ``sample_per_anchor`` (validated — ADVICE r9): every selected anchor
+    then has df > sample_per_anchor, so exactly ``sample_per_anchor``
+    suffixes are sampled per anchor and the Horvitz-Thompson weight is
+    exactly ``anchor_df / sample_per_anchor`` — the constant the consumers
+    divide by. (Allowing df < sample_per_anchor would silently bias the
+    estimate low for those anchors.) Sampling is deterministic and
+    engine-portable: rank suffixes within their anchor by ``md5(id:pos)``
+    (ties broken by (id, pos)) and keep rank ≤ ``sample_per_anchor`` — a
+    DuckDB oracle reproduces the identical sample with ``row_number()
+    OVER (PARTITION BY anchor ORDER BY md5(...))``, so the estimate is
+    fully value-hashable, not merely rows-only.
 
-    Cost shape: the loop's bytes-linear-in-repeat-mass contract applies to
-    the SAMPLED mass — ≤ ``sample_per_anchor`` suffixes per anchor no
-    matter how hot the anchor is, so a pathological million-occurrence
-    boilerplate block costs the same as a 513-occurrence one. That is the
-    whole point: the exact census' cost is unbounded above the cap, the
-    estimator's is bounded by (n_selected_anchors × sample_per_anchor).
+    HEAT-ROBUST RANKING (ADVICE r9): a naive exact-rank window partitioned
+    by anchor would shuffle every occurrence of a hot anchor into ONE task
+    and sort all of them there — an O(df log df) single-reducer sort for
+    exactly the million-occurrence boilerplate anchors this operator
+    exists for. The rank therefore runs in two stages: (1) a salted
+    partial top-``sample_per_anchor`` per (anchor, ``salt_buckets``-way
+    deterministic salt of (id, pos)) — each salted group holds ~df/salt
+    rows, sorted with full spill support; (2) an exact top-
+    ``sample_per_anchor`` over the surviving ≤ salt_buckets ×
+    sample_per_anchor rows per anchor. The global top-S by (md5, id, pos)
+    is the top-S of the union of per-salt top-S's, so the sample — and
+    every downstream hash — is IDENTICAL to the single-window form while
+    per-task work is bounded by max(df/salt_buckets, salt_buckets ×
+    sample_per_anchor).
+
+    Cost shape: the doubling loop's bytes-linear-in-repeat-mass contract
+    applies to the SAMPLED mass — ≤ ``sample_per_anchor`` suffixes per
+    anchor no matter how hot the anchor is. The ranking stage above is the
+    only part that touches the full anchor heat, and its per-task work is
+    salt-bounded as described, so the end-to-end cost is
+    O(corpus scan + heat/salt_buckets per task + n_selected_anchors ×
+    sample_per_anchor × loop rounds) — bounded where the exact census'
+    cost is unbounded above its cap.
 
     Returns ``(sampled, selected, disclosure)``:
 
@@ -1772,7 +1813,6 @@ def sampled_repeat_lengths(
     - ``disclosure``: 1 row (n_selected_anchors, n_selected_suffixes).
     """
     from pyspark.sql import Window
-    from platform_etl_drug_disease_spark.operators.text import tokens
 
     if sample_per_anchor < 2:
         raise ValueError(
@@ -1786,10 +1826,25 @@ def sampled_repeat_lengths(
             "singleton groups whose suffixes repeat nowhere yet would "
             f"resolve to repeat_len = w noise, got {min_anchor_df}"
         )
+    if min_anchor_df < sample_per_anchor:
+        # ADVICE r9: an anchor with df < sample_per_anchor yields
+        # n_sampled = df, but the consumers' HT weight divides by the
+        # CONSTANT sample_per_anchor — a silently-low-biased estimate.
+        # Requiring min_anchor_df >= sample_per_anchor guarantees every
+        # selected anchor (df > min_anchor_df) samples exactly
+        # sample_per_anchor suffixes, making the constant weight exact.
+        raise ValueError(
+            "min_anchor_df must be >= sample_per_anchor (anchors with "
+            "df < sample_per_anchor would bias the anchor_df/"
+            "sample_per_anchor HT weight low), got "
+            f"min_anchor_df={min_anchor_df} < {sample_per_anchor}"
+        )
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     base = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        df.select(F.col(id_col), lr_tokens(text_col).alias("__t"))
         .withColumn("__n", F.size("__t"))
         .where(F.col("__n") >= w)
         .repartition(F.col(id_col))  # per-round slice joins reuse this layout
@@ -1834,19 +1889,31 @@ def sampled_repeat_lengths(
         if return_selected
         else None
     )
-    rk_w = Window.partitionBy("__key").orderBy(
-        F.md5(
-            F.concat_ws(
-                ":",
-                F.col(id_col).cast("string"),
-                F.col("pos").cast("string"),
-            )
-        ),
-        F.col(id_col),
-        "pos",
+    # two-stage deterministic top-sample_per_anchor (ADVICE r9 — see
+    # docstring "HEAT-ROBUST RANKING"): stage 1 ranks within (anchor,
+    # salt) so no task ever sorts more than ~df/salt_buckets rows of one
+    # anchor; stage 2 ranks the bounded per-salt survivors exactly. Both
+    # stages order by (md5(id:pos), id, pos) — the union-of-partial-top-S
+    # identity makes the final sample equal to the single-window form.
+    sk = F.md5(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.col("pos").cast("string"),
+        )
     )
+    salted = cand.withColumn("__sk", sk).withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(id_col), F.col("pos")), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy("__key", "__salt").orderBy(
+        "__sk", F.col(id_col), "pos"
+    )
+    partial = salted.withColumn("__rk1", F.row_number().over(w1)).where(
+        F.col("__rk1") <= sample_per_anchor
+    )
+    w2 = Window.partitionBy("__key").orderBy("__sk", F.col(id_col), "pos")
     samp = (
-        cand.withColumn("__rk", F.row_number().over(rk_w))
+        partial.withColumn("__rk", F.row_number().over(w2))
         .where(F.col("__rk") <= sample_per_anchor)
         .select(F.col(id_col), "pos", "__rem", "__key", "__df")
         .localCheckpoint()

@@ -26,28 +26,27 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-9 window (current): the 5 pins; the 5 round-9 items
-(`repeat_mass_by_source` — per-source repeated-token-mass attribution,
-the third consumer of the shared suffix-ranking artifact —
-`streaming_dedup_multibatch` / `streaming_containment_multibatch`, the
-serve twins under a real >= 3-micro-batch feed, `capped_repeat_estimate`
-— the sampled-interior estimator for beyond-cap anchors, audited
-against exact truth on the affordable df band — and
-`repeat_keep_one_retention`, the keep-one ExactSubstr accounting twin
-of the release pipeline's remove-all strip, all new); then ALL 37
-queries whose latest strict green is round 4 (the oldest cohort after a
-fully-green r8 re-proved the r3 cohort), then the 3 alphabetically-first
-of the r5-latest cohort. Note `longest_repeat_census` and
-`top_repeated_spans` now consume the memoized `_suffix_ranking`
-artifact — value-identical by construction and by
-tests/test_extensions.py::test_suffix_artifact_reuse, so their r8 rows
-remain their driver proof.
+Round-10 window (current): the 5 pins; the 2 round-10 items
+(`corpus_release_keep_one` — the release DAG's strip stage in
+keep-one-copy mode, consuming the same memoized removal set as the
+`repeat_keep_one_retention` accounting twin, VERDICT r9 item 4 — and
+`capped_mass_profile` — the HT-estimated repeat-length distribution of
+the census' capped mass at production estimator knobs, VERDICT r9
+item 3); then ALL 38 queries whose latest strict green is round 5 (the
+oldest cohort after a fully-green r9), then the 5 alphabetically-first
+of the r6-latest cohort. Note the strip/retention family members now
+consume the memoized `_lm_starts`/`_keep_one_removals` artifacts
+(VERDICT r9 item 6) — interval-union-identical by construction and
+pytest-pinned, so rotated-out members' prior rows remain their driver
+proof; likewise the suffix family's `lr_tokens` sanitization (item 5)
+is byte-identical on any corpus free of the two separator bytes, which
+includes every driver corpus.
 
-Pre-staged round-10 rotation: land round-10 additions FIRST
-(add-then-freeze), bump WINDOW_ROUND to 10, keep the 5 pins, fill the
+Pre-staged round-11 rotation: land round-11 additions FIRST
+(add-then-freeze), bump WINDOW_ROUND to 11, keep the 5 pins, fill the
 remaining slots oldest-driver-evidence-first — after a green
-CORRECTNESS_r09 the oldest cohort is the ~36 remaining r5-latest
-queries, then r6-latest.
+CORRECTNESS_r10 the oldest cohort is the ~40 remaining r6-latest
+queries, then r7-latest.
 """
 
 from __future__ import annotations
@@ -63,7 +62,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # artifacts from rounds STRICTLY BEFORE it — otherwise the rotation test goes
 # red the moment the driver deposits the in-flight round's own artifact
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 
 # RETIRED round 6 (VERDICT r5 item 2): every window entry now carries a full
 # value-hash oracle. The rows-only sketch/greedy originals
@@ -86,59 +85,58 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # round-9 items, first driver rows (add-then-freeze): per-source
-    # repeated-mass attribution over the shared suffix artifact, the
-    # two multi-micro-batch streaming serve twins, and the sampled
-    # capped-anchor estimator audit
-    "repeat_mass_by_source",
-    "streaming_dedup_multibatch",
-    "streaming_containment_multibatch",
-    "capped_repeat_estimate",
-    "repeat_keep_one_retention",
+    # round-10 items, first driver rows (add-then-freeze): the keep-one
+    # executable strip variant of the release DAG, and the HT-estimated
+    # capped-mass length profile at production estimator knobs
+    "corpus_release_keep_one",
+    "capped_mass_profile",
     # re-greens: every query whose latest strict green driver row is
-    # ROUND 4 (the oldest remaining cohort after a green r8 — the r3
-    # cohort was fully re-proven in round 8), all 37
-    "ab_conversion_lift",
-    "bloom_prune_revenue",
-    "click_attribution_stats",
-    "cumulative_users_by_day",
-    "event_props_map_stats",
-    "explode_reassemble",
-    "funnel_conversion",
-    "funnel_latency_stats",
-    "growth_accounting",
-    "hourly_autocorr",
-    "hourly_gap_audit",
-    "interval_dim_revenue",
-    "large_volume_customers",
-    "monthly_revenue_momentum",
-    "next_event_examples",
-    "order_cohort_retention",
-    "partitioned_prune_revenue",
-    "price_quantity_regression",
-    "python_sink_roundtrip",
-    "quality_feature_matrix",
-    "regional_revenue_share",
-    "revenue_gini_per_nation",
-    "seasonal_hour_profile",
-    "segments_per_nation",
-    "ship_leadtime_histogram",
-    "shipping_priority_topk",
-    "sql_text_correlated_outliers",
-    "sql_text_lateral_topk",
-    "time_weighted_value",
-    "top_prices_per_flag",
-    "top_session_paths",
-    "type_dow_chi2",
-    "value_anomaly_stats",
-    "value_drift_stats",
-    "value_ks_by_type",
-    "value_moments_stats",
-    "volume_shipping_matrix",
-    # re-greens: the 3 alphabetically-first of the r5-latest cohort
-    "boilerplate_span_stats",
-    "bootstrap_revenue_ci",
-    "clean_corpus_stats",
+    # ROUND 5 (the oldest remaining cohort after a fully-green r9),
+    # all 38
+    "corpus_epoch_stats",
+    "corpus_sample_stats",
+    "decontaminate_bloom",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dq_audit",
+    "embedding_quantize_stats",
+    "heavy_shingle_stats",
+    "hourly_gap_fill",
+    "incremental_rollup_stats",
+    "join_skew_audit",
+    "k_anonymity_audit",
+    "kmeans_cells",
+    "knn_cosine_lsh",
+    "media_dedup_stats",
+    "part_association_rules",
+    "part_skyline",
+    "partition_change_plan",
+    "price_mad_stats",
+    "repetition_quality",
+    "reservoir_sample_stats",
+    "revenue_holt_forecast",
+    "rolling_median_revenue",
+    "sample_extrapolation_audit",
+    "source_coverage_greedy",
+    "source_nucleus_selection",
+    "source_quota_allocation",
+    "streaming_cdc_upsert",
+    "substring_dedup_stats",
+    "supplier_bfs_levels",
+    "supplier_hits_scores",
+    "temperature_mix_stats",
+    "trade_pagerank",
+    "training_shard_stats",
+    "value_quantile_profile",
+    "weighted_sample_stats",
+    "word_typo_pairs",
+    "zorder_locality_stats",
+    # re-greens: the 5 alphabetically-first of the r6-latest cohort
+    "adjacency_degree_audit",
+    "adjacency_lut",
+    "bpe_roundtrip_audit",
+    "cdc_upsert_stats",
+    "cms_token_frequency",
 ]
 
 

@@ -1676,6 +1676,15 @@ def test_sampled_repeat_lengths_rejects_degenerate_sample(spark):
         sampled_repeat_lengths(df, "doc_id", "text", min_anchor_df=0)
     with _pytest.raises(ValueError, match="max_rounds"):
         sampled_repeat_lengths(df, "doc_id", "text", max_rounds=0)
+    # ADVICE r9: min_anchor_df < sample_per_anchor would make n_sampled <
+    # sample_per_anchor for the low-df anchors while consumers weight by
+    # the constant — a silently-low-biased HT estimate. Refuse loudly.
+    with _pytest.raises(ValueError, match="sample_per_anchor"):
+        sampled_repeat_lengths(
+            df, "doc_id", "text", min_anchor_df=3, sample_per_anchor=8
+        )
+    with _pytest.raises(ValueError, match="salt_buckets"):
+        sampled_repeat_lengths(df, "doc_id", "text", salt_buckets=0)
 
 
 def test_top_repeated_spans_planted(spark, tmp_path):
@@ -2020,3 +2029,190 @@ def test_lsh_artifacts_reuse(spark, tmp_path):
     )
     dt._LSH_PAIRS_CACHE.clear()
     dt._LSH_COMPONENTS_CACHE.clear()
+
+
+def test_lr_tokens_separator_bytes_sanitized(spark, tmp_path):
+    """VERDICT r9 item 5: the suffix family's \\x00/\\x01 sort-separator
+    bytes are stripped from the text during the family's tokenization on
+    BOTH engines. A token spelled "x\\x01q" must (a) no longer be able to
+    forge the joined sort key, and (b) match an occurrence spelled "xq"
+    outright — identical repeat_len on Spark and DuckDB, with the planted
+    byte-bearing doc joining the clean docs' repeat group."""
+    import duckdb
+
+    from platform_etl_drug_disease_spark.operators.dedup import lr_tokens
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    # operator-level: both bytes vanish, tokens never split or survive empty
+    got = (
+        spark.createDataFrame(
+            [("a x\x01q b \x00 c",)], "text: string"
+        )
+        .select(lr_tokens("text").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == ["a", "xq", "b", "c"]
+
+    rep_dirty = ["r0", "r1", "r2", "r3", "r4", "x\x01q", "r6", "r7", "r8",
+                 "r9", "r10", "r11"]
+    rep_clean = [t if t != "x\x01q" else "xq" for t in rep_dirty]
+    docs = [
+        (1, "en", "web",
+         " ".join([f"a{i}" for i in range(5)] + rep_dirty
+                  + [f"b{i}" for i in range(5)])),
+        (2, "en", "web",
+         " ".join([f"c{i}" for i in range(4)] + rep_dirty
+                  + [f"d{i}" for i in range(6)])),
+        (3, "en", "web",
+         " ".join([f"e{i}" for i in range(5)] + rep_clean
+                  + [f"g{i}" for i in range(5)])),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id: long, lang: string, source: string, text: string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = dt.longest_repeat_census(spark, str(tmp_path)).collect()
+    by_len = {r["repeat_len"]: r for r in rows}
+    # the byte-bearing occurrences match the clean one: the 12-token span
+    # repeats across ALL THREE docs (without sanitization doc 3 would not
+    # share doc 1/2's anchor)
+    assert max(by_len) == 12
+    assert by_len[12]["n_docs"] == 3
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(con.execute(dt._LONGEST_REPEAT_SQL).fetchall())
+    assert oracle == sorted(
+        (r["repeat_len"], r["n_suffixes"], r["n_docs"],
+         r["n_capped_anchors"], r["n_capped_suffixes"])
+        for r in rows
+    )
+
+
+def test_release_keep_one_matches_retention_twin(spark, tmp_path):
+    """VERDICT r9 item 4: keep_one as an EXECUTABLE strip mode whose
+    retained token mass equals the accounting twin's ``tokens_retained``
+    (fixture chosen so no doc husks or fails quality — the pipeline's only
+    attrition is the strip itself). Remove-all on the same corpus strips
+    the canonical copy too, so the two manifests differ by exactly the one
+    retained header."""
+    import duckdb
+
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    header = " ".join(f"hdr{j}" for j in range(30))
+    docs = [
+        (i, "en", "web",
+         header + " " + " ".join(f"u{i}w{j}" for j in range(80)))
+        for i in range(1, 16)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id: long, lang: string, source: string, text: string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    twin = {
+        r["source"]: r
+        for r in dt.repeat_keep_one_retention(spark, str(tmp_path)).collect()
+    }["web"]
+    assert twin["tokens_total"] == 15 * 110
+    assert twin["tokens_removed"] == 14 * 30  # doc 1 keeps the canonical
+    keep = dt.corpus_release_keep_one(spark, str(tmp_path)).collect()
+    assert sum(r["n_dropped_boilerplate"] for r in keep) == 0
+    assert sum(r["n_docs"] for r in keep) == 15
+    # THE tie: pipeline-retained mass == twin's accounting, by shared rows
+    assert sum(r["n_tokens"] for r in keep) == twin["tokens_retained"]
+    remove_all = dt.corpus_release_pipeline(spark, str(tmp_path)).collect()
+    assert (
+        sum(r["n_tokens"] for r in keep)
+        - sum(r["n_tokens"] for r in remove_all)
+        == 30
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(dt._RELEASE_KEEP_ONE_SQL).fetchall()
+    }
+    got = {
+        r["split"]: (
+            r["n_docs"], r["n_tokens"], r["n_bins"],
+            round(r["mean_bin_fill"], 6), r["stripped_tokens"],
+            r["n_dropped_boilerplate"],
+        )
+        for r in keep
+    }
+    assert got == {
+        s: (v[0], v[1], v[2], round(v[3], 6), v[4], v[5])
+        for s, v in oracle.items()
+    }
+
+
+def test_capped_mass_profile_planted_giant_anchor(spark, tmp_path):
+    """VERDICT r9 item 3 at production knobs: the 40-token block planted in
+    600 docs is INVISIBLE to the exact census (every block anchor's df=600
+    exceeds the 512 cap) but fully profiled by capped_mass_profile — exact
+    HT recovery of the excluded mass per length, strip-eligibility against
+    _STRIP_LEN, and byte-identical DuckDB parity."""
+    import duckdb
+
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        sampled_repeat_lengths,
+    )
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    n_docs, blk = 600, [f"blk{j}" for j in range(40)]
+    docs = [
+        (i, "en", "web",
+         " ".join([f"x{i}n{j}" for j in range(5)] + blk
+                  + [f"y{i}n{j}" for j in range(5)]))
+        for i in range(1, n_docs + 1)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id: long, lang: string, source: string, text: string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = dt.capped_mass_profile(spark, str(tmp_path)).collect()
+    prof = {r["repeat_len"]: r for r in rows if r["repeat_len"] > 0}
+    # block offsets q=0..32 → within-sample length 40-q, each with the full
+    # 64-suffix sample HT-recovering the true 600-suffix anchor mass
+    assert set(prof) == {40 - q for q in range(33)}
+    for ln, r in prof.items():
+        assert r["n_sampled_suffixes"] == 64
+        assert r["est_n_suffixes"] == n_docs
+        assert r["est_repeat_tokens"] == ln * n_docs
+        assert r["strip_eligible"] == (ln >= dt._STRIP_LEN)
+        assert r["estimated"] is True
+        assert r["n_capped_anchors"] == 33
+        assert r["n_capped_suffixes"] == 33 * n_docs
+        assert r["sample_per_anchor"] == 64
+    sent = [r for r in rows if r["repeat_len"] == 0]
+    assert len(sent) == 1 and sent[0]["strip_eligible"] is False
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet/*.parquet')"
+    )
+    oracle = sorted(map(tuple, con.execute(dt._CMP_SQL).fetchall()))
+    assert oracle == sorted(
+        (r["repeat_len"], r["n_sampled_suffixes"], r["est_n_suffixes"],
+         r["est_repeat_tokens"], r["strip_eligible"], r["n_capped_anchors"],
+         r["n_capped_suffixes"], r["estimated"], r["sample_per_anchor"])
+        for r in rows
+    )
+    # the salted two-stage rank is salt-invariant: global top-S == top-S of
+    # the union of per-salt top-S (ADVICE r9 heat-robustness rewrite)
+    loaded = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    s_default, _x, _y = sampled_repeat_lengths(
+        loaded, "doc_id", "text", w=8, min_anchor_df=512,
+        sample_per_anchor=64,
+    )
+    s_salted, _x2, _y2 = sampled_repeat_lengths(
+        loaded, "doc_id", "text", w=8, min_anchor_df=512,
+        sample_per_anchor=64, salt_buckets=5,
+    )
+    key = lambda r: (r["doc_id"], r["pos"], r["repeat_len"])  # noqa: E731
+    assert sorted(map(key, s_default.collect())) == sorted(
+        map(key, s_salted.collect())
+    )
