@@ -1447,7 +1447,11 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).alias("i"),
         F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("xq"),
     )
-    r = spark.createDataFrame(_jl_signs(), "i int, j int, s int")
+    # one partition: a 16×d literal sign table (guide §2 — partitioning
+    # follows data size; the default path spreads it over 32 empty tasks)
+    r = spark.createDataFrame(
+        spark.sparkContext.parallelize(_jl_signs(), 1), "i int, j int, s int"
+    )
     proj = (
         ex.join(F.broadcast(r), "i")
         .groupBy("vec_id", "j")

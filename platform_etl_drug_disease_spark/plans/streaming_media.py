@@ -32,7 +32,18 @@ from platform_etl_drug_disease_spark.plans.events_time import (
     _SESSIONS_SQL,
 )
 from platform_etl_drug_disease_spark.schemas import load_table
-from platform_etl_drug_disease_spark.streaming.windows import run_to_memory_sink
+from platform_etl_drug_disease_spark.streaming.windows import (
+    input_scaled_shuffle_partitions,
+    run_to_memory_sink,
+)
+
+
+def _events_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """State/shuffle partition count for event-stream queries, derived from
+    the events table's on-disk size (streaming/windows.py:
+    input_scaled_shuffle_partitions — guide §2 scale-adaptive partitioning)."""
+    return input_scaled_shuffle_partitions(spark, [f"{sf_dir}/events.parquet*"])
+
 
 # ts arrives in two spellings across fixture generations (TESTDATA.md):
 # TIMESTAMP(NANOS), which Spark's reader only accepts via nanosAsLong, or
@@ -73,7 +84,10 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy(
         F.window("ts", "1 hour").alias("w"), F.col("event_type")
     ).agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
-    out = run_to_memory_sink(agg, "cat_stream_hourly", output_mode="complete")
+    out = run_to_memory_sink(
+        agg, "cat_stream_hourly", output_mode="complete",
+        shuffle_partitions=_events_partitions(spark, sf_dir),
+    )
     return out.select(
         F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
         "event_type",
@@ -90,7 +104,14 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = stream.groupBy(
         F.session_window("ts", "30 minutes").alias("s"), F.col("user_id")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    out = run_to_memory_sink(sessions, "cat_stream_sessions", output_mode="complete")
+    # NOT input-scaled: the session-window merge is compute-bound (per-key
+    # sort + interval merge), and interleaved A/B at sf0.1 showed the
+    # bytes-derived count LOSING (3.15 s vs 2.39 s min-of-3) — unlike the
+    # tumbling-window and interval-join entries where store bookkeeping
+    # dominates.
+    out = run_to_memory_sink(
+        sessions, "cat_stream_sessions", output_mode="complete"
+    )
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("n_events").alias("n_events"),
@@ -107,6 +128,10 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = _event_stream(spark, sf_dir)
+    # NOT input-scaled: applyInPandasWithState cost is per-row Python work
+    # in the state function — partitions must follow cores (measured round
+    # 10: 1.7 s -> 7.2 s at the bytes-derived count), unlike the JVM
+    # stateful ops where store bookkeeping dominates.
     updates = run_to_memory_sink(
         running_user_totals(stream), "cat_stream_totals", output_mode="update"
     )
@@ -141,7 +166,10 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
         clicks, purchases, key="user_id", left_ts="c_ts", right_ts="p_ts",
         within="1 hour",
     )
-    out = run_to_memory_sink(joined, "cat_stream_ssjoin", output_mode="append")
+    out = run_to_memory_sink(
+        joined, "cat_stream_ssjoin", output_mode="append",
+        shuffle_partitions=_events_partitions(spark, sf_dir),
+    )
     return out.select("user_id", "click_id", "purchase_id")
 
 
@@ -374,6 +402,11 @@ def _minhash_stream_run(
             )
 
     try:
+        # deliberately NOT input-scaled (cf. the JVM-stateful entries):
+        # foreachBatch has no state stores, and the matcher's exploded
+        # shingle joins are compute-bound — core-count partitions win
+        # (measured round 10: containment 3.7 s -> 9.4 s when scoped to the
+        # bytes-derived count).
         q = (
             feed.writeStream.foreachBatch(match_batch)
             .option("checkpointLocation", f"{out_dir}/_ckpt")
@@ -465,6 +498,11 @@ def _containment_stream_run(
             )
 
     try:
+        # deliberately NOT input-scaled (cf. the JVM-stateful entries):
+        # foreachBatch has no state stores, and the matcher's exploded
+        # shingle joins are compute-bound — core-count partitions win
+        # (measured round 10: containment 3.7 s -> 9.4 s when scoped to the
+        # bytes-derived count).
         q = (
             feed.writeStream.foreachBatch(match_batch)
             .option("checkpointLocation", f"{out_dir}/_ckpt")
@@ -689,6 +727,8 @@ def streaming_value_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = _event_stream(spark, sf_dir)
+    # NOT input-scaled: per-row Python state function (see
+    # streaming_user_totals).
     scored = run_to_memory_sink(
         rolling_zscore_stream(stream), "cat_stream_zscore", output_mode="append"
     )
@@ -718,6 +758,8 @@ def streaming_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _event_stream(spark, sf_dir).where(
         F.col("event_type").isin("view", "click", "purchase")
     )
+    # NOT input-scaled: per-row Python state function (see
+    # streaming_user_totals).
     flags = run_to_memory_sink(
         funnel_flags_stream(stream), "cat_stream_funnel", output_mode="append"
     )

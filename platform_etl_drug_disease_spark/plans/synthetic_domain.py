@@ -29,7 +29,18 @@ from platform_etl_drug_disease_spark.schemas import domain_schema
 
 
 def _df(spark, name, rows):
-    return spark.createDataFrame(rows, domain_schema(name))
+    # ONE partition, derived from the input's size (these are literal
+    # fixture rows, never more than a handful): the default
+    # createDataFrame path parallelizes even a 3-row local list into
+    # defaultParallelism (= core count) partitions, so every scan of every
+    # domain input became 32 near-empty tasks and each downstream exchange
+    # inherited the fan-out. Measured on the full pipeline DAG (round 10):
+    # 9.27 s → 4.73 s best-of-2 at 32 cores. Guide §2/§6: partition count
+    # should follow data size, not the core count — one partition for a
+    # fixture-sized input is correct at any scale.
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), domain_schema(name)
+    )
 
 
 def domain_inputs(spark) -> dict:

@@ -23,6 +23,75 @@ EVENT_STREAM_SCHEMA = (
 )
 
 
+def input_scaled_shuffle_partitions(
+    spark: SparkSession,
+    paths: list[str],
+    bytes_per_partition: int = 8 << 20,
+) -> int:
+    """Shuffle/state partition count DERIVED FROM THE STREAM'S INPUT SIZE
+    (optimization guide §2: partitioning should adapt to data volume, not
+    be a constant tuned for either local mode or the cluster).
+
+    Why it matters for streaming specifically: every stateful operator
+    instantiates one state store PER shuffle partition (a stream-stream
+    interval join holds FOUR), and each store pays a per-micro-batch
+    open/commit/fsync constant regardless of how little state it holds.
+    With the session default (= core count) a 2 MB event stream ran
+    4 x 32 = 128 store instances whose bookkeeping dominated the wall
+    (measured round 10: the interval join 8.2 s -> 2.9 s at sf0.1 when the
+    count follows the input). At production volumes the formula returns
+    the configured ceiling, so a tuned cluster setting is never overridden
+    upward or downward on real data.
+
+    ``bytes_per_partition`` is on-disk parquet bytes; 8 MB of zstd/snappy
+    parquet decodes to roughly 30-60 MB in memory, landing in the guide's
+    recommended per-partition range. The result is clamped to
+    [1, spark.sql.shuffle.partitions] — the session/cluster conf stays the
+    authoritative upper bound.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    total = 0
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(hconf)
+        statuses = fs.globStatus(jpath)
+        if statuses is None:
+            continue
+        for st in statuses:
+            if st.isDirectory():
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext():
+                    total += it.next().getLen()
+            else:
+                total += st.getLen()
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(ceiling, -(-total // bytes_per_partition)))
+
+
+class scoped_shuffle_partitions:
+    """Context manager: set ``spark.sql.shuffle.partitions`` for the
+    duration of one (streaming) query execution, restoring the previous
+    value afterwards — the conf is session-global, and leaking a
+    stream-sized setting into the next batch query would silently cap its
+    parallelism."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self._spark = spark
+        self._n = n
+        self._key = "spark.sql.shuffle.partitions"
+        self._old: str | None = None
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._key)
+        self._spark.conf.set(self._key, str(self._n))
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set(self._key, self._old)
+        return False
+
+
 def read_event_stream(
     spark: SparkSession, path: str, fmt: str = "json", max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -194,20 +263,37 @@ def run_foreach_batch_parquet(
 
 
 def run_to_memory_sink(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan over all currently-available data
     (Trigger.AvailableNow) into an in-memory table and return it as a batch
-    DataFrame — the test/backfill harness path."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
+    DataFrame — the test/backfill harness path.
+
+    ``shuffle_partitions`` (from :func:`input_scaled_shuffle_partitions`)
+    scopes the state/shuffle partition count to THIS stream's execution;
+    the previous session value is restored before returning, so the
+    caller's post-stream batch rollup keeps full parallelism."""
+    spark = stream_df.sparkSession
+
+    def _run() -> None:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if shuffle_partitions is not None:
+        with scoped_shuffle_partitions(spark, shuffle_partitions):
+            _run()
+    else:
+        _run()
+    return spark.table(query_name)
 
 
 ZSCORE_OUT_SCHEMA = "event_id bigint, event_type string, z double"
