@@ -69,6 +69,97 @@ def headline_names() -> list[str]:
     return [n for n in q if n not in EXCLUDED]
 
 
+def _warmup_engine_paths(spark, sf_dir: str) -> None:
+    """Round-10 measurement-hygiene extension of the r2 warmup (disclosed in
+    OPTIMIZATION_r10.md): exercise every ENGINE code path the catalog
+    shares — vectorized parquet scan, parquet write, sort-merge + broadcast
+    joins, hash aggregate, window functions, explode/collect, the string/
+    hash expression family, Arrow/pandas worker startup, localCheckpoint,
+    and one micro-batch streaming query — ONCE, untimed, before any timed
+    query runs.
+
+    Why: whole-stage codegen, janino, the parquet reader, the shuffle
+    writer/reader, the Python worker daemon and the streaming state-store
+    machinery all JIT/initialize on first touch. Without this, whichever
+    queries happen to run first in the window absorb one-time engine
+    startup cost into THEIR reported seconds (measured round 10 at 32
+    cores: the same query 13.3 s as bench entry #20 vs 3.9 s isolated
+    after warmup — a 3.4x position artifact). Per-query numbers should
+    measure steady-state engine cost; amortized JIT is not a 100-TB cost.
+    The old per-query methodology (best-of-2, cold cache, noop sink) is
+    unchanged; only the untimed preamble grew."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # 1) vectorized parquet scan over real files (footer decode, column
+    #    readers, filter pushdown) — smallest real table does it
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
+        "count(distinct s_nationkey) c"
+    ).write.format("noop").mode("overwrite").save()
+    # 2) parquet WRITE path + read-back (committer, encoders)
+    wdir = tempfile.mkdtemp(prefix="bench_warm_")
+    spark.range(0, 10_000, 1, 4).selectExpr(
+        "id", "cast(id % 97 as string) k", "id * 1.5 v"
+    ).write.mode("overwrite").parquet(f"{wdir}/t")
+    warm = spark.read.parquet(f"{wdir}/t")
+    # 3) shuffle + sort-merge join + hash agg + AQE machinery
+    a = spark.range(0, 200_000, 1, 8).selectExpr("id % 1000 k", "id v")
+    b = spark.range(0, 200_000, 1, 8).selectExpr("id % 1000 k", "id w")
+    a.join(b.hint("merge"), "k").groupBy("k").agg(
+        {"v": "sum", "w": "max"}
+    ).write.format("noop").mode("overwrite").save()
+    # 4) broadcast join + window + explode/collect + string/hash exprs
+    (
+        warm.join(F.broadcast(spark.range(97).selectExpr("cast(id as string) k")), "k")
+        .withColumn(
+            "r", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+        )
+        .where("r <= 3")
+        .select(
+            "k",
+            F.md5(F.concat_ws(":", "k", "id")).alias("h"),
+            F.xxhash64("id").alias("x"),
+            F.explode(F.split(F.repeat(F.lit("a,b,c"), 2), ",")).alias("tok"),
+        )
+        .groupBy("k")
+        .agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    # 5) Arrow/pandas worker daemon + serde
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    warm.limit(100).mapInPandas(_ident, warm.schema).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # 6) localCheckpoint (RDD serialization path used by iterative operators)
+    warm.limit(100).localCheckpoint().write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # 7) one micro-batch streaming query (state store, checkpoint commit,
+    #    micro-batch planner)
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "100")
+        .option("numPartitions", "1")
+        .load()
+        .groupBy(F.expr("value % 10").alias("b"))
+        .count()
+        .writeStream.format("memory")
+        .queryName("bench_warm_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.catalog.clearCache()
+
+
 def calibration_wall(spark) -> float:
     """Fixed, DATA-INDEPENDENT reference workload (hash + shuffle + agg over
     a generated range — no parquet, no catalog code), timed like a headline
@@ -165,6 +256,20 @@ def _pre_run_reset(name: str) -> None:
         # owner of the keep-one span-identity/removal derivation shared
         # with the release DAG's keep_one mode (VERDICT r9 item 4)
         dedup_text._K1_REMOVALS_CACHE.clear()
+    elif name == "trade_pagerank":
+        # owner of the trade-graph edge artifacts (round-10 memo): the
+        # directed lineitem⋈orders edge list and its distinct symmetric
+        # closure, shared by the whole graph family
+        from platform_etl_drug_disease_spark.plans import graph
+
+        graph._EDGES_CACHE.clear()
+        graph._SYM_EDGES_CACHE.clear()
+    elif name == "supplier_triangles":
+        # owner of the support-thresholded co-supplier pair artifact
+        # (shared with supplier_kcore / supplier_clustering)
+        from platform_etl_drug_disease_spark.plans import graph
+
+        graph._CO_PAIRS_CACHE.clear()
 
 
 def main() -> None:
@@ -189,6 +294,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
         "overwrite"
     ).save()
+    _warmup_engine_paths(spark, sf_dir)
     calibration_sec = calibration_wall(spark)
     calibration_shuffle_sec = calibration_shuffle_wall(spark)
     print(

@@ -331,15 +331,29 @@ def _executed_plan_stats(df) -> dict:
             },
         ),
         (
+            # re-pinned round 10 after the _co_supplier_pairs session memo:
+            # the pair derivation (lineitem self-join + support groupBy) now
+            # builds ONCE per session as an eager localCheckpoint, so its
+            # exchanges left this query's own plan, and the downstream
+            # wedge/closing joins plan against the materialized pair RDD
+            # (one more pair-set-sized exchange + one join upgraded to a
+            # broadcast). Measured faster (4.95 s -> 3.57 s best-of-2 at
+            # sf0.1 as family member); every exchange below is pair-set- or
+            # node-sized, never lineitem-sized.
             "supplier_triangles",
             {
-                "exchanges": 6,
-                "joins": {"BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2},
+                "exchanges": 8,
+                "joins": {"BroadcastHashJoin": 2, "BroadcastNestedLoopJoin": 2},
             },
         ),
         (
+            # re-pinned round 10 with supplier_triangles (same
+            # _co_supplier_pairs memo; measured 3.81 s -> 1.43 s as family
+            # member): the materialized pair RDD re-plans the degree/orient
+            # joins as broadcasts — 5 BHJs of node-table-sized sides, one
+            # extra pair-set-sized exchange, no lineitem-sized shuffles.
             "supplier_clustering",
-            {"exchanges": 6, "joins": {"BroadcastHashJoin": 2}},
+            {"exchanges": 7, "joins": {"BroadcastHashJoin": 5}},
         ),
     ],
 )
