@@ -270,6 +270,18 @@ def _pre_run_reset(name: str) -> None:
         from platform_etl_drug_disease_spark.plans import graph
 
         graph._CO_PAIRS_CACHE.clear()
+    elif name == "price_mad_stats":
+        # owner of the (returnflag, extendedprice) value-histogram artifact
+        # (shared with price_quantiles_per_flag / tdigest_quantile_audit)
+        from platform_etl_drug_disease_spark.plans import relational
+
+        relational._PRICE_HIST_CACHE.clear()
+    elif name == "kmeans_cells":
+        # owner of the 2-iteration spherical k-means fit artifact (shared
+        # with knn_cosine_ivf_kmeans — identical seeds/iters by contract)
+        from platform_etl_drug_disease_spark.plans import similarity
+
+        similarity._KMEANS_FIT_CACHE.clear()
 
 
 def main() -> None:
