@@ -396,9 +396,25 @@ def _co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CO_PAIRS_CACHE.get(key)
     if hit is not None:
         return hit
+    # session memo (same pattern as _EDGES_CACHE; bench cost owner is
+    # supplier_triangles): the thresholded pair set is tiny (≤ a few rows
+    # per recurring supplier pair) while its derivation is a lineitem
+    # self-join — exactly the artifact a graph platform materializes once
+    # for its triangle/k-core/clustering passes
+    pairs = _co_supplier_pairs_plan(spark, sf_dir).localCheckpoint()
+    _CO_PAIRS_CACHE[key] = pairs
+    _evict_older(_CO_PAIRS_CACHE)
+    return pairs
+
+
+def _co_supplier_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY pair derivation behind the _CO_PAIRS_CACHE artifact — the
+    support threshold (the scale-safety property
+    tests/test_analytics.py::test_overlap_and_triangle_plans_stay_scale_safe
+    pins) lives HERE; consumers see only the checkpointed result."""
     li = load_table(spark, sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     order_supp = li.distinct()
-    pairs = (
+    return (
         order_supp.alias("a")
         .join(order_supp.alias("b"), "l_orderkey")
         .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
@@ -408,16 +424,7 @@ def _co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .where(F.col("support") >= 5)
         .select("u", "v")
-        # session memo (same pattern as _EDGES_CACHE; bench cost owner is
-        # supplier_triangles): the thresholded pair set is tiny (≤ a few
-        # rows per recurring supplier pair) while its derivation is a
-        # lineitem self-join — exactly the artifact a graph platform
-        # materializes once for its triangle/k-core/clustering passes
-        .localCheckpoint()
     )
-    _CO_PAIRS_CACHE[key] = pairs
-    _evict_older(_CO_PAIRS_CACHE)
-    return pairs
 
 
 _PAIR_CTE = """

@@ -505,18 +505,24 @@ GROUP BY s_nationkey
 _PRICE_HIST_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _price_flag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _price_flag_histogram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY derivation behind the _PRICE_HIST_CACHE artifact — the
+    window-consumes-an-aggregate safety property is pinned HERE by
+    tests/test_plan_quality.py::test_quantile_windows_consume_the_histogram;
+    consumers see only the checkpointed result."""
     from platform_etl_drug_disease_spark.operators.scans import value_histogram
 
+    li = load_table(
+        spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]
+    )
+    return value_histogram(li, ["l_returnflag"], "l_extendedprice")
+
+
+def _price_flag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PRICE_HIST_CACHE.get(key)
     if hit is None:
-        li = load_table(
-            spark, sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]
-        )
-        hit = value_histogram(
-            li, ["l_returnflag"], "l_extendedprice"
-        ).localCheckpoint()
+        hit = _price_flag_histogram_plan(spark, sf_dir).localCheckpoint()
         while len(_PRICE_HIST_CACHE) >= 2:
             _PRICE_HIST_CACHE.pop(next(iter(_PRICE_HIST_CACHE)))
         _PRICE_HIST_CACHE[key] = hit

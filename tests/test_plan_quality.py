@@ -64,6 +64,13 @@ LINT_ALLOWLIST: dict[str, tuple[str, ...]] = {
     # same 5-row broadcast query set as the brute-force baseline, twice
     # (projected-space and exact-space top-5)
     "jl_projection_recall": ("CartesianProduct",),
+    # round 10: the cumulative-rank windows consume the CHECKPOINTED
+    # _price_flag_histogram artifact (grid-bounded aggregate, session memo);
+    # the lint's raw-leaf walk cannot see the Aggregate through the
+    # materialization boundary. The aggregate-input property is still
+    # pinned, on the artifact's lazy plan, by
+    # test_quantile_windows_consume_the_histogram below.
+    "price_mad_stats": ("ordered window partitioned only by low-cardinality",),
 }
 
 
@@ -271,12 +278,38 @@ def test_quantile_windows_consume_the_histogram(spark):
         price_quantiles_per_flag,
     )
 
-    for q in (price_quantiles_per_flag, price_mad_stats, value_quantile_profile):
+    for q in (price_quantiles_per_flag, value_quantile_profile):
         bad = ordered_windows_over_unaggregated(q(spark, SF_SMOKE))
         assert not bad, (
             f"{q.__name__}: cumulative window must consume the aggregated "
             f"histogram, got raw-input windows: {bad}"
         )
+    # price_mad_stats (round 10): its windows consume the CHECKPOINTED
+    # _price_flag_histogram session artifact, so the aggregate is invisible
+    # to the raw-leaf walk. Pin the property in two halves: (a) the
+    # artifact's lazy derivation IS the value histogram (an Aggregate over
+    # the fact scan), (b) the query's own plan reaches NO parquet relation —
+    # every window input is the materialized artifact.
+    from platform_etl_drug_disease_spark.plans.relational import (
+        _price_flag_histogram_plan,
+    )
+
+    hist_plan = (
+        _price_flag_histogram_plan(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Aggregate" in hist_plan and "parquet" in hist_plan
+    mad_plan = (
+        price_mad_stats(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "parquet" not in mad_plan and "ExistingRDD" in mad_plan, (
+        "price_mad_stats must consume only the histogram artifact"
+    )
 
 
 def test_corpus_text_scans_have_compute_partitions(spark):

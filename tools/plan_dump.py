@@ -29,11 +29,15 @@ def main() -> None:
 
     spark = get_spark(app_name="plan_dump")
     catalog = entrymod.queries()
+    import contextlib
+    import io
+
     for name in names:
         df = catalog[name](spark, sf_dir)
-        txt = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:
             fh.write(txt)
