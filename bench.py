@@ -276,6 +276,18 @@ def _pre_run_reset(name: str) -> None:
         from platform_etl_drug_disease_spark.plans import relational
 
         relational._PRICE_HIST_CACHE.clear()
+    elif name == "streaming_incremental_dedup":
+        # owner of the minhash serve twins' corpus snapshot artifacts
+        # (shingle table + band index, shared with the multibatch twin)
+        from platform_etl_drug_disease_spark.plans import streaming_media
+
+        streaming_media._STREAM_MINHASH_CACHE.clear()
+    elif name == "streaming_containment_incremental":
+        # owner of the containment serve twins' corpus snapshot artifacts
+        # (shingles + hot list + slot-row index)
+        from platform_etl_drug_disease_spark.plans import streaming_media
+
+        streaming_media._STREAM_CONTAINMENT_CACHE.clear()
     elif name == "kmeans_cells":
         # owner of the 2-iteration spherical k-means fit artifact (shared
         # with knn_cosine_ivf_kmeans — identical seeds/iters by contract)

@@ -254,6 +254,26 @@ _FEED_SCHEMA = "doc_id bigint, text string"
 # _stage_feed's docstring.
 _STAGED_FEED_CACHE: dict[tuple[str, str, int], str] = {}
 
+#: session memos for the serve twins' CORPUS SNAPSHOT artifacts (round-10
+#: optimization; same pattern / 2-snapshot eviction as the graph edge
+#: memos). The single-batch and multibatch twins of each family index the
+#: IDENTICAL static corpus — rebuilding the shingle table / band index /
+#: slot-row index per catalog query repeated ~1.5-2 s of identical work.
+#: A serving platform builds the corpus snapshot index once and matches
+#: every feed batch against it; that is exactly this memo. Bench cost
+#: owners (bench._pre_run_reset): streaming_incremental_dedup (minhash),
+#: streaming_containment_incremental (containment). Eager localCheckpoints
+#: replace the old persist+finally-unpersist lifecycle (ADVICE r8 was
+#: about LEAKED lazy persists; a checkpointed artifact with eviction is a
+#: deliberate retention, not a leak).
+_STREAM_MINHASH_CACHE: dict = {}
+_STREAM_CONTAINMENT_CACHE: dict = {}
+
+
+def _evict_older(cache: dict, keep: int = 2) -> None:
+    while len(cache) > keep:
+        cache.pop(next(iter(cache)))
+
 
 def _stage_feed(spark: SparkSession, sf_dir: str, n_files: int) -> str:
     """Write the incoming-feed subset (``doc_id % 10 == 0``, the same docs
@@ -360,12 +380,18 @@ def _minhash_stream_run(
     feed = _feed_stream(spark, sf_dir, feed_dir, max_files_per_trigger)
     out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
 
-    # corpus snapshot artifacts built ONCE, outside the micro-batch loop —
-    # per-batch cost must track the batch, never the corpus (round-8 review
-    # finding: building these inside foreachBatch re-shingled the corpus and
-    # leaked persisted tables once per micro-batch).
-    corpus_sh = _shingle_table(corpus, "doc_id", "text", 3).persist()
-    corpus_bands = banded_signatures(corpus_sh, "doc_id", 16, 4).persist()
+    # corpus snapshot artifacts built ONCE PER SESSION (round-8 finding
+    # moved them outside the micro-batch loop; round 10 memoizes them
+    # across the single-batch/multibatch twins — see _STREAM_MINHASH_CACHE)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _STREAM_MINHASH_CACHE.get(key)
+    if hit is None:
+        c_sh = _shingle_table(corpus, "doc_id", "text", 3).localCheckpoint()
+        c_bands = banded_signatures(c_sh, "doc_id", 16, 4).localCheckpoint()
+        hit = (c_sh, c_bands)
+        _STREAM_MINHASH_CACHE[key] = hit
+        _evict_older(_STREAM_MINHASH_CACHE)
+    corpus_sh, corpus_bands = hit
 
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
@@ -401,22 +427,20 @@ def _minhash_stream_run(
                 }
             )
 
-    try:
-        # deliberately NOT input-scaled (cf. the JVM-stateful entries):
-        # foreachBatch has no state stores, and the matcher's exploded
-        # shingle joins are compute-bound — core-count partitions win
-        # (measured round 10: containment 3.7 s -> 9.4 s when scoped to the
-        # bytes-derived count).
-        q = (
-            feed.writeStream.foreachBatch(match_batch)
-            .option("checkpointLocation", f"{out_dir}/_ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        for h in (corpus_bands, corpus_sh):
-            h.unpersist()
+    # deliberately NOT input-scaled (cf. the JVM-stateful entries):
+    # foreachBatch has no state stores, and the matcher's exploded
+    # shingle joins are compute-bound — core-count partitions win
+    # (measured round 10: containment 3.7 s -> 9.4 s when scoped to the
+    # bytes-derived count).
+    # No finally-unpersist: the corpus artifacts are session memos now
+    # (checkpointed, evicted by _evict_older).
+    q = (
+        feed.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return (
         spark.read.parquet(out_dir).select("new_id", "corpus_id", "jaccard"),
         out_dir,
@@ -455,11 +479,20 @@ def _containment_stream_run(
     feed = _feed_stream(spark, sf_dir, feed_dir, max_files_per_trigger)
     out_dir = tempfile.mkdtemp(prefix="stream_inccont_")
 
-    corpus_sh = _shingle_table(corpus, "doc_id", "text", 3).persist()
-    corpus_hot = _hot_shingle_hashes(corpus_sh, 256).persist()
-    corpus_index = containment_corpus_index(
-        corpus_sh, "doc_id", n_hashes=16, max_slot_df=32, hot_shingles=corpus_hot
-    ).persist()
+    # corpus snapshot artifacts: session-memoized across the twins (see
+    # _STREAM_CONTAINMENT_CACHE; round 10)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _STREAM_CONTAINMENT_CACHE.get(key)
+    if hit is None:
+        c_sh = _shingle_table(corpus, "doc_id", "text", 3).localCheckpoint()
+        c_hot = _hot_shingle_hashes(c_sh, 256).localCheckpoint()
+        c_idx = containment_corpus_index(
+            c_sh, "doc_id", n_hashes=16, max_slot_df=32, hot_shingles=c_hot
+        ).localCheckpoint()
+        hit = (c_sh, c_hot, c_idx)
+        _STREAM_CONTAINMENT_CACHE[key] = hit
+        _evict_older(_STREAM_CONTAINMENT_CACHE)
+    corpus_sh, corpus_hot, corpus_index = hit
 
     def match_batch(batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
@@ -497,22 +530,20 @@ def _containment_stream_run(
                 }
             )
 
-    try:
-        # deliberately NOT input-scaled (cf. the JVM-stateful entries):
-        # foreachBatch has no state stores, and the matcher's exploded
-        # shingle joins are compute-bound — core-count partitions win
-        # (measured round 10: containment 3.7 s -> 9.4 s when scoped to the
-        # bytes-derived count).
-        q = (
-            feed.writeStream.foreachBatch(match_batch)
-            .option("checkpointLocation", f"{out_dir}/_ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        for h in (corpus_index, corpus_hot, corpus_sh):
-            h.unpersist()
+    # deliberately NOT input-scaled (cf. the JVM-stateful entries):
+    # foreachBatch has no state stores, and the matcher's exploded
+    # shingle joins are compute-bound — core-count partitions win
+    # (measured round 10: containment 3.7 s -> 9.4 s when scoped to the
+    # bytes-derived count).
+    # No finally-unpersist: the corpus artifacts are session memos now
+    # (checkpointed, evicted by _evict_older).
+    q = (
+        feed.writeStream.foreachBatch(match_batch)
+        .option("checkpointLocation", f"{out_dir}/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return (
         spark.read.parquet(out_dir).select(
             "new_id", "corpus_id", "containment"
