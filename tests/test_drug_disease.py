@@ -198,3 +198,26 @@ def test_network_shuffle_stats_capture(spark, tmp_path):
         assert s["max_bytes"] >= s["median_nonzero_bytes"] >= 0
     # restored confs: the armed run must not leak into the session
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") != "false"
+
+
+def test_fixture_inputs_are_local_relations(spark, inputs):
+    """Round-10 §8: the literal domain inputs must analyze to JVM
+    LocalRelations (every scan a LocalTableScan — broadcast builds collect
+    driver-side, no pickled-row scan jobs) AND keep the schema byte-identical
+    to the declared domain schema (the old createDataFrame path's contract,
+    which the NULL-sentinel + folding-limit construction preserves)."""
+    from platform_etl_drug_disease_spark.schemas import domain_schema
+
+    keymap = {
+        "drug": "drug", "target": "target", "disease": "disease",
+        "evidence": "evidence", "interactions": "interactions",
+        "aggregated_drugs": "aggregated_drugs", "studies": "studies",
+        "predictions": "predictions", "faers_by_drug": "faers_drug",
+        "faers_by_target": "faers_target", "expression": "expression",
+        "whitelist": "whitelist",
+    }
+    for key, df in inputs.items():
+        assert df.schema.json() == domain_schema(keymap[key]).json(), key
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LocalTableScan" in plan, (key, plan)
+        assert "ExistingRDD" not in plan, (key, plan)
