@@ -57,10 +57,14 @@ out = {
     # field exists to prevent.
     "n_excluded": detail["n_excluded"],
     "excluded": detail["excluded"],
-    # drift-normalization constant (VERDICT r8 residual 3) must travel with
+    # drift-normalization constants (VERDICT r8 residual 3; the shuffle
+    # probe is VERDICT r9 item 1 — sf~1 is exactly where the graph/
+    # streaming families' shuffle-bound drift needs it) must travel with
     # the artifact, not just the detail file, or cross-round sf~1 ratios
-    # cannot be calibration-corrected.
+    # cannot be calibration-corrected. get() for the shuffle probe: detail
+    # files from rounds before it carry only the CPU constant.
     "calibration_sec": detail["calibration_sec"],
+    "calibration_shuffle_sec": detail.get("calibration_shuffle_sec"),
     "queries": dict(sorted(detail["queries"].items())),
 }
 with open("/root/repo/BENCH_sf1.json", "w") as fh:
