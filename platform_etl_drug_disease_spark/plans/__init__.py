@@ -26,27 +26,19 @@ tail with pytest-pinned accuracy and hash-provable audit twins). The
 whole catalog — window and tail — is verified every round by
 ``tools/oracle_check.py``.
 
-Round-10 window (current): the 5 pins; the 2 round-10 items
-(`corpus_release_keep_one` — the release DAG's strip stage in
-keep-one-copy mode, consuming the same memoized removal set as the
-`repeat_keep_one_retention` accounting twin, VERDICT r9 item 4 — and
-`capped_mass_profile` — the HT-estimated repeat-length distribution of
-the census' capped mass at production estimator knobs, VERDICT r9
-item 3); then ALL 38 queries whose latest strict green is round 5 (the
-oldest cohort after a fully-green r9), then the 5 alphabetically-first
-of the r6-latest cohort. Note the strip/retention family members now
-consume the memoized `_lm_starts`/`_keep_one_removals` artifacts
-(VERDICT r9 item 6) — interval-union-identical by construction and
-pytest-pinned, so rotated-out members' prior rows remain their driver
-proof; likewise the suffix family's `lr_tokens` sanitization (item 5)
-is byte-identical on any corpus free of the two separator bytes, which
-includes every driver corpus.
+Round-11 window (current; rotated exactly as pre-staged by round 10 and
+ordered by VERDICT r10 item 7): the 5 pins; round 11 is an optimization
+round so there are NO new catalog queries (add-then-freeze is vacuously
+satisfied); then ALL 40 queries whose latest strict green driver row is
+round 6 (the oldest cohort after a fully-green r10, computed from the
+committed CORRECTNESS_r0N.json artifacts), then the 5
+alphabetically-first of the r7-latest cohort.
 
-Pre-staged round-11 rotation: land round-11 additions FIRST
-(add-then-freeze), bump WINDOW_ROUND to 11, keep the 5 pins, fill the
+Pre-staged round-12 rotation: land round-12 additions FIRST
+(add-then-freeze), bump WINDOW_ROUND to 12, keep the 5 pins, fill the
 remaining slots oldest-driver-evidence-first — after a green
-CORRECTNESS_r10 the oldest cohort is the ~40 remaining r6-latest
-queries, then r7-latest.
+CORRECTNESS_r11 the oldest cohort is the ~39 remaining r7-latest
+queries, then r8-latest.
 """
 
 from __future__ import annotations
@@ -62,7 +54,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # artifacts from rounds STRICTLY BEFORE it — otherwise the rotation test goes
 # red the moment the driver deposits the in-flight round's own artifact
 # (VERDICT r3 "What's wrong" #1). Bump this together with every rotation.
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 # RETIRED round 6 (VERDICT r5 item 2): every window entry now carries a full
 # value-hash oracle. The rows-only sketch/greedy originals
@@ -72,11 +64,11 @@ WINDOW_ROUND = 10
 # bpe_roundtrip_audit, hll_rollup_audit) carrying their driver proof.
 WINDOW_ROWS_ONLY_OK: frozenset[str] = frozenset()
 
-# The 50 driver-scored queries, in scoring order. Round-8 rotation: 5 pinned
-# gates + the 4 round-8 items (landed BEFORE this freeze per
-# add-then-freeze) + 41 oldest-evidence re-greens (the entire r3-latest
-# cohort of 33, then 8 r4-era family representatives). Every entry carries
-# a full value-hash oracle.
+# The 50 driver-scored queries, in scoring order. Round-11 rotation
+# (optimization round — no new catalog queries, so add-then-freeze is
+# vacuously satisfied): 5 pinned gates + 45 oldest-evidence re-greens
+# (the entire r6-latest cohort of 40, then the 5 alphabetically-first of
+# the r7-latest cohort). Every entry carries a full value-hash oracle.
 _DRIVER_WINDOW = [
     # pinned gates (sim.sc:476, 511 parity; flagship; LLM-side flagship DAG;
     # S5/S6 write->read-back)
@@ -85,58 +77,55 @@ _DRIVER_WINDOW = [
     "flagship_harmonic_topk",
     "corpus_release_pipeline",
     "sink_roundtrip",
-    # round-10 items, first driver rows (add-then-freeze): the keep-one
-    # executable strip variant of the release DAG, and the HT-estimated
-    # capped-mass length profile at production estimator knobs
-    "corpus_release_keep_one",
-    "capped_mass_profile",
     # re-greens: every query whose latest strict green driver row is
-    # ROUND 5 (the oldest remaining cohort after a fully-green r9),
-    # all 38
-    "corpus_epoch_stats",
-    "corpus_sample_stats",
-    "decontaminate_bloom",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dq_audit",
-    "embedding_quantize_stats",
-    "heavy_shingle_stats",
-    "hourly_gap_fill",
-    "incremental_rollup_stats",
-    "join_skew_audit",
-    "k_anonymity_audit",
-    "kmeans_cells",
-    "knn_cosine_lsh",
-    "media_dedup_stats",
-    "part_association_rules",
-    "part_skyline",
-    "partition_change_plan",
-    "price_mad_stats",
-    "repetition_quality",
-    "reservoir_sample_stats",
-    "revenue_holt_forecast",
-    "rolling_median_revenue",
-    "sample_extrapolation_audit",
-    "source_coverage_greedy",
-    "source_nucleus_selection",
-    "source_quota_allocation",
-    "streaming_cdc_upsert",
-    "substring_dedup_stats",
-    "supplier_bfs_levels",
-    "supplier_hits_scores",
-    "temperature_mix_stats",
-    "trade_pagerank",
-    "training_shard_stats",
-    "value_quantile_profile",
-    "weighted_sample_stats",
-    "word_typo_pairs",
-    "zorder_locality_stats",
-    # re-greens: the 5 alphabetically-first of the r6-latest cohort
-    "adjacency_degree_audit",
-    "adjacency_lut",
-    "bpe_roundtrip_audit",
-    "cdc_upsert_stats",
-    "cms_token_frequency",
+    # ROUND 6 (the oldest remaining cohort after a fully-green r10),
+    # all 40
+    "corpus_split_stats",
+    "curation_funnel_stats",
+    "customers_without_orders",
+    "daily_event_type_pivot",
+    "dedup_cluster_components",
+    "dedup_containment_topk",
+    "dedup_exact",
+    "dedup_ngram_jaccard_topk",
+    "dedup_quality_keeper",
+    "dedup_recall_audit",
+    "doremi_mixture_stats",
+    "doremi_token_quota",
+    "dsir_importance_stats",
+    "embedding_near_dup",
+    "event_interarrival_stats",
+    "hll_rollup_audit",
+    "hourly_windows",
+    "jl_projection_recall",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_pq_adc",
+    "order_case_buckets",
+    "order_lineitem_right",
+    "order_priority_rollup",
+    "order_value_buckets",
+    "pii_scrub_stats",
+    "price_quantiles_per_flag",
+    "price_quantity_corr",
+    "propagate_scores",
+    "quantity_unpivot",
+    "salted_supplier_revenue",
+    "semantic_dedup_cells",
+    "sliding_windows",
+    "status_priority_cube",
+    "streaming_hourly_windows",
+    "supplier_score_blend",
+    "tdigest_quantile_audit",
+    "top_customers_per_nation",
+    "two_hop_reach",
+    "typed_json_histogram",
+    # re-greens: the 5 alphabetically-first of the r7-latest cohort
+    "asof_latest_click",
+    "bm25_search",
+    "bpe_merge_pair_stats",
+    "containment_incremental",
+    "corpus_mix_stats",
 ]
 
 
