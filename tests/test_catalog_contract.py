@@ -276,3 +276,43 @@ def test_perf_table_covers_headline():
         f"{len(missing)} queries: {missing[:10]}... — regenerate with "
         f"`python tools/plan_report.py`"
     )
+
+
+def test_memo_owner_registry():
+    """Every memo cost owner in plans.memo_owners is a real catalog query
+    (so bench's pre-run reset lands before a TIMED build), every reset is
+    callable and idempotent, and bench._pre_run_reset delegates to the
+    registry (bench.py is frozen; memos register owners in plans code)."""
+    import bench
+    from platform_etl_drug_disease_spark.plans import memo_owners
+
+    q, _ = _catalog()
+    unknown = [n for n in memo_owners.OWNERS if n not in q]
+    assert not unknown, f"memo owners that are not catalog queries: {unknown}"
+    for name, reset in memo_owners.OWNERS.items():
+        reset()  # must not raise
+        reset()  # idempotent
+        bench._pre_run_reset(name)  # the harness path reaches the same reset
+    bench._pre_run_reset("not_a_catalog_query")  # non-owner: silent no-op
+
+
+def test_bench_detail_path_routing(monkeypatch):
+    """BENCH_DETAIL.json is reserved for full-headline runs at the
+    machine's own core count; subset probes and low-core contract reruns
+    route to suffixed files so they can never clobber the committed
+    full-core detail (VERDICT r10 item 1)."""
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_OUT", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    assert bench._detail_path(False).endswith("/BENCH_DETAIL.json")
+    assert bench._detail_path(True).endswith("/BENCH_DETAIL_SUBSET.json")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", str(os.cpu_count()))
+    assert bench._detail_path(False).endswith("/BENCH_DETAIL.json")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8" if os.cpu_count() != 8 else "4")
+    low = bench._detail_path(False)
+    assert low.endswith("_C8.json") or low.endswith("_C4.json")
+    assert bench._detail_path(True).endswith("/BENCH_DETAIL_SUBSET.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_OUT", "/tmp/custom_out.json")
+    assert bench._detail_path(False) == "/tmp/custom_out.json"
+    assert bench._detail_path(True) == "/tmp/custom_out.json"
