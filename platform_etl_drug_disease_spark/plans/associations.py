@@ -56,11 +56,17 @@ def make_associations(evidences: DataFrame, group_cols: list[Column]) -> DataFra
         ),
         asc=False,
     )
-    return (
-        grouped.withColumn("harmonic_genetics", harmonic_sum("genetics_score_list"))
-        .withColumn("harmonic_literature", harmonic_sum("literature_score_list"))
-        .withColumn("harmonic", harmonic_sum(blended))
-    )
+    # the two independent per-datasource harmonics land in ONE withColumns
+    # (round-11 driver-side op-count cut — one analysis pass instead of two;
+    # same collapsed Project in the optimized plan); the blended harmonic
+    # references both, so it stays a second projection layer exactly as the
+    # optimizer kept it before.
+    return grouped.withColumns(
+        {
+            "harmonic_genetics": harmonic_sum("genetics_score_list"),
+            "harmonic_literature": harmonic_sum("literature_score_list"),
+        }
+    ).withColumn("harmonic", harmonic_sum(blended))
 
 
 def propagate_over_network(evs_with_scores: DataFrame, network_lut: DataFrame) -> DataFrame:

@@ -19,7 +19,7 @@ Scale-deliberate differences from the reference (semantics identical):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,25 +44,45 @@ from platform_etl_drug_disease_spark.plans.domain_loaders import (
 from platform_etl_drug_disease_spark.plans.network import tissue_filtered_network
 
 
-@dataclass
 class PipelineOutputs:
-    associations: DataFrame
-    drug_disease: DataFrame
+    """The pipeline's two outputs. ``drug_disease`` is built LAZILY on
+    first attribute access (round-11 optimization, guide §1.2 "don't
+    compute things you throw away" applied to PLAN CONSTRUCTION): its DAG
+    is ~15 eager Catalyst-analysis ops over the pipeline's largest trees
+    (the hypotheses projection with nested transforms, the AE-overlap
+    explode join and scoring chain), and the whitelist catalog query reads
+    only ``associations`` — building the second output there was pure
+    driver-side waste at every scale. Consumers are unchanged: attribute
+    access returns the identical DataFrame the eager form returned."""
+
+    def __init__(
+        self, associations: DataFrame, drug_disease_fn: Callable[[], DataFrame]
+    ) -> None:
+        self.associations = associations
+        self._drug_disease_fn = drug_disease_fn
+        self._drug_disease: DataFrame | None = None
+
+    @property
+    def drug_disease(self) -> DataFrame:
+        if self._drug_disease is None:
+            self._drug_disease = self._drug_disease_fn()
+        return self._drug_disease
 
 
 def drugs_for_disease(drugs: DataFrame, aes_by_drug: DataFrame, aggregated: DataFrame) -> DataFrame:
     """Per disease: every known drug with its metadata + AE profile
     (sim.sc:380-399). right_outer keeps aggregation rows whose drug has no
     metadata in the drug index — reference semantics."""
-    enriched = (
-        drugs.join(aes_by_drug, "drug_id", "left_outer")
-        .withColumnRenamed("aes", "drug_aes")
-        .join(aggregated, "drug_id", "right_outer")
+    enriched = drugs.join(aes_by_drug, "drug_id", "left_outer").join(
+        aggregated, "drug_id", "right_outer"
     )
+    # the aes→drug_aes rename happens as the struct field's alias instead of
+    # a withColumnRenamed between the joins (round-11 op-count cut; the
+    # optimizer collapsed the rename into the struct either way)
     return enriched.groupBy("disease_id").agg(
         F.collect_list(
             F.struct(
-                "drug_aes",
+                F.col("aes").alias("drug_aes"),
                 "drug_id",
                 "indication_ids",
                 "max_clinical_trial_phase",
@@ -193,6 +213,21 @@ def run_pipeline(
 
     associations = associations.persist()
 
+    def _build_drug_disease() -> DataFrame:
+        return _drug_disease_output(associations, aes_by_drug)
+
+    return PipelineOutputs(
+        associations=associations, drug_disease_fn=_build_drug_disease
+    )
+
+
+def _drug_disease_output(
+    associations: DataFrame, aes_by_drug: DataFrame
+) -> DataFrame:
+    """The second output's DAG (hypotheses projection → AE-overlap scoring),
+    factored out of :func:`run_pipeline` so it can build lazily — see
+    :class:`PipelineOutputs`. Expression-for-expression identical to the
+    former inline chain."""
     hypotheses = associations.select(
         "disease_id",
         "target_id",
@@ -229,28 +264,34 @@ def run_pipeline(
     drug_ae_events = aes_by_drug.select(
         "drug_id", F.col("aes.drug_ae_event").alias("drug_ae_events")
     )
-    drug_disease = (
-        hypotheses.withColumn("drug_hypothesis", F.explode("hypotheses"))
-        .join(
-            F.broadcast(drug_ae_events),
-            F.col("drug_hypothesis") == F.col("drug_id"),
-            "left_outer",
-        )
-        .withColumnRenamed("drug_ae_events", "drug_hypothesis_aes")
-        .withColumn(
-            "drug_hypothesis_aes_score",
-            overlap_coefficient("drug_hypothesis_aes", "disease_aes_from_drugs"),
-        )
-        .withColumn(
-            "disease_aes_score",
-            overlap_coefficient("disease_aes_from_drugs", "drug_hypothesis_aes"),
-        )
-        .withColumn(
-            "drug_hypothesis_disease_aes_score",
-            F.lit(0.4) * F.col("drug_hypothesis_aes_score")
-            + F.lit(0.6) * F.col("disease_aes_score"),
-        )
-        .where(F.col("drug_hypothesis_disease_aes_score") > 0.0)
+    joined = hypotheses.withColumn("drug_hypothesis", F.explode("hypotheses")).join(
+        F.broadcast(drug_ae_events),
+        F.col("drug_hypothesis") == F.col("drug_id"),
+        "left_outer",
     )
-
-    return PipelineOutputs(associations=associations, drug_disease=drug_disease)
+    # ONE select replaces the rename + the two score withColumns (round-11
+    # driver-side op-count cut: every eager Dataset op re-analyzes the full
+    # tree, and CollapseProject merged these three into a single Project
+    # anyway — the optimized plan is unchanged, only the build cost drops).
+    # The score expressions read `drug_ae_events` directly: it is the same
+    # column the rename aliased, exactly as the collapsed Project computed.
+    scored = joined.select(
+        *[
+            F.col("drug_ae_events").alias("drug_hypothesis_aes")
+            if c == "drug_ae_events"
+            else F.col(c)
+            for c in joined.columns
+        ],
+        overlap_coefficient("drug_ae_events", "disease_aes_from_drugs").alias(
+            "drug_hypothesis_aes_score"
+        ),
+        overlap_coefficient("disease_aes_from_drugs", "drug_ae_events").alias(
+            "disease_aes_score"
+        ),
+    )
+    drug_disease = scored.withColumn(
+        "drug_hypothesis_disease_aes_score",
+        F.lit(0.4) * F.col("drug_hypothesis_aes_score")
+        + F.lit(0.6) * F.col("disease_aes_score"),
+    ).where(F.col("drug_hypothesis_disease_aes_score") > 0.0)
+    return drug_disease

@@ -113,16 +113,27 @@ def tissue_filtered_network(
         F.col("target_id").alias("neighbour"),
         F.col("tissues").alias("neighbour_tissues"),
     )
-    return (
+    # round-11 driver-side op-count cut: the tissues rename folds into one
+    # select (mirroring the Project the optimizer produced below the
+    # Generate — renaming INSIDE the explode select would instead split
+    # into Generate + an extra Project above it), and the shared-tissue
+    # predicate moves directly into the filter instead of a named
+    # cardinality column the aggregation immediately dropped (the optimizer
+    # inlined it into the Filter and pruned the column either way — the
+    # optimized plan is unchanged, only the eager-analysis count drops).
+    exploded = (
         lut.join(expressions, "target_id")
-        .withColumnRenamed("tissues", "target_id_tissues")
-        .withColumn("neighbour", F.explode("neighbours"))
-        .join(neighbour_tissues, "neighbour")
-        .withColumn(
-            "intersected_tissues_cardinality",
-            F.size(F.array_intersect("target_id_tissues", "neighbour_tissues")),
+        .select(
+            "target_id", "neighbours", F.col("tissues").alias("target_id_tissues")
         )
-        .where(F.col("intersected_tissues_cardinality") > 0)
+        .select("*", F.explode("neighbours").alias("neighbour"))
+    )
+    return (
+        exploded.join(neighbour_tissues, "neighbour")
+        .where(
+            F.size(F.array_intersect("target_id_tissues", "neighbour_tissues"))
+            > 0
+        )
         .groupBy("target_id")
         .agg(F.collect_list("neighbour").alias("neighbours"))
     )

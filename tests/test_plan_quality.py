@@ -88,9 +88,19 @@ def test_catalog_query_lint_clean(spark, name):
     scans of one file (uncached fan-out). Parametrized so one dirty plan
     can't mask others, and allowlisted per RULE, not per query — an exempted
     query still gets every other rule enforced. This sweep is what caught
-    the personalized-PageRank 4x edge-set recompute in round 3."""
+    the personalized-PageRank 4x edge-set recompute in round 3.
+
+    Each query is linted against a CLEAN cache: the repeated-scan count
+    reads ``Location:`` lines anywhere in the formatted plan, including
+    inside InMemoryRelation cached-plan printouts, so leftover cache
+    registrations from earlier parametrized queries make the count depend
+    on test ORDER (a window rotation reordering the catalog flipped
+    knn_eval_metrics between 2 and 4 counted scans with an identical query,
+    round 11). Standalone is also the contract bench measures — it clears
+    the cache between queries."""
     import __spark_entry__ as entrymod
 
+    spark.catalog.clearCache()
     fn = entrymod.queries()[name]
     allowed = LINT_ALLOWLIST.get(name, ())
     warnings = [
