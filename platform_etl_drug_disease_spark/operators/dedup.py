@@ -1489,6 +1489,53 @@ def lr_tokens(text_col: Column | str) -> Column:
     return tokens(F.regexp_replace(c, "[\\x00\\x01]", ""))
 
 
+def suffix_base_plan(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """The suffix family's shared TOKEN BASE: (id, __t tokens, __n length)
+    for docs with ≥ ``w`` tokens, hash-repartitioned by id — the layout the
+    doubling loop's per-round slice joins reuse. Factored out (round 11) so
+    :func:`longest_repeat_lengths` and :func:`sampled_repeat_lengths` can
+    share ONE materialized copy via their ``frames`` hook instead of each
+    re-tokenizing the corpus and re-running the anchor-count shuffle."""
+    return (
+        df.select(F.col(id_col), lr_tokens(text_col).alias("__t"))
+        .withColumn("__n", F.size("__t"))
+        .where(F.col("__n") >= w)
+        .repartition(F.col(id_col))
+    )
+
+
+def suffix_occurrences(base: DataFrame, id_col: str, w: int) -> DataFrame:
+    """One row per token-position suffix over a token base:
+    (id, pos, __rem remaining tokens, __key xxhash64 of the leading-``w``
+    anchor). Cheap to recompute from a materialized base (scan + explode,
+    no shuffle), so consumers derive it lazily rather than memoizing it."""
+    return base.select(
+        F.col(id_col),
+        "__t",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - w)).alias("pos"),
+    ).select(
+        F.col(id_col),
+        "pos",
+        (F.col("__n") - F.col("pos")).alias("__rem"),
+        F.xxhash64(
+            F.array_join(F.slice("__t", F.col("pos") + 1, w), " ")
+        ).alias("__key"),
+    )
+
+
+def suffix_anchor_counts(base: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Anchor document-frequency table (__key, __df) — the full-corpus
+    shuffle both suffix operators pay identically; share it via ``frames``."""
+    return (
+        suffix_occurrences(base, id_col, w)
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+
 def _suffix_round_frame(
     alive: DataFrame, toks_by_id: DataFrame, id_col: str, depth: int
 ) -> DataFrame:
@@ -1574,6 +1621,7 @@ def longest_repeat_lengths(
     w: int = 8,
     max_anchor_df: int = 512,
     max_rounds: int = 24,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """ARBITRARY-LENGTH repeated-substring lengths, exactly — for every
     token-position suffix that shares at least ``w`` leading tokens with
@@ -1623,40 +1671,36 @@ def longest_repeat_lengths(
     Returns ``(per_suffix, capped)``: per_suffix = (id_col, pos,
     repeat_len ≥ w) rows, one per qualifying suffix; capped = the 1-row
     disclosure frame. Deterministic; the catalog oracle recomputes the same
-    ``repeat_len`` single-node via a true full-suffix sort."""
+    ``repeat_len`` single-node via a true full-suffix sort.
+
+    ``frames``: optional caller-materialized ``(base, anchor_counts)`` pair
+    from :func:`suffix_base_plan` / :func:`suffix_anchor_counts` — the
+    tokenize pass and the anchor-count shuffle are identical across every
+    suffix operator over one corpus snapshot, so a caller holding several
+    of them materializes the pair once and passes it here. Row-identical
+    to the self-built path (pytest-pinned); the caller owns persistence."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
-    base = (
-        df.select(F.col(id_col), lr_tokens(text_col).alias("__t"))
-        .withColumn("__n", F.size("__t"))
-        .where(F.col("__n") >= w)
-        .repartition(F.col(id_col))  # per-round slice joins reuse this layout
-        .persist()
-    )
-    occ = base.select(
-        F.col(id_col),
-        "__t",
-        "__n",
-        F.explode(F.sequence(F.lit(0), F.col("__n") - w)).alias("pos"),
-    ).select(
-        F.col(id_col),
-        "pos",
-        (F.col("__n") - F.col("pos")).alias("__rem"),
-        F.xxhash64(
-            F.array_join(F.slice("__t", F.col("pos") + 1, w), " ")
-        ).alias("__key"),
-    )
-    cnt = occ.groupBy("__key").agg(F.count(F.lit(1)).alias("__c"))
+    if frames is None:
+        base = suffix_base_plan(df, id_col, text_col, w).persist()
+        cnt = suffix_anchor_counts(base, id_col, w)
+    else:
+        # caller-materialized (base, anchor counts) — the shared-artifact
+        # hook (round 11): the tokenize pass and the full-corpus anchor
+        # shuffle run ONCE per corpus snapshot and every suffix operator
+        # rides them. The caller owns the frames' lifecycle.
+        base, cnt = frames
+    occ = suffix_occurrences(base, id_col, w)
     # 1-row disclosure frame, materialized NOW (localCheckpoint) so base can
     # be unpersisted when the loop ends without leaving a lazy reader.
-    capped = cnt.where(F.col("__c") > max_anchor_df).agg(
+    capped = cnt.where(F.col("__df") > max_anchor_df).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_capped_anchors"),
-        F.coalesce(F.sum("__c"), F.lit(0)).cast("bigint").alias(
+        F.coalesce(F.sum("__df"), F.lit(0)).cast("bigint").alias(
             "n_capped_suffixes"
         ),
     ).localCheckpoint()
     keep = cnt.where(
-        (F.col("__c") >= 2) & (F.col("__c") <= max_anchor_df)
+        (F.col("__df") >= 2) & (F.col("__df") <= max_anchor_df)
     ).select("__key")
     alive = occ.join(keep, "__key").localCheckpoint()
     toks_by_id = base.select(F.col(id_col), "__t")
@@ -1666,7 +1710,8 @@ def longest_repeat_lengths(
     # EAGER localCheckpoint — the loop's resolved/alive splits are filters
     # OVER those checkpoints — so the token table has no remaining lazy
     # readers; release its cache blocks before handing back the result.
-    base.unpersist()
+    if frames is None:
+        base.unpersist()
     return out, capped
 
 
@@ -1746,6 +1791,7 @@ def sampled_repeat_lengths(
     max_rounds: int = 24,
     return_selected: bool = False,
     salt_buckets: int = 64,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame]:
     """SAMPLED interior estimate of repeat lengths for anchors BEYOND the
     exact census' df cap (VERDICT r8 item 6). ``longest_repeat_lengths``
@@ -1843,27 +1889,14 @@ def sampled_repeat_lengths(
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
-    base = (
-        df.select(F.col(id_col), lr_tokens(text_col).alias("__t"))
-        .withColumn("__n", F.size("__t"))
-        .where(F.col("__n") >= w)
-        .repartition(F.col(id_col))  # per-round slice joins reuse this layout
-        .persist()
-    )
-    occ = base.select(
-        F.col(id_col),
-        "__t",
-        "__n",
-        F.explode(F.sequence(F.lit(0), F.col("__n") - w)).alias("pos"),
-    ).select(
-        F.col(id_col),
-        "pos",
-        (F.col("__n") - F.col("pos")).alias("__rem"),
-        F.xxhash64(
-            F.array_join(F.slice("__t", F.col("pos") + 1, w), " ")
-        ).alias("__key"),
-    )
-    cnt = occ.groupBy("__key").agg(F.count(F.lit(1)).alias("__df"))
+    if frames is None:
+        base = suffix_base_plan(df, id_col, text_col, w).persist()
+        cnt = suffix_anchor_counts(base, id_col, w)
+    else:
+        # caller-materialized shared pair — see longest_repeat_lengths;
+        # identical tokenize/anchor-shuffle work shared across operators.
+        base, cnt = frames
+    occ = suffix_occurrences(base, id_col, w)
     sel_cond = F.col("__df") > min_anchor_df
     if max_anchor_df is not None:
         sel_cond = sel_cond & (F.col("__df") <= max_anchor_df)
@@ -1923,7 +1956,8 @@ def sampled_repeat_lengths(
     resolved = _doubling_loop(
         alive, base.select(F.col(id_col), "__t"), id_col, w, max_rounds
     )
-    base.unpersist()
+    if frames is None:
+        base.unpersist()
     # a (doc, pos) suffix belongs to exactly one anchor (its own leading
     # w tokens), so the weight join-back is 1:1 on the sampled keys.
     sampled = resolved.join(weights, [id_col, "pos"]).select(

@@ -2150,6 +2150,18 @@ _LR_CAP = 512
 # tests/test_extensions.py::test_suffix_artifact_reuse pins hook == standalone.
 _SUFFIX_ARTIFACT_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
+#: shared ANCHOR-UNIVERSE artifact (round 11, VERDICT r10 item 3): the
+#: tokenized/repartitioned base table and the full-corpus anchor-df count
+#: are computed IDENTICALLY by the exact census build and by both sampled
+#: estimators (`capped_repeat_estimate`, `capped_mass_profile`) — the
+#: tokenize pass + one full-corpus shuffle repeated three times per
+#: session. Memoized exactly like the artifacts above (eager
+#: localCheckpoint, 2-snapshot eviction, content-fingerprinted key); bench
+#: cost owner: `longest_repeat_census` (plans/memo_owners.py clears this
+#: together with _SUFFIX_ARTIFACT_CACHE, so the owner's timed runs always
+#: pay the full tokenize+count build).
+_SUFFIX_BASE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
 
 def _table_fingerprint(path: str) -> tuple:
     """(name, size, mtime_ns) of a parquet file, or of every entry of a
@@ -2190,12 +2202,42 @@ def _suffix_ranking(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         return hit
     docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
     per_suffix, capped = longest_repeat_lengths(
-        docs, "doc_id", "text", w=_LR_W, max_anchor_df=_LR_CAP
+        docs,
+        "doc_id",
+        "text",
+        w=_LR_W,
+        max_anchor_df=_LR_CAP,
+        frames=_suffix_base(spark, sf_dir),
     )
     while len(_SUFFIX_ARTIFACT_CACHE) >= 2:  # evict oldest snapshot
         _SUFFIX_ARTIFACT_CACHE.pop(next(iter(_SUFFIX_ARTIFACT_CACHE)))
     _SUFFIX_ARTIFACT_CACHE[key] = (per_suffix, capped)
     return per_suffix, capped
+
+
+def _suffix_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Memoized ``(base, anchor_counts)`` anchor-universe pair over the
+    snapshot's ``documents`` table — see the ``_SUFFIX_BASE_CACHE`` comment.
+    The anchor counts are derived from the CHECKPOINTED base so the count
+    shuffle scans materialized rows, and both frames are eager checkpoints:
+    consumers (the exact census build and both sampled estimators) read
+    cached blocks instead of re-tokenizing the corpus."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        suffix_anchor_counts,
+        suffix_base_plan,
+    )
+
+    key = _artifact_key(spark, sf_dir)
+    hit = _SUFFIX_BASE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    base = suffix_base_plan(docs, "doc_id", "text", _LR_W).localCheckpoint()
+    cnt = suffix_anchor_counts(base, "doc_id", _LR_W).localCheckpoint()
+    while len(_SUFFIX_BASE_CACHE) >= 2:  # evict oldest snapshot
+        _SUFFIX_BASE_CACHE.pop(next(iter(_SUFFIX_BASE_CACHE)))
+    _SUFFIX_BASE_CACHE[key] = (base, cnt)
+    return base, cnt
 
 
 _LM_STARTS_CACHE: dict[tuple, DataFrame] = {}
@@ -2912,6 +2954,7 @@ def capped_repeat_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_anchor_df=_LR_CAP,
         sample_per_anchor=_CRE_S,
         return_selected=True,  # the audit joins it against exact truth
+        frames=_suffix_base(spark, sf_dir),
     )
     est = sampled.groupBy("repeat_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled_suffixes"),
@@ -3074,6 +3117,7 @@ def capped_mass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_anchor_df=_LR_CAP,
         max_anchor_df=None,
         sample_per_anchor=_CMP_S,
+        frames=_suffix_base(spark, sf_dir),
     )
     prof = sampled.groupBy("repeat_len").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled_suffixes"),

@@ -53,8 +53,12 @@ def _module_caches(module: str, *cache_names: str) -> Callable[[], None]:
 #: owner catalog query -> reset of the memo caches it owns (lazy imports so
 #: a bench subset run only pays for the modules it touches)
 OWNERS: dict[str, Callable[[], None]] = {
-    # suffix-ranking doubling-loop artifact (the whole suffix family rides it)
-    "longest_repeat_census": _dedup_text_caches("_SUFFIX_ARTIFACT_CACHE"),
+    # suffix-ranking doubling-loop artifact (the whole suffix family rides
+    # it) + the shared anchor-universe pair (tokenized base + anchor-df
+    # counts) the census build and both sampled estimators consume
+    "longest_repeat_census": _dedup_text_caches(
+        "_SUFFIX_ARTIFACT_CACHE", "_SUFFIX_BASE_CACHE"
+    ),
     # lang-blocked containment top-3 prefix/verify pipeline
     # (quoted_span_stats measures the spans-over-warm-pairs reuse path)
     "dedup_containment_topk": _dedup_text_caches("_CONTAINMENT_TOPK_CACHE"),

@@ -2216,3 +2216,64 @@ def test_capped_mass_profile_planted_giant_anchor(spark, tmp_path):
     assert sorted(map(key, s_default.collect())) == sorted(
         map(key, s_salted.collect())
     )
+
+
+def test_suffix_base_frames_equivalence(spark, tmp_path):
+    """Round-11 shared anchor-universe artifact (VERDICT r10 item 3): the
+    exact and sampled suffix operators fed the memoized (base, anchor
+    counts) pair via their ``frames`` hook return row-identical results to
+    the self-built path, and the pair is an actual memo (same frames back
+    on the second call)."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        longest_repeat_lengths,
+        sampled_repeat_lengths,
+    )
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+    from platform_etl_drug_disease_spark.schemas import load_table
+
+    passage = " ".join(f"p{i}" for i in range(17))
+    docs = [
+        (i, f"x{i} " + passage + f" y{i}") for i in range(1, 8)
+    ] + [(99, " ".join(f"z{i}" for i in range(25)))]
+    spark.createDataFrame(docs, "doc_id: long, text: string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dt._SUFFIX_BASE_CACHE.clear()
+    frames = dt._suffix_base(spark, str(tmp_path))
+    assert dt._suffix_base(spark, str(tmp_path))[0] is frames[0]  # memo hit
+    loaded = load_table(spark, str(tmp_path), "documents", ["doc_id", "text"])
+
+    key3 = lambda r: (r["doc_id"], r["pos"], r["repeat_len"])  # noqa: E731
+    ps_f, cap_f = longest_repeat_lengths(
+        loaded, "doc_id", "text", w=dt._LR_W, max_anchor_df=dt._LR_CAP,
+        frames=frames,
+    )
+    ps_s, cap_s = longest_repeat_lengths(
+        loaded, "doc_id", "text", w=dt._LR_W, max_anchor_df=dt._LR_CAP
+    )
+    assert sorted(map(key3, ps_f.collect())) == sorted(map(key3, ps_s.collect()))
+    assert cap_f.collect() == cap_s.collect()
+    assert ps_f.count() > 0
+
+    # sampled path at audit-band knobs (min_df=2 >= S=2; passage df=7 lands
+    # in (2, cap]) — frames vs standalone must sample identically
+    key4 = lambda r: (  # noqa: E731
+        r["doc_id"], r["pos"], r["repeat_len"], r["anchor_df"]
+    )
+    sm_f, sel_f, disc_f = sampled_repeat_lengths(
+        loaded, "doc_id", "text", w=dt._LR_W, min_anchor_df=2,
+        max_anchor_df=dt._LR_CAP, sample_per_anchor=2,
+        return_selected=True, frames=frames,
+    )
+    sm_s, sel_s, disc_s = sampled_repeat_lengths(
+        loaded, "doc_id", "text", w=dt._LR_W, min_anchor_df=2,
+        max_anchor_df=dt._LR_CAP, sample_per_anchor=2, return_selected=True,
+    )
+    assert sorted(map(key4, sm_f.collect())) == sorted(map(key4, sm_s.collect()))
+    assert sorted(map(tuple, sel_f.collect())) == sorted(
+        map(tuple, sel_s.collect())
+    )
+    assert disc_f.collect() == disc_s.collect()
+    assert sm_f.count() > 0
+    dt._SUFFIX_BASE_CACHE.clear()
