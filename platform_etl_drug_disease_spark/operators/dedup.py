@@ -1171,6 +1171,7 @@ def containment_minhash_topk(
     max_shingle_df: int | None = 256,
     max_slot_df: int | None = 32,
     shingles: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc top-``k`` containers via the SUB-QUADRATIC candidate stage
     (:func:`containment_minhash_candidates`) with the same exact count-based
@@ -1182,20 +1183,29 @@ def containment_minhash_topk(
 
     ``shingles``: optional prebuilt PERSISTED ``(id_col, sh)`` table shared
     with co-running family members (one tokenize/shingle pass for the whole
-    family — the reuse hook ``jaccard_pairs``/``containment_pairs`` carry)."""
+    family — the reuse hook ``jaccard_pairs``/``containment_pairs`` carry).
+    ``candidates``: optional prebuilt (id_a, id_b) pair set from
+    :func:`containment_minhash_candidates` at the SAME knobs — the
+    round-11 shared-artifact hook (the recall audit and this serve path
+    derive the identical set); the caller is responsible for knob
+    consistency."""
     from platform_etl_drug_disease_spark.operators.scans import bounded_top_k_rows
 
     if shingles is not None:
         sh = shingles
     else:
         sh = _shingle_table(df, id_col, text_col, shingle_n).persist()
-    cand = containment_minhash_candidates(
-        sh,
-        id_col,
-        threshold=threshold,
-        n_hashes=n_hashes,
-        max_shingle_df=max_shingle_df,
-        max_slot_df=max_slot_df,
+    cand = (
+        candidates
+        if candidates is not None
+        else containment_minhash_candidates(
+            sh,
+            id_col,
+            threshold=threshold,
+            n_hashes=n_hashes,
+            max_shingle_df=max_shingle_df,
+            max_slot_df=max_slot_df,
+        )
     )
     # exact verify, shared shape with containment_pairs/minhash_lsh_dedup:
     # candidates ⋈ exploded(A) ⋈ exploded(B) counted per pair IS the true

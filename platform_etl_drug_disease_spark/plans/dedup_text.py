@@ -824,6 +824,70 @@ FROM (
 )
 
 
+#: shared containment-scale-path artifacts (round 11, VERDICT r10 item 3):
+#: the trigram shingle table and the UNFILTERED single-slot MinHash
+#: candidate pair set at the SHIPPED config (τ=0.8, 16 hashes, df≤256,
+#: slot≤32) are derived identically by `dedup_containment_minhash_topk`
+#: (the serve path) and `containment_recall_audit` (which audits exactly
+#: that configuration). Same memo discipline as every other artifact
+#: (eager localCheckpoint, content-fingerprinted key, 2-snapshot
+#: eviction); bench cost owner: `dedup_containment_minhash_topk`
+#: (plans/memo_owners.py clears both caches before its timed runs).
+_CTM_SHINGLES_CACHE: dict[tuple, DataFrame] = {}
+_CTM_CANDS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _ctm_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
+    import os
+
+    table_path = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    return (
+        spark.sparkContext.applicationId,
+        table_path,
+        _table_fingerprint(table_path),
+        tag,
+    )
+
+
+def _ctm_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized trigram shingle table over the snapshot's documents."""
+    from platform_etl_drug_disease_spark.operators.dedup import _shingle_table
+
+    key = _ctm_key(spark, sf_dir, "shingle3")
+    hit = _CTM_SHINGLES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents", ["doc_id", "text"])
+    sh = _shingle_table(docs, "doc_id", "text", shingle_n=3).localCheckpoint()
+    while len(_CTM_SHINGLES_CACHE) >= 2:
+        _CTM_SHINGLES_CACHE.pop(next(iter(_CTM_SHINGLES_CACHE)))
+    _CTM_SHINGLES_CACHE[key] = sh
+    return sh
+
+
+def _ctm_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized unfiltered candidate (id_a, id_b) pairs at the shipped
+    containment-LSH config, over the memoized shingle table. The pair set
+    tracks duplicate mass (bucket-capped), so the checkpoint is small at
+    any corpus size while its derivation is the family's big join."""
+    key = _ctm_key(spark, sf_dir, "ctm_cands_0.8_16_256_32")
+    hit = _CTM_CANDS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    cands = containment_minhash_candidates(
+        _ctm_shingles(spark, sf_dir),
+        "doc_id",
+        threshold=0.8,
+        n_hashes=16,
+        max_shingle_df=256,
+        max_slot_df=32,
+    ).localCheckpoint()
+    while len(_CTM_CANDS_CACHE) >= 2:
+        _CTM_CANDS_CACHE.pop(next(iter(_CTM_CANDS_CACHE)))
+    _CTM_CANDS_CACHE[key] = cands
+    return cands
+
+
 def dedup_containment_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic sibling of ``dedup_containment_topk``: per doc, top-3
     containers by trigram containment ≥ 0.8, candidates from single-slot
@@ -842,6 +906,8 @@ def dedup_containment_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFram
     top = containment_minhash_topk(
         docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
         n_hashes=16, max_shingle_df=256, max_slot_df=32,
+        shingles=_ctm_shingles(spark, sf_dir),
+        candidates=_ctm_candidates(spark, sf_dir),
     )
     w = Window.partitionBy("id_a").orderBy(F.col("containment").desc(), "id_b")
     return top.select(
@@ -1082,7 +1148,11 @@ def _containment_bound_literals() -> list[tuple[int, int, str]]:
 
 
 def _containment_audit_cells(
-    docs: DataFrame, contained_pred, inv_p: float
+    docs: DataFrame,
+    contained_pred,
+    inv_p: float,
+    shingles: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core of the containment recall audit: exact truth vs MinHash
     candidates per (containment decile × size-ratio stratum), optionally
@@ -1094,19 +1164,36 @@ def _containment_audit_cells(
     df counts, hot lists, and the B side stay full-corpus), so sampled
     cells measure the same per-pair Bernoulli as the full audit, on fewer
     pairs. ``inv_p`` is the Horvitz–Thompson weight (1/p) used to
-    extrapolate cell mass; 1.0 = full truth (the pytest pin path)."""
+    extrapolate cell mass; 1.0 = full truth (the pytest pin path).
+
+    ``shingles``/``candidates``: optional caller-materialized shared
+    artifacts (round 11): the trigram shingle table and the UNFILTERED
+    candidate pair set at the shipped config — the same frames
+    ``dedup_containment_minhash_topk`` serves from. Passing the unfiltered
+    candidate set is value-identical to building a ``contained_pred``-
+    filtered one: the audit joins candidates LEFT from the sampled truth
+    on (id_a, id_b), and per-pair candidate membership never depends on
+    other A docs, so the filtered set is exactly the pred(id_a) subset of
+    the full set restricted to the same pairs — the argument the DuckDB
+    oracle mirror has always used (it joins the unfiltered mcands)."""
     from platform_etl_drug_disease_spark.operators.dedup import _shingle_table
 
-    sh = _shingle_table(docs, "doc_id", "text", shingle_n=3).persist()
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingle_table(docs, "doc_id", "text", shingle_n=3).persist()
+    )
     truth = containment_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.8,
         block_col=None, max_shingle_df=256, shingles=sh,
         contained_pred=contained_pred,
     )
-    cands = containment_minhash_candidates(
-        sh, "doc_id", threshold=0.8, n_hashes=16, max_shingle_df=256,
-        max_slot_df=32, contained_pred=contained_pred,
-    ).withColumn("__hit", F.lit(1))
+    if candidates is None:
+        candidates = containment_minhash_candidates(
+            sh, "doc_id", threshold=0.8, n_hashes=16, max_shingle_df=256,
+            max_slot_df=32, contained_pred=contained_pred,
+        )
+    cands = candidates.withColumn("__hit", F.lit(1))
     sizes = sh.select("doc_id", F.size("sh").alias("__sz"))
     t = truth.join(
         sizes.select(F.col("doc_id").alias("id_a"), F.col("__sz").alias("__sz_a")),
@@ -1234,7 +1321,13 @@ def containment_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_bucket("doc_id", _AUDIT_SAMPLE_BUCKETS, _AUDIT_SAMPLE_SALT)
         < _AUDIT_SAMPLE_KEEP
     )
-    return _containment_audit_cells(docs, pred, _AUDIT_INV_P)
+    return _containment_audit_cells(
+        docs,
+        pred,
+        _AUDIT_INV_P,
+        shingles=_ctm_shingles(spark, sf_dir),
+        candidates=_ctm_candidates(spark, sf_dir),
+    )
 
 
 def _containment_recall_audit_sql() -> str:

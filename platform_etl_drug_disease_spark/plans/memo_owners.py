@@ -68,6 +68,12 @@ OWNERS: dict[str, Callable[[], None]] = {
         "_LSH_PAIRS_CACHE", "_LSH_COMPONENTS_CACHE"
     ),
     "dedup_cluster_components": _dedup_text_caches("_LSH_COMPONENTS_CACHE"),
+    # containment scale-path artifacts: the trigram shingle table + the
+    # unfiltered shipped-config candidate pair set, shared with
+    # containment_recall_audit (which audits exactly that configuration)
+    "dedup_containment_minhash_topk": _dedup_text_caches(
+        "_CTM_SHINGLES_CACHE", "_CTM_CANDS_CACHE"
+    ),
     # left-maximal-start lag-window pass (VERDICT r9 item 6); the
     # strip/retention consumers ride it warm
     "top_repeated_spans": _dedup_text_caches("_LM_STARTS_CACHE"),

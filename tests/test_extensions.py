@@ -2277,3 +2277,43 @@ def test_suffix_base_frames_equivalence(spark, tmp_path):
     assert disc_f.collect() == disc_s.collect()
     assert sm_f.count() > 0
     dt._SUFFIX_BASE_CACHE.clear()
+
+
+def test_ctm_artifact_reuse(spark, tmp_path):
+    """Round-11 containment scale-path artifacts: the memoized trigram
+    shingle table + unfiltered shipped-config candidate set are (a) actual
+    memos and (b) feed a topk result row-identical to the standalone
+    operator path."""
+    from platform_etl_drug_disease_spark.operators.dedup import (
+        containment_minhash_topk,
+    )
+    from platform_etl_drug_disease_spark.plans import dedup_text as dt
+
+    rows = _containment_audit_corpus()
+    spark.createDataFrame(rows, "doc_id: long, text: string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    dt._CTM_SHINGLES_CACHE.clear()
+    dt._CTM_CANDS_CACHE.clear()
+    sh = dt._ctm_shingles(spark, str(tmp_path))
+    cands = dt._ctm_candidates(spark, str(tmp_path))
+    assert dt._ctm_shingles(spark, str(tmp_path)) is sh  # memo hit
+    assert dt._ctm_candidates(spark, str(tmp_path)) is cands
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    via_frames = containment_minhash_topk(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+        n_hashes=16, max_shingle_df=256, max_slot_df=32,
+        shingles=sh, candidates=cands,
+    )
+    standalone = containment_minhash_topk(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8, k=3,
+        n_hashes=16, max_shingle_df=256, max_slot_df=32,
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["containment"])  # noqa: E731
+    got = sorted(map(key, via_frames.collect()))
+    assert got == sorted(map(key, standalone.collect()))
+    assert got  # the planted corpus has containment pairs
+    dt._CTM_SHINGLES_CACHE.clear()
+    dt._CTM_CANDS_CACHE.clear()
